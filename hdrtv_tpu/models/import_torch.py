@@ -1,0 +1,265 @@
+"""Reference checkpoint import: torch ``.pt`` state dicts → flat NHWC pytrees.
+
+Reads the reference's shipped weights (fp32 ``HR.pt`` layouts and the portable
+INT8 checkpoints described at hdrtvnet_torch.py:1102-1218) and converts them
+to this package's layout:
+
+- conv weights  (O, I, kh, kw)  →  (kh, kw, I, O)   [HWIO]
+- linear weights (out, in)      →  (in, out)
+- int8 weights keep the same transforms; per-out-channel scales stay (O,)
+  which broadcasts over the last (O) axis of HWIO / (in,out)
+- fp16 buffers are upcast to fp32 (the Policy casts at use)
+
+torch is imported lazily and only used as a deserializer (``weights_only``
+where possible — the reference tree is untrusted content). Converted params
+can be cached to ``.npz`` so TPU-only environments never touch torch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import numpy as np
+
+from hdrtv_tpu.models.agcm import (
+    agcm_lite_width,
+    agcm_lowrank_rank,
+    normalize_classifier_name,
+)
+from hdrtv_tpu.models.hdrtvnet import ModelConfig
+
+_META_KEYS = (
+    "compute_dtype",
+    "quantization",
+    "qat_strategy",
+    "channel_threshold",
+    "qat_epochs",
+    "qat_lr",
+    "qat_recipe",
+    "architecture",
+    "w8a8_layers",
+    "selection_mode",
+    "auto_selection",
+    "fp16_layers",
+    "activation_quant",
+    "checkpoint_format",
+    "state_format",
+    "backend_neutral",
+    "target_backend",
+    "tensorrt_source_checkpoint",
+    "tensorrt_source_schema",
+    "tensorrt_source_signature",
+)
+
+
+def _to_numpy(t: Any) -> np.ndarray:
+    arr = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+    if arr.dtype == np.float16:
+        arr = arr.astype(np.float32)
+    return arr
+
+
+def load_torch_file(path: str) -> tuple[dict[str, np.ndarray], dict[str, Any]]:
+    """Load a reference checkpoint; returns (raw torch-layout state, metadata)."""
+    import torch  # lazy; deserializer only
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+
+    meta: dict[str, Any] = {}
+    if isinstance(obj, dict) and "state_dict" in obj:
+        state = obj["state_dict"]
+        for k in _META_KEYS:
+            if k in obj:
+                meta[k] = obj[k]
+    else:
+        state = obj
+    out = {}
+    for k, v in state.items():
+        if hasattr(v, "shape"):
+            out[str(k)] = _to_numpy(v)
+    return out, meta
+
+
+def _is_linear_key(key: str) -> bool:
+    """Keys whose 2-D weights are nn.Linear (cond scale/shift heads)."""
+    stem = key.rsplit(".", 1)[0]
+    leaf = stem.rsplit(".", 1)[-1]
+    return leaf.startswith(("cond_scale", "cond_shift"))
+
+
+def convert_state(raw: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Torch layout → NHWC/HWIO flat params; strips ``module.`` prefixes."""
+    out: dict[str, np.ndarray] = {}
+    for key, arr in raw.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if key.endswith("num_batches_tracked"):
+            continue
+        if key.endswith(("weight", "weight_int8")):
+            if arr.ndim == 4:
+                arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+            elif arr.ndim == 2:
+                arr = np.transpose(arr, (1, 0))  # (out,in) -> (in,out)
+        out[key] = np.ascontiguousarray(arr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Classifier-variant remaps (Condition_arch.remap_condition_state_dict)
+# ---------------------------------------------------------------------------
+
+
+def remap_condition_state(
+    state: dict[str, np.ndarray], prefix: str = "", classifier: str = "color_condition"
+) -> dict[str, np.ndarray]:
+    """Key remaps for woIN / lite / lowrank classifier variants, on *torch-layout*
+    state (before convert_state). Mirrors Condition_arch.py:184-295."""
+    classifier = normalize_classifier_name(classifier)
+
+    rank = agcm_lowrank_rank(classifier)
+    if rank is not None:
+        mapped = dict(state)
+        w_key, b_key = f"{prefix}HRconv.weight", f"{prefix}HRconv.bias"
+        if w_key in mapped and f"{prefix}HRconv_reduce.weight" not in mapped:
+            weight = mapped.pop(w_key).astype(np.float64)
+            bias = mapped.pop(b_key, None)
+            matrix = weight.reshape(weight.shape[0], weight.shape[1])
+            u, s, vh = np.linalg.svd(matrix, full_matrices=False)
+            r = min(int(rank), int(s.size))
+            sqrt_s = np.sqrt(np.clip(s[:r], 0.0, None))
+            mapped[f"{prefix}HRconv_reduce.weight"] = (
+                (sqrt_s[:, None] * vh[:r, :]).reshape(r, weight.shape[1], 1, 1).astype(np.float32)
+            )
+            mapped[f"{prefix}HRconv_reduce.bias"] = np.zeros(r, np.float32)
+            mapped[f"{prefix}HRconv_expand.weight"] = (
+                (u[:, :r] * sqrt_s[None, :]).reshape(weight.shape[0], r, 1, 1).astype(np.float32)
+            )
+            mapped[f"{prefix}HRconv_expand.bias"] = (
+                np.zeros(weight.shape[0], np.float32) if bias is None else bias.astype(np.float32)
+            )
+        return mapped
+
+    lite = agcm_lite_width(classifier)
+    if lite is not None:
+        mapped = dict(state)
+
+        def _slice(key, *slices):
+            full = f"{prefix}{key}"
+            if full in mapped and hasattr(mapped[full], "ndim"):
+                mapped[full] = np.ascontiguousarray(mapped[full][tuple(slices)])
+
+        for name in ("cond_scale_first.weight", "cond_scale_HR.weight", "cond_shift_first.weight", "cond_shift_HR.weight"):
+            _slice(name, slice(0, lite), slice(None))
+        for name in (
+            "cond_scale_first.bias", "cond_scale_HR.bias", "cond_shift_first.bias", "cond_shift_HR.bias",
+            "conv_first.weight", "conv_first.bias", "HRconv.bias",
+        ):
+            _slice(name, slice(0, lite))
+        _slice("HRconv.weight", slice(0, lite), slice(0, lite), slice(None), slice(None))
+        _slice("conv_last.weight", slice(None), slice(0, lite), slice(None), slice(None))
+        return mapped
+
+    if classifier != "color_condition_woin":
+        return dict(state)
+
+    mapped = dict(state)
+    root = f"{prefix}classifier.model."
+    if not any(k.startswith(f"{root}20.") for k in mapped):
+        return mapped
+    drop = tuple(f"{root}{i}." for i in (3, 7, 11, 15))
+    index_map = {"4": "3", "8": "6", "12": "9", "16": "12", "20": "16"}
+    for key in list(mapped):
+        if key.startswith(drop):
+            mapped.pop(key, None)
+            continue
+        for old, new in index_map.items():
+            op = f"{root}{old}."
+            if key.startswith(op):
+                mapped[f"{root}{new}.{key[len(op):]}"] = mapped.pop(key)
+                break
+    return mapped
+
+
+def fold_hg_batchnorm(state: dict[str, np.ndarray], prefix: str = "hg.", eps: float = 1e-5) -> dict[str, np.ndarray]:
+    """Fold eval-mode BatchNorm into the preceding conv (fusedbn semantics,
+    Hallucination_arch.py:239-273). Operates on torch-layout (OIHW) state."""
+    mapped = dict(state)
+    blocks = ("conv1", "conv2", "conv3_1", "conv3_2", "conv4_1", "conv4_2", "conv5_1", "conv5_2", "conv_code1", "conv_code2")
+    for block in blocks:
+        base = f"{prefix}{block}"
+        keys = {s: f"{base}.1.{s}" for s in ("weight", "bias", "running_mean", "running_var")}
+        if not all(k in mapped for k in keys.values()):
+            continue
+        conv_w = mapped[f"{base}.0.weight"].astype(np.float32)
+        conv_b = mapped.get(f"{base}.0.bias")
+        conv_b = np.zeros(conv_w.shape[0], np.float32) if conv_b is None else conv_b.astype(np.float32)
+        inv_std = 1.0 / np.sqrt(mapped[keys["running_var"]].astype(np.float32) + eps)
+        scale = mapped[keys["weight"]].astype(np.float32) * inv_std
+        mapped[f"{base}.0.weight"] = conv_w * scale.reshape(-1, 1, 1, 1)
+        mapped[f"{base}.0.bias"] = (conv_b - mapped[keys["running_mean"]].astype(np.float32)) * scale + mapped[
+            keys["bias"]
+        ].astype(np.float32)
+        for s in ("weight", "bias", "running_mean", "running_var", "num_batches_tracked"):
+            mapped.pop(f"{base}.1.{s}", None)
+    return mapped
+
+
+# ---------------------------------------------------------------------------
+# High-level loaders
+# ---------------------------------------------------------------------------
+
+
+def load_checkpoint(
+    path: str,
+    *,
+    hg_path: str | None = None,
+    use_hg: bool | None = None,
+    fold_bn: bool = True,
+    **cfg_overrides,
+) -> tuple[dict[str, np.ndarray], ModelConfig]:
+    """Load an HR (and optional HG) reference checkpoint into (params, config).
+
+    Composite layout: HR keys are prefixed ``base.`` and HG keys ``hg.``
+    when ``use_hg`` — matching HG_Composite's module tree so the same flat
+    names appear in both frameworks.
+    """
+    raw, meta = load_torch_file(path)
+    arch = dict(meta.get("architecture") or {})
+    if use_hg is None:
+        use_hg = bool(arch.get("use_hg", hg_path is not None))
+    cfg = ModelConfig.from_arch_dict(arch, use_hg=use_hg, **cfg_overrides)
+
+    raw = remap_condition_state(raw, prefix="AGCM." if any(k.startswith("AGCM.") for k in raw) else "base.AGCM.",
+                                classifier=cfg.classifier)
+
+    if use_hg:
+        state: dict[str, np.ndarray] = {}
+        for k, v in raw.items():
+            if k.startswith(("base.", "hg.")):
+                state[k] = v
+            else:
+                state[f"base.{k}"] = v
+        if hg_path:
+            hg_raw, _ = load_torch_file(hg_path)
+            for k, v in hg_raw.items():
+                state[k if k.startswith("hg.") else f"hg.{k}"] = v
+        if fold_bn:
+            state = fold_hg_batchnorm(state, prefix="hg.")
+    else:
+        state = {k[len("base."):] if k.startswith("base.") else k: v for k, v in raw.items() if not k.startswith("hg.")}
+
+    return convert_state(state), cfg
+
+
+def save_npz(path: str, params: Mapping[str, np.ndarray]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_npz(path: str) -> dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

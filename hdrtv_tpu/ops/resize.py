@@ -1,0 +1,141 @@
+"""Separable antialiased resampling as MXU matrix products.
+
+The reference computes the AGCM condition input as an antialiased bicubic
+¼-resolution downsample (hdrtvnet_torch.py:2272-2287,
+``F.interpolate(mode='bicubic', antialias=True)``). Matching it closely is
+quality-critical: the classifier's global color vector — and therefore every
+output pixel — depends on it (SURVEY.md §7 "hard parts").
+
+TPU-first design: the torch/PIL antialias resample is a separable banded
+linear map. We materialize the per-axis weight matrices (computed in float64
+with the exact torch/PIL window/normalization semantics, including the
+renormalized clipped windows at the borders) once per (in, out) size, then
+apply them as two dense matmuls — which XLA tiles straight onto the MXU.
+A 1080p→270p ¼-res cond costs two small GEMMs instead of a gather-heavy
+interpolation graph.
+
+Also provides area (box) resampling matching cv2.INTER_AREA for the metric
+path (gui_objective_metrics.py:294-314 downscales metric pairs with
+INTER_AREA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bicubic_aa(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Bicubic kernel with a=-0.5 (the torch/PIL antialias variant)."""
+    ax = np.abs(x)
+    r = np.zeros_like(ax)
+    m1 = ax <= 1.0
+    m2 = (ax > 1.0) & (ax < 2.0)
+    r[m1] = ((a + 2.0) * ax[m1] - (a + 3.0)) * ax[m1] * ax[m1] + 1.0
+    r[m2] = a * (((ax[m2] - 5.0) * ax[m2] + 8.0) * ax[m2] - 4.0)
+    return r
+
+
+def _bilinear(x: np.ndarray) -> np.ndarray:
+    return np.clip(1.0 - np.abs(x), 0.0, None)
+
+
+@functools.lru_cache(maxsize=64)
+def resample_matrix(
+    in_size: int, out_size: int, scale: float, *, kernel: str = "bicubic_aa", antialias: bool = True
+) -> np.ndarray:
+    """(out_size, in_size) resampling matrix.
+
+    Antialiased: the torch UpSampleAntialias weight computation (itself the
+    PIL algorithm): center = scale*(i+0.5); window [int(center-support+0.5),
+    int(center+support+0.5)) clipped to the image; weights
+    filter((j - center + 0.5)/scale) normalized over the clipped window.
+
+    antialias=False keeps the kernel at its native support (plain half-pixel
+    sampling — torch F.interpolate default), still expressed as a matrix.
+    """
+    if kernel == "bicubic_aa":
+        filt, half = _bicubic_aa, 2.0
+    elif kernel == "bilinear":
+        filt, half = _bilinear, 1.0
+    else:
+        raise ValueError(f"unknown kernel '{kernel}'")
+    widen = antialias and scale >= 1.0
+    support = half * scale if widen else half
+    invscale = 1.0 / scale if widen else 1.0
+
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        center = scale * (i + 0.5)
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        j = np.arange(xmin, xmax, dtype=np.float64)
+        w = filt((j - center + 0.5) * invscale)
+        total = w.sum()
+        if total != 0.0:
+            w = w / total
+        mat[i, xmin:xmax] = w
+    return mat.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def area_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) box-filter matrix matching cv2.INTER_AREA for downscale."""
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    scale = in_size / out_size
+    for i in range(out_size):
+        lo, hi = i * scale, (i + 1) * scale
+        j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+        for j in range(j0, min(j1, in_size)):
+            cover = min(hi, j + 1) - max(lo, j)
+            if cover > 0:
+                mat[i, j] = cover
+        mat[i] /= mat[i].sum()
+    return mat.astype(np.float32)
+
+
+def _apply_separable(x: jax.Array, wh: np.ndarray, ww: np.ndarray) -> jax.Array:
+    """x: (N, H, W, C) → (N, out_h, out_w, C) via two GEMMs (fp32 accum)."""
+    wh_j = jnp.asarray(wh, dtype=jnp.float32)
+    ww_j = jnp.asarray(ww, dtype=jnp.float32)
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    y = jnp.einsum("oh,nhwc->nowc", wh_j, x32, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,nowc->nopc", ww_j, y, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(orig_dtype)
+
+
+def downsample_quarter_aa(x: jax.Array) -> jax.Array:
+    """Antialiased bicubic ¼-res downsample — the AGCM condition input.
+
+    Matches F.interpolate(scale_factor=0.25, mode='bicubic', antialias=True,
+    recompute_scale_factor=False): scale is exactly 4, out = floor(in/4).
+    """
+    _, h, w, _ = x.shape
+    return _apply_separable(x, resample_matrix(h, h // 4, 4.0), resample_matrix(w, w // 4, 4.0))
+
+
+def downsample_quarter_bilinear(x: jax.Array) -> jax.Array:
+    """Non-antialiased bilinear ¼-res (the fast_condition_resize TRT shortcut,
+    hdrtvnet_torch.py:2270-2276)."""
+    _, h, w, _ = x.shape
+    wh = resample_matrix(h, h // 4, 4.0, kernel="bilinear", antialias=False)
+    ww = resample_matrix(w, w // 4, 4.0, kernel="bilinear", antialias=False)
+    return _apply_separable(x, wh, ww)
+
+
+def resize_area(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """cv2.INTER_AREA-equivalent downscale (metric-pair preparation)."""
+    _, h, w, _ = x.shape
+    return _apply_separable(x, area_matrix(h, out_h), area_matrix(w, out_w))
+
+
+def resize_bicubic_aa(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """General antialiased bicubic resize (arbitrary scale)."""
+    _, h, w, _ = x.shape
+    return _apply_separable(
+        x, resample_matrix(h, out_h, h / out_h), resample_matrix(w, out_w, w / out_w)
+    )

@@ -1,0 +1,213 @@
+"""HDRTVNetTPU — the inference runtime (reference ``HDRTVNetTorch`` API).
+
+Public surface mirrors hdrtvnet_torch.py:1513,2239-2480:
+``preprocess / infer / postprocess / process / process_timed /
+process_rgb48 / warmup_compile`` — but the implementation is one fused XLA
+program per (resolution, precision, output) signature:
+
+    uint8 BGR frame ──► f32/255 + BGR→RGB ──► ¼-res AA-bicubic cond (GEMM)
+        ──► AGCM→LE[→HG] ──► clamp ──► u16 RGB48 pack (Pallas)
+
+The frame enters the device once (3 MB @1080p) and only the packed output
+leaves. There is no CUDA-graph/TensorRT split: ``jax.jit`` + the persistent
+XLA cache play both roles (runtime/engine.py). ``process`` returns BGR uint8
+for cv2-style consumers (reference postprocess parity, :2352-2368);
+``process_rgb48`` is the HDR delivery path used by feeders
+(gui_pipeline_worker_feeders.py:193-235).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdrtv_tpu.models.hdrtvnet import ModelConfig, model_apply
+from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz
+from hdrtv_tpu.models.layers import Policy, policy_for
+from hdrtv_tpu.ops.pack import pack_rgb48
+from hdrtv_tpu.ops.resize import downsample_quarter_aa, downsample_quarter_bilinear
+from hdrtv_tpu.runtime import engine as engine_mod
+from hdrtv_tpu.utils.env import env_bool
+
+
+class HDRTVNetTPU:
+    """Real-time SDR→HDR10 converter on TPU.
+
+    Parameters mirror the reference constructor: ``model_path`` (reference
+    ``.pt`` or converted ``.npz``), ``precision`` token, ``use_hg``/``hg_path``
+    for the composite, plus the condition-path shortcuts
+    (``fast_condition_resize``, ``fast_zero_condition`` —
+    hdrtvnet_torch.py:2263-2276).
+    """
+
+    def __init__(
+        self,
+        model_path: str,
+        *,
+        precision: str = "fp16",
+        use_hg: bool | None = None,
+        hg_path: str | None = None,
+        fast_condition_resize: bool | None = None,
+        fast_zero_condition: bool | None = None,
+        persistent_cache: bool = True,
+        cfg_overrides: dict[str, Any] | None = None,
+    ):
+        self.model_path = model_path
+        self.precision = precision
+        self.policy: Policy = policy_for(precision)
+        if fast_condition_resize is None:
+            fast_condition_resize = env_bool("HDRTVNET_FAST_CONDITION_RESIZE", False)
+        if fast_zero_condition is None:
+            fast_zero_condition = env_bool("HDRTVNET_FAST_ZERO_CONDITION", False)
+        self.fast_condition_resize = fast_condition_resize
+        self.fast_zero_condition = fast_zero_condition
+
+        if persistent_cache:
+            engine_mod.enable_persistent_cache()
+
+        if model_path.endswith(".npz"):
+            params = load_npz(model_path)
+            cfg = ModelConfig.from_arch_dict({}, use_hg=bool(use_hg), **(cfg_overrides or {}))
+        else:
+            params, cfg = load_checkpoint(
+                model_path, hg_path=hg_path, use_hg=use_hg, **(cfg_overrides or {})
+            )
+        self.cfg = cfg
+        self.params = jax.device_put({k: jnp.asarray(v) for k, v in params.items()})
+        self.model_hash = engine_mod.model_fingerprint(params)
+        self.registry = engine_mod.EngineRegistry() if persistent_cache else None
+        self._timings: dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # Fused stages (traced per static frame shape)
+    # ------------------------------------------------------------------
+
+    def _cond_of(self, x: jax.Array) -> jax.Array:
+        if self.fast_zero_condition:
+            n, h, w, c = x.shape
+            return jnp.zeros((n, h // 4, w // 4, c), x.dtype)
+        if self.fast_condition_resize:
+            return downsample_quarter_bilinear(x)
+        return downsample_quarter_aa(x)
+
+    def _pre(self, frame_u8: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """uint8 HWC BGR → ([0,1] RGB NHWC, ¼-res cond)."""
+        x = frame_u8[None, ..., ::-1].astype(jnp.float32) * (1.0 / 255.0)
+        return x, self._cond_of(x)
+
+    def _net(self, x: jax.Array, cond: jax.Array) -> jax.Array:
+        out = model_apply(self.params, x, cond, self.cfg, policy=self.policy)
+        return out
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _process_rgb48_jit(self, frame_u8: jax.Array) -> jax.Array:
+        x, cond = self._pre(frame_u8)
+        out = self._net(x, cond)
+        return pack_rgb48(out[0])
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _process_bgr_u8_jit(self, frame_u8: jax.Array) -> jax.Array:
+        x, cond = self._pre(frame_u8)
+        out = self._net(x, cond)
+        v = jnp.clip(out[0].astype(jnp.float32), 0.0, 1.0) * 255.0 + 0.5
+        return v.astype(jnp.uint8)[..., ::-1]  # RGB→BGR
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _pre_jit(self, frame_u8: jax.Array):
+        return self._pre(frame_u8)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _infer_jit(self, x: jax.Array, cond: jax.Array) -> jax.Array:
+        return self._net(x, cond)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _post_jit(self, out: jax.Array) -> jax.Array:
+        v = jnp.clip(out[0].astype(jnp.float32), 0.0, 1.0) * 255.0 + 0.5
+        return v.astype(jnp.uint8)[..., ::-1]
+
+    # ------------------------------------------------------------------
+    # Reference-parity public API
+    # ------------------------------------------------------------------
+
+    def preprocess(self, frame_bgr: np.ndarray):
+        return self._pre_jit(jnp.asarray(frame_bgr))
+
+    def infer(self, input_cond):
+        x, cond = input_cond
+        return self._infer_jit(x, cond)
+
+    def postprocess(self, output) -> np.ndarray:
+        return np.asarray(self._post_jit(output))
+
+    def process(self, frame_bgr: np.ndarray) -> np.ndarray:
+        """Full frame → BGR uint8 (SDR-range preview path)."""
+        return np.asarray(self._process_bgr_u8_jit(jnp.asarray(frame_bgr)))
+
+    def process_rgb48(self, frame_bgr: np.ndarray) -> np.ndarray:
+        """Full frame → uint16 RGB48 PQ code values (HDR delivery path)."""
+        return np.asarray(self._process_rgb48_jit(jnp.asarray(frame_bgr)))
+
+    def process_rgb48_device(self, frame_u8_dev: jax.Array) -> jax.Array:
+        """Device-resident variant for the pipelined runner (no host sync)."""
+        return self._process_rgb48_jit(frame_u8_dev)
+
+    def process_timed(self, frame_bgr: np.ndarray):
+        """(output, pre_ms, infer_ms, post_ms) with device fences between
+        stages — reference process_timed (hdrtvnet_torch.py:2380-2399)."""
+        t0 = time.perf_counter()
+        x, cond = self._pre_jit(jnp.asarray(frame_bgr))
+        jax.block_until_ready((x, cond))
+        t1 = time.perf_counter()
+        out = self._infer_jit(x, cond)
+        jax.block_until_ready(out)
+        t2 = time.perf_counter()
+        res = np.asarray(self._post_jit(out))
+        t3 = time.perf_counter()
+        return res, (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3
+
+    # ------------------------------------------------------------------
+    # Warmup / engine management
+    # ------------------------------------------------------------------
+
+    def warmup_compile(self, width: int = 1920, height: int = 1080, *, rgb48: bool = True) -> float:
+        """Compile the fused program for one resolution (the engine build).
+
+        With the persistent cache enabled a warm hit costs ~0.1s; a cold
+        build is recorded in the engine registry with the model fingerprint
+        (reference metadata validation, hdrtvnet_torch.py:2992-3073).
+        """
+        dummy = jnp.zeros((height, width, 3), jnp.uint8)
+        key = engine_mod.EngineRecord.make_key(
+            self.model_hash, width, height, f"{self.precision}{'-hg' if self.cfg.use_hg else ''}"
+        )
+        t0 = time.perf_counter()
+        if rgb48:
+            jax.block_until_ready(self._process_rgb48_jit(dummy))
+        else:
+            jax.block_until_ready(self._process_bgr_u8_jit(dummy))
+        dt = time.perf_counter() - t0
+        if self.registry is not None:
+            self.registry.record(
+                engine_mod.EngineRecord(
+                    key=key,
+                    model_hash=self.model_hash,
+                    width=width,
+                    height=height,
+                    precision=self.precision,
+                    use_hg=self.cfg.use_hg,
+                    jax_version=jax.__version__,
+                    device_kind=jax.devices()[0].device_kind,
+                    compile_seconds=dt,
+                    created=time.time(),
+                )
+            )
+        self._timings[key] = dt
+        return dt
+
+    def end_profiling(self):  # reference API parity (hdrtvnet_torch.py:2471)
+        return None

@@ -1,0 +1,60 @@
+"""Multi-device mesh tests on the 8-device virtual CPU mesh (conftest)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_params_cfg():
+    from hdrtv_tpu.models.hdrtvnet import ModelConfig
+    from hdrtv_tpu.models.import_torch import load_npz
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "weights", "hr_fp32.npz")
+    params = {k: jnp.asarray(v) for k, v in load_npz(path).items()}
+    return params, ModelConfig()
+
+
+class TestMesh:
+    def test_make_mesh_factorization(self, cpu_devices):
+        from hdrtv_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        assert mesh.shape["data"] * mesh.shape["spatial"] == 8
+
+    def test_sharded_inference_matches_single_device(self, tiny_params_cfg, cpu_devices):
+        from hdrtv_tpu.models.hdrtvnet import ensemble_agcm_le
+        from hdrtv_tpu.parallel.mesh import frame_sharding, make_mesh, replicate_params
+
+        params, cfg = tiny_params_cfg
+        mesh = make_mesh(8)
+        rng = np.random.RandomState(0)
+        # batch divisible by data axis, W divisible by spatial axis
+        img = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+        cond = jnp.asarray(rng.rand(2, 8, 16, 3).astype(np.float32))
+
+        ref = np.asarray(ensemble_agcm_le(params, img, cond, cfg))
+
+        fsh = frame_sharding(mesh)
+        p_repl = replicate_params(params, mesh)
+        img_s = jax.device_put(img, fsh)
+        cond_s = jax.device_put(cond, fsh)
+        fn = jax.jit(lambda p, i, c: ensemble_agcm_le(p, i, c, cfg), out_shardings=fsh)
+        out = np.asarray(fn(p_repl, img_s, cond_s))
+        # GSPMD halo exchange must reproduce the single-device result.
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=0)
+
+    def test_dryrun_multichip_entry(self, cpu_devices):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (256, 384, 3)
+        assert out.dtype == jnp.uint16
