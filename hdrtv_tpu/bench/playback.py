@@ -1,0 +1,141 @@
+"""Playback performance benchmark — cli_playback_benchmark.py equivalent.
+
+Batch runs over resolutions × precisions × HG; realtime mode mirrors the GUI
+pacing including catch-up drops (cli_playback_benchmark.py:1007-1050);
+reports FPS, 1% low, model latency, memory, artifact size, processed/dropped
+and writes the reference session layout: ``summary.txt``, ``session.json``,
+``runtime_metrics.csv`` (:596-888).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+from hdrtv_tpu.pipeline.runner import PipelineRunner
+from hdrtv_tpu.pipeline.sinks import NullSink, make_sink
+from hdrtv_tpu.pipeline.source import SyntheticSource, VideoSource
+
+
+@dataclasses.dataclass
+class PlaybackRunConfig:
+    video: str | None = None  # None → synthetic source
+    precision_key: str = "FP16"
+    resolution_key: str = "1080p"
+    use_hg: bool = False
+    realtime: bool = True
+    duration_s: float = 30.0
+    warmup_frames: int = 8
+    sink: str = "null"
+
+
+@dataclasses.dataclass
+class PlaybackResult:
+    config: dict
+    fps: float
+    fps_1pct_low: float
+    model_ms: float
+    frames: int
+    dropped: int
+    realtime_factor: float
+    artifact_mb: float
+    wall_s: float
+
+
+def run_playback_benchmark(cfg: PlaybackRunConfig, processor, out_dir: str | None = None) -> PlaybackResult:
+    from hdrtv_tpu.config import processing_dims
+
+    w, h = processing_dims(cfg.resolution_key)
+    if cfg.video:
+        source = VideoSource(cfg.video)
+        fps = source.fps
+    else:
+        fps = 30.0
+        source = SyntheticSource(w, h, fps=fps, frames=int(cfg.duration_s * fps) + cfg.warmup_frames)
+
+    sink = make_sink(cfg.sink, w, h, fps)
+    # Warmup (compile) outside the timed window.
+    processor.warmup_compile(w, h)
+    for _ in range(cfg.warmup_frames):
+        meta = source.read_with_meta()
+        if meta is None:
+            break
+        import jax.numpy as jnp
+
+        processor.process_rgb48_device(jnp.asarray(meta[0]))
+
+    max_frames = int(cfg.duration_s * fps)
+    runner = PipelineRunner(source, processor, sink, realtime=cfg.realtime, max_frames=max_frames)
+    t0 = time.monotonic()
+    metrics = runner.run()
+    wall = time.monotonic() - t0
+    source.close()
+    sink.close()
+
+    artifact_mb = 0.0
+    model_path = getattr(processor, "model_path", "")
+    if model_path and os.path.isfile(model_path):
+        artifact_mb = os.path.getsize(model_path) / 1e6
+
+    result = PlaybackResult(
+        config=dataclasses.asdict(cfg),
+        fps=round(metrics.fps, 2),
+        fps_1pct_low=round(metrics.fps_1pct_low, 2),
+        model_ms=round(metrics.model_ms, 2),
+        frames=metrics.frames,
+        dropped=metrics.dropped,
+        realtime_factor=round(metrics.realtime_factor, 3),
+        artifact_mb=round(artifact_mb, 2),
+        wall_s=round(wall, 2),
+    )
+    if out_dir:
+        write_session(out_dir, result)
+    return result
+
+
+def write_session(out_dir: str, result: PlaybackResult) -> None:
+    """Reference session layout: summary.txt / session.json / runtime_metrics.csv
+    under logs/playback_sessions/<ts>_<source>/ (gui_playback_logging.py:276-534)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "session.json"), "w") as f:
+        json.dump(dataclasses.asdict(result), f, indent=2)
+    with open(os.path.join(out_dir, "summary.txt"), "w") as f:
+        f.write(
+            f"fps={result.fps}\n1pct_low={result.fps_1pct_low}\n"
+            f"model_ms={result.model_ms}\nframes={result.frames}\n"
+            f"dropped={result.dropped}\nrealtime_factor={result.realtime_factor}\n"
+            f"artifact_mb={result.artifact_mb}\n"
+        )
+    with open(os.path.join(out_dir, "runtime_metrics.csv"), "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["fps", "fps_1pct_low", "model_ms", "frames", "dropped", "realtime_factor"])
+        wr.writerow(
+            [result.fps, result.fps_1pct_low, result.model_ms, result.frames, result.dropped, result.realtime_factor]
+        )
+
+
+def run_batch(configs: list[PlaybackRunConfig], make_processor, root_dir: str) -> list[PlaybackResult]:
+    """Batch sweep writing per-run sessions + a batch CSV
+    (cli_playback_benchmark.py batch mode)."""
+    results = []
+    os.makedirs(root_dir, exist_ok=True)
+    for i, cfg in enumerate(configs):
+        proc = make_processor(cfg)
+        out = os.path.join(root_dir, f"run{i:02d}_{cfg.resolution_key}_{cfg.precision_key.replace(' ', '_')}")
+        results.append(run_playback_benchmark(cfg, proc, out))
+    with open(os.path.join(root_dir, "batch.csv"), "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(
+            ["resolution", "precision", "use_hg", "fps", "fps_1pct_low", "model_ms", "frames", "dropped", "artifact_mb"]
+        )
+        for r in results:
+            c = r.config
+            wr.writerow(
+                [c["resolution_key"], c["precision_key"], c["use_hg"], r.fps, r.fps_1pct_low, r.model_ms, r.frames, r.dropped, r.artifact_mb]
+            )
+    return results

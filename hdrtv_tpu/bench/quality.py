@@ -1,0 +1,182 @@
+"""Model quality benchmark — gui_benchmark.py equivalent.
+
+Per selected frame: read SDR + mapped ground-truth HDR, letterbox/crop the
+pair, run the model, compute the full-reference metric set on device
+(PSNR/SSIM linear, ΔEITP plain + grade-normalized), write per-frame artifacts
+and JSON/CSV session summaries in the reference layout
+(logs/benchmark_sessions/<source>/<ts>__<precision>__<resolution>__n<count>/,
+gui_benchmark.py:1830-1945).
+
+Deterministic distinct-frame selection mirrors the reference's
+visual-interest scoring intent (:746-1006) with a simpler luminance-variance
+ranker; GT alignment hooks accept an offset search callback (the content
+similarity search of gui_media_probe.py:809-1121 is in bench/gt_sync.py).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+from hdrtv_tpu.ops.metrics import crop_shared_black_borders, full_reference_metrics
+
+
+@dataclasses.dataclass
+class QualityRunConfig:
+    precision_key: str = "FP16"
+    resolution_key: str = "1080p"
+    use_hg: bool = False
+    frame_count: int = 10
+    peak_nits: float = 1000.0
+
+
+def select_distinct_frames(
+    source, count: int, *, probe_stride: int = 24, max_probes: int = 400
+) -> list[int]:
+    """Deterministic visually-distinct frame selection.
+
+    Scores probe frames by luminance variance + mid-tone coverage, greedily
+    keeps frames that differ from already-chosen ones (content-ranked
+    deterministic selection role, gui_benchmark.py:746-1006).
+    """
+    probes: list[tuple[int, np.ndarray, float]] = []
+    idx = 0
+    while len(probes) < max_probes:
+        meta = source.read_with_meta()
+        if meta is None:
+            break
+        frame, fidx, _ = meta
+        if fidx % probe_stride == 0:
+            small = frame[::8, ::8].astype(np.float32) / 255.0
+            lum = small.mean(axis=-1)
+            interest = float(lum.std()) + float(((lum > 0.2) & (lum < 0.9)).mean()) * 0.25
+            probes.append((fidx, small, interest))
+        idx = fidx
+    probes.sort(key=lambda t: -t[2])
+    chosen: list[tuple[int, np.ndarray]] = []
+    for fidx, small, _ in probes:
+        if len(chosen) >= count:
+            break
+        if all(float(np.abs(small - s).mean()) > 0.03 for _, s in chosen):
+            chosen.append((fidx, small))
+    if len(chosen) < count:  # pad with remaining probes
+        seen = {f for f, _ in chosen}
+        for fidx, small, _ in probes:
+            if fidx not in seen:
+                chosen.append((fidx, small))
+                if len(chosen) >= count:
+                    break
+    return sorted(f for f, _ in chosen)
+
+
+@dataclasses.dataclass
+class FrameResult:
+    frame: int
+    gt_frame: int
+    psnr: float
+    ssim: float
+    delta_e_itp: float
+    psnr_gn: float
+    delta_e_itp_gn: float
+
+
+def evaluate_pair(
+    pred_rgb01: np.ndarray, gt_rgb01: np.ndarray, *, peak_nits: float = 1000.0, max_side: int = 512
+) -> dict[str, float]:
+    """Metric-pair preparation + on-device metrics.
+
+    Pipeline mirrors _prepare_metric_pair + _crop_shared_black_borders +
+    _compute_full_reference_metrics (gui_objective_metrics.py:294-384,
+    617-677): shared border crop, ≤512 max-side INTER_AREA downscale, then
+    one fused device computation.
+    """
+    import jax.numpy as jnp
+
+    from hdrtv_tpu.ops.resize import resize_area
+
+    pred, gt, _ = crop_shared_black_borders(pred_rgb01, gt_rgb01)
+    h, w = pred.shape[:2]
+    if max(h, w) > max_side:
+        s = max_side / max(h, w)
+        nh, nw = max(2, round(h * s)), max(2, round(w * s))
+        pred = np.asarray(resize_area(jnp.asarray(pred[None]), nh, nw))[0]
+        gt = np.asarray(resize_area(jnp.asarray(gt[None]), nh, nw))[0]
+    m = full_reference_metrics(jnp.asarray(pred), jnp.asarray(gt), peak_nits=peak_nits)
+    return {k: float(v) for k, v in m.items()}
+
+
+def run_quality_benchmark(
+    cfg: QualityRunConfig,
+    processor,
+    sdr_source,
+    gt_reader,
+    out_root: str,
+    *,
+    source_name: str = "source",
+    gt_frame_map=None,
+) -> dict:
+    """Run the benchmark; returns the session summary dict.
+
+    ``gt_reader(frame_idx) -> [0,1] RGB HWC float`` supplies ground-truth HDR
+    frames; ``gt_frame_map(sdr_idx) -> gt_idx`` handles frame-rate-aware
+    mapping (gui_media_probe.py:1137).
+    """
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    session_dir = os.path.join(
+        out_root,
+        source_name,
+        f"{ts}__{cfg.precision_key.replace(' ', '_')}__{cfg.resolution_key}__n{cfg.frame_count}",
+    )
+    os.makedirs(session_dir, exist_ok=True)
+
+    frame_ids = select_distinct_frames(sdr_source, cfg.frame_count)
+    results: list[FrameResult] = []
+    for fidx in frame_ids:
+        sdr_source.seek(fidx)
+        meta = sdr_source.read_with_meta()
+        if meta is None:
+            continue
+        frame_bgr = meta[0]
+        gt_idx = gt_frame_map(fidx) if gt_frame_map else fidx
+        gt = gt_reader(gt_idx)
+        if gt is None:
+            continue
+        out_rgb48 = processor.process_rgb48(frame_bgr)
+        pred01 = out_rgb48.astype(np.float32) / 65535.0
+        m = evaluate_pair(pred01, gt, peak_nits=cfg.peak_nits)
+        results.append(
+            FrameResult(
+                frame=fidx,
+                gt_frame=gt_idx,
+                psnr=round(m["psnr"], 4),
+                ssim=round(m["ssim"], 5),
+                delta_e_itp=round(m["delta_e_itp"], 4),
+                psnr_gn=round(m["psnr_gn"], 4),
+                delta_e_itp_gn=round(m["delta_e_itp_gn"], 4),
+            )
+        )
+
+    summary = {
+        "source": source_name,
+        "precision": cfg.precision_key,
+        "resolution": cfg.resolution_key,
+        "use_hg": cfg.use_hg,
+        "frames": [dataclasses.asdict(r) for r in results],
+        "mean_psnr": round(float(np.mean([r.psnr for r in results])), 4) if results else None,
+        "mean_ssim": round(float(np.mean([r.ssim for r in results])), 5) if results else None,
+        "mean_delta_e_itp": round(float(np.mean([r.delta_e_itp for r in results])), 4) if results else None,
+    }
+    with open(os.path.join(session_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    with open(os.path.join(session_dir, "results.csv"), "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["frame", "gt_frame", "psnr", "ssim", "delta_e_itp", "psnr_gn", "delta_e_itp_gn"])
+        for r in results:
+            wr.writerow([r.frame, r.gt_frame, r.psnr, r.ssim, r.delta_e_itp, r.psnr_gn, r.delta_e_itp_gn])
+    summary["session_dir"] = session_dir
+    return summary

@@ -1,0 +1,292 @@
+"""Command-line interface — reference ``main.py`` + tool CLIs equivalent.
+
+Subcommands:
+  convert   play/convert a video (realtime or flat-out) to a sink
+  export    HDR10 export via FFmpeg (ProRes chain — pipeline/export.py)
+  bench     playback performance benchmark (bench/playback.py)
+  quality   model quality benchmark vs HDR ground truth (bench/quality.py)
+  engines   engine cache tooling: list / clear / warm (runtime/engine.py)
+  quantize  PTQ quantization: full/mixed W8A8 portable checkpoints
+  info      model/checkpoint inspection
+
+Flags mirror the reference CLI surface (``--video --precision --resolution
+--use-hg ...`` — gui_app_entry.py:38, main.py:142-280).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default=None, help="checkpoint path (.pt or .npz); default: preset table")
+    p.add_argument("--precision", default="FP16", help="precision preset key (config.PRECISIONS)")
+    p.add_argument("--resolution", default="1080p", choices=["540p", "720p", "1080p", "4K"])
+    p.add_argument("--use-hg", action="store_true", help="enable highlight generation composite")
+    p.add_argument("--hg-weights", default=None)
+
+
+def _make_processor(args):
+    from hdrtv_tpu.config import PRECISIONS, select_model_path
+    from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+    model_path = args.model
+    if model_path is None:
+        if args.precision in PRECISIONS and os.path.isfile(select_model_path(args.precision, args.use_hg)):
+            model_path = select_model_path(args.precision, args.use_hg)
+        else:
+            model_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "weights", "hr_fp32.npz")
+    precision_token = PRECISIONS[args.precision].precision if args.precision in PRECISIONS else args.precision
+    return HDRTVNetTPU(
+        model_path,
+        precision=precision_token,
+        use_hg=args.use_hg or None,
+        hg_path=args.hg_weights,
+    )
+
+
+def cmd_convert(args) -> int:
+    from hdrtv_tpu.config import processing_dims
+    from hdrtv_tpu.pipeline.runner import PipelineRunner
+    from hdrtv_tpu.pipeline.sinks import make_sink
+    from hdrtv_tpu.pipeline.source import SyntheticSource, VideoSource
+
+    proc = _make_processor(args)
+    w, h = processing_dims(args.resolution)
+    if args.video:
+        src = VideoSource(args.video)
+    else:
+        src = SyntheticSource(w, h, fps=30, frames=args.frames or 300)
+    sink = make_sink(args.display, w, h, getattr(src, "fps", 30.0), path=args.output)
+    print(f"compiling {w}x{h} ({args.precision})...", flush=True)
+    dt = proc.warmup_compile(w, h)
+    print(f"engine ready in {dt:.1f}s", flush=True)
+    runner = PipelineRunner(src, proc, sink, realtime=not args.no_realtime, max_frames=args.frames)
+    m = runner.run()
+    src.close()
+    sink.close()
+    print(
+        f"frames={m.frames} dropped={m.dropped} fps={m.fps:.2f} "
+        f"1%low={m.fps_1pct_low:.2f} model={m.model_ms:.2f}ms rt×={m.realtime_factor:.2f}"
+    )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from hdrtv_tpu.bench.playback import PlaybackRunConfig, run_playback_benchmark
+
+    proc = _make_processor(args)
+    cfg = PlaybackRunConfig(
+        video=args.video,
+        precision_key=args.precision,
+        resolution_key=args.resolution,
+        use_hg=args.use_hg,
+        realtime=not args.no_realtime,
+        duration_s=args.duration,
+    )
+    out_dir = args.out or os.path.join("logs", "playback_sessions", "cli")
+    res = run_playback_benchmark(cfg, proc, out_dir)
+    print(json.dumps(res.__dict__, default=str, indent=2))
+    return 0
+
+
+def cmd_quality(args) -> int:
+    from hdrtv_tpu.bench.quality import QualityRunConfig, run_quality_benchmark
+    from hdrtv_tpu.pipeline.source import VideoSource
+    from hdrtv_tpu.bench.gt_sync import HDRGroundTruthReader, make_frame_map
+
+    proc = _make_processor(args)
+    sdr = VideoSource(args.video)
+    gt = HDRGroundTruthReader(args.gt)
+    fmap = make_frame_map(sdr.fps, gt.fps)
+    cfg = QualityRunConfig(
+        precision_key=args.precision,
+        resolution_key=args.resolution,
+        use_hg=args.use_hg,
+        frame_count=args.frames or 10,
+    )
+    summary = run_quality_benchmark(
+        cfg,
+        proc,
+        sdr,
+        gt.read_unit_rgb,
+        args.out or os.path.join("logs", "benchmark_sessions"),
+        source_name=os.path.splitext(os.path.basename(args.video))[0],
+        gt_frame_map=fmap,
+    )
+    sdr.close()
+    gt.close()
+    print(json.dumps({k: v for k, v in summary.items() if k != "frames"}, indent=2))
+    return 0
+
+
+def cmd_engines(args) -> int:
+    from hdrtv_tpu.runtime.engine import EngineRegistry
+
+    reg = EngineRegistry()
+    if args.action == "list":
+        for rec in reg.list():
+            print(
+                f"{rec.key}  {rec.precision}{' hg' if rec.use_hg else ''}  "
+                f"compile={rec.compile_seconds:.1f}s  jax={rec.jax_version}  {rec.device_kind}"
+            )
+        if not reg.list():
+            print("(no engines recorded)")
+    elif args.action == "clear":
+        n = reg.clear()
+        print(f"cleared {n} cache files")
+    elif args.action == "warm":
+        from hdrtv_tpu.config import processing_dims
+
+        proc = _make_processor(args)
+        w, h = processing_dims(args.resolution)
+        dt = proc.warmup_compile(w, h)
+        print(f"warmed {w}x{h} in {dt:.1f}s")
+    return 0
+
+
+def cmd_quantize(args) -> int:
+    from hdrtv_tpu.models.hdrtvnet import ModelConfig
+    from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz, save_npz
+    from hdrtv_tpu.quant.calibrate import calibrate
+    from hdrtv_tpu.quant.int8 import load_mixed_layout, quantize_params, quantized_layer_summary
+
+    if args.model.endswith(".npz"):
+        params = load_npz(args.model)
+        cfg = ModelConfig(use_hg=args.use_hg)
+    else:
+        params, cfg = load_checkpoint(args.model, use_hg=args.use_hg)
+    layers = load_mixed_layout(args.layout) if args.layout else None
+    qp = quantize_params(params, layers, mode=args.mode, asymmetric=args.asymmetric)
+
+    if args.mode == "w8a8":
+        if args.calib_video:
+            from hdrtv_tpu.pipeline.source import VideoSource
+
+            frames = []
+            with VideoSource(args.calib_video) as src:
+                step = max(1, (src.frame_count or 300) // args.calib_frames)
+                for i in range(args.calib_frames):
+                    src.seek(i * step)
+                    meta = src.read_with_meta()
+                    if meta is None:
+                        break
+                    frames.append(meta[0][..., ::-1].astype(np.float32) / 255.0)
+        else:  # synthetic calibration source (hdrtvnet_torch.py:7981-8017 role)
+            frames = [np.random.RandomState(i).rand(256, 384, 3).astype(np.float32) for i in range(args.calib_frames)]
+        qp = calibrate(qp, frames, cfg, method=args.calib_method)
+
+    save_npz(args.out, qp)
+    summary = quantized_layer_summary(qp)
+    counts: dict[str, int] = {}
+    for v in summary.values():
+        counts[v] = counts.get(v, 0) + 1
+    print(f"wrote {args.out}; layer mix: {counts}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from hdrtv_tpu.models.hdrtvnet import ModelConfig
+    from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz
+    from hdrtv_tpu.quant.int8 import quantized_layer_summary
+
+    if args.model.endswith(".npz"):
+        params, cfg = load_npz(args.model), None
+    else:
+        params, cfg = load_checkpoint(args.model, use_hg=args.use_hg)
+    summary = quantized_layer_summary(params)
+    counts: dict[str, int] = {}
+    for v in summary.values():
+        counts[v] = counts.get(v, 0) + 1
+    n_params = sum(int(np.prod(v.shape)) for v in params.values())
+    print(json.dumps({"tensors": len(params), "params": n_params, "layer_mix": counts, "config": str(cfg)}, indent=2))
+    return 0
+
+
+def cmd_export(args) -> int:
+    from hdrtv_tpu.pipeline.export import ExportConfig, export_video
+
+    proc = _make_processor(args)
+    cfg = ExportConfig(
+        output=args.output or "export.mov",
+        resolution_key=args.resolution,
+        codec=args.codec,
+    )
+    stats = export_video(args.video, proc, cfg)
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hdrtv_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="play/convert video")
+    _add_model_args(c)
+    c.add_argument("--video", default=None)
+    c.add_argument("--display", default="null", choices=["mpv", "file", "null"])
+    c.add_argument("--output", default=None)
+    c.add_argument("--frames", type=int, default=None)
+    c.add_argument("--no-realtime", action="store_true")
+    c.set_defaults(fn=cmd_convert)
+
+    b = sub.add_parser("bench", help="playback performance benchmark")
+    _add_model_args(b)
+    b.add_argument("--video", default=None)
+    b.add_argument("--duration", type=float, default=30.0)
+    b.add_argument("--no-realtime", action="store_true")
+    b.add_argument("--out", default=None)
+    b.set_defaults(fn=cmd_bench)
+
+    q = sub.add_parser("quality", help="model quality benchmark")
+    _add_model_args(q)
+    q.add_argument("--video", required=True, help="SDR source")
+    q.add_argument("--gt", required=True, help="HDR ground-truth video")
+    q.add_argument("--frames", type=int, default=10)
+    q.add_argument("--out", default=None)
+    q.set_defaults(fn=cmd_quality)
+
+    e = sub.add_parser("engines", help="engine cache tools")
+    _add_model_args(e)
+    e.add_argument("action", choices=["list", "clear", "warm"])
+    e.set_defaults(fn=cmd_engines)
+
+    z = sub.add_parser("quantize", help="PTQ quantization")
+    z.add_argument("--model", required=True)
+    z.add_argument("--out", required=True)
+    z.add_argument("--mode", default="w8a8", choices=["w8", "w8a8"])
+    z.add_argument("--asymmetric", action="store_true")
+    z.add_argument("--layout", default=None, help="mixed layer list (qat_layouts txt)")
+    z.add_argument("--use-hg", action="store_true")
+    z.add_argument("--calib-video", default=None)
+    z.add_argument("--calib-frames", type=int, default=16)
+    z.add_argument("--calib-method", default="max", choices=["max", "percentile"])
+    z.set_defaults(fn=cmd_quantize)
+
+    i = sub.add_parser("info", help="checkpoint inspection")
+    i.add_argument("--model", required=True)
+    i.add_argument("--use-hg", action="store_true")
+    i.set_defaults(fn=cmd_info)
+
+    x = sub.add_parser("export", help="HDR10 video export")
+    _add_model_args(x)
+    x.add_argument("--video", required=True)
+    x.add_argument("--output", default=None)
+    x.add_argument("--codec", default="prores", choices=["prores", "hevc", "raw"])
+    x.set_defaults(fn=cmd_export)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

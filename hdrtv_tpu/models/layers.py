@@ -31,6 +31,47 @@ from jax import lax
 
 Params = dict  # flat: str -> jnp.ndarray
 
+# ---------------------------------------------------------------------------
+# Activation capture (calibration hook point)
+# ---------------------------------------------------------------------------
+# The reference calibrates W8A8 activation scales with forward hooks on the
+# quantized modules (calibrate_w8a8, hdrtvnet_torch.py:1001-1100). The
+# functional analog: under a capture context, conv2d/linear record their
+# *input* stats as traced values which the calibration wrapper returns as
+# outputs of the jitted program.
+
+_ACTIVE_CAPTURE: list = []
+
+
+class ActivationCapture:
+    """Collects per-layer input statistics during a traced forward pass."""
+
+    def __init__(self, names=None):
+        self.names = None if names is None else set(names)
+        self.stats: dict[str, dict] = {}
+
+    def _record(self, name: str, x) -> None:
+        if self.names is not None and name not in self.names:
+            return
+        xf = x.astype(jnp.float32)
+        self.stats[name] = {
+            "abs_max": jnp.max(jnp.abs(xf)),
+            "min": jnp.min(xf),
+            "max": jnp.max(xf),
+        }
+
+    def __enter__(self):
+        _ACTIVE_CAPTURE.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        _ACTIVE_CAPTURE.remove(self)
+
+
+def _maybe_capture(name: str, x) -> None:
+    for cap in _ACTIVE_CAPTURE:
+        cap._record(name, x)
+
 
 @dataclasses.dataclass(frozen=True)
 class Policy:
@@ -112,6 +153,8 @@ def conv2d(
 ) -> jax.Array:
     """2D convolution reading ``{name}.weight`` / ``{name}.bias`` (or the int8
     quantized triplet) from the flat param dict. NHWC x, HWIO weights."""
+    if _ACTIVE_CAPTURE:
+        _maybe_capture(name, x)
     if f"{name}.weight_int8" in p:
         w = _dequant_weight(p, name, policy)
         x = _maybe_fake_quant_act(p, name, x, policy)
@@ -139,6 +182,8 @@ def conv2d(
 
 def linear(p: Params, name: str, x: jax.Array, *, policy: Policy = F32) -> jax.Array:
     """Dense layer; weights stored (in, out) — transposed from torch at import."""
+    if _ACTIVE_CAPTURE:
+        _maybe_capture(name, x)
     if f"{name}.weight_int8" in p:
         w = _dequant_weight(p, name, policy)  # (in, out)
         x = _maybe_fake_quant_act(p, name, x, policy)

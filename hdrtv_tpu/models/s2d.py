@@ -1,0 +1,480 @@
+"""Space-to-depth execution mode — the TPU performance core.
+
+The HDRTVNet++ LE UNet runs at nf=32 channels; on TPU, 32-channel NHWC
+tensors waste 3/4 of every 128-lane vector register and the MXU contraction,
+and measured conv throughput at 1080p is ~8× below the same FLOPs expressed
+at 128 channels. This module runs the *entire ensemble in the s2d(2) domain*:
+every activation is stored as (H/2, W/2, 4C) blocks (block-major channel
+order), so the working channel count is 128 — full lanes — and spatial dims
+halve.
+
+The transform is **exact**: weights are rewritten at load time so the block-
+domain convolutions compute the same math as the reference layers:
+
+- stride-1 3×3  → 2×2 block conv over the pad-shifted neighborhood X'
+  (X'[J] = x[2J-1], built from the plain s2d tensor with zero pads);
+- stride-2 3×3  → 3-tap stride-2 block conv (output lands in the next
+  level's s2d layout) or 2×2 stride-1 block conv for a natural-layout
+  output (the /8 level, whose odd dims stay in the normal domain);
+- 1×1           → block-diagonal (1,1,4C,4C');
+- conv+PixelShuffle up-sampling → the same conv with its output channels
+  permuted — in the s2d domain pixel-shuffle is free (a reshape), the
+  classic TPU result that depth-to-space commutes with convolution.
+
+Golden tests assert s2d mode ≡ normal mode to float tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hdrtv_tpu.models.agcm import classifier_apply
+from hdrtv_tpu.models.hdrtvnet import ModelConfig
+from hdrtv_tpu.models.layers import F32, Params, Policy, leaky_relu, relu
+
+# ---------------------------------------------------------------------------
+# Data movement: s2d / d2s / pad-shifted neighborhoods (block-major channels)
+# ---------------------------------------------------------------------------
+
+
+def s2d(x: jax.Array) -> jax.Array:
+    """(N,H,W,C) → (N,H/2,W/2,4C); channel index = (a*2+b)*C + c."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # N, Hb, Wb, a, b, C
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def d2s(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`s2d`."""
+    n, hb, wb, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, hb, wb, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, hb * 2, wb * 2, c)
+
+
+def xprime(x: jax.Array) -> jax.Array:
+    """Pad-shifted neighborhood: X'[J,K,(a,b),c] = x_nat[2J+a-1, 2K+b-1].
+
+    Output has one extra block per axis; out-of-range entries are the conv's
+    zero padding. Built from four shifted slices of the zero-padded s2d
+    tensor — pure data movement that XLA fuses into the consumer conv.
+    """
+    n, hb, wb, c4 = x.shape
+    c = c4 // 4
+    xz = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def sub(idx):  # channel slice for sub-position (a,b) with index a*2+b
+        return xz[..., idx * c : (idx + 1) * c]
+
+    c00 = sub(3)[:, 0 : hb + 1, 0 : wb + 1]  # x[2J-1,2K-1] = X[J-1,K-1,(1,1)]
+    c01 = sub(2)[:, 0 : hb + 1, 1 : wb + 2]  # x[2J-1,2K  ] = X[J-1,K  ,(1,0)]
+    c10 = sub(1)[:, 1 : hb + 2, 0 : wb + 1]  # x[2J  ,2K-1] = X[J  ,K-1,(0,1)]
+    c11 = sub(0)[:, 1 : hb + 2, 1 : wb + 2]  # x[2J  ,2K  ] = X[J  ,K  ,(0,0)]
+    return jnp.concatenate((c00, c01, c10, c11), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Weight transforms (host numpy, applied once at load)
+# ---------------------------------------------------------------------------
+
+
+def _blk(ci: int, i: int) -> slice:
+    return slice(i * ci, (i + 1) * ci)
+
+
+def w_s2d_s1(w: np.ndarray) -> np.ndarray:
+    """(3,3,Ci,Co) stride-1 'same' → (2,2,4Ci,4Co) VALID over X'."""
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3)
+    out = np.zeros((2, 2, 4 * ci, 4 * co), w.dtype)
+    for dI in range(2):
+        for dJ in range(2):
+            for ai in range(2):
+                for bi in range(2):
+                    for ao in range(2):
+                        for bo in range(2):
+                            di = 2 * dI + ai - 1 - ao
+                            dj = 2 * dJ + bi - 1 - bo
+                            if -1 <= di <= 1 and -1 <= dj <= 1:
+                                out[dI, dJ, _blk(ci, ai * 2 + bi), _blk(co, ao * 2 + bo)] = w[di + 1, dj + 1]
+    return out
+
+
+def w_s2d_s2(w: np.ndarray) -> np.ndarray:
+    """(3,3,Ci,Co) stride-2 'same' → (3,3,4Ci,4Co), stride-2 over X' blocks;
+    output lands in the next level's s2d layout."""
+    kh, kw, ci, co = w.shape
+    out = np.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for dI in range(3):
+        for dJ in range(3):
+            for ai in range(2):
+                for bi in range(2):
+                    for ao in range(2):
+                        for bo in range(2):
+                            di = 2 * dI + ai - 1 - 2 * ao
+                            dj = 2 * dJ + bi - 1 - 2 * bo
+                            if -1 <= di <= 1 and -1 <= dj <= 1:
+                                out[dI, dJ, _blk(ci, ai * 2 + bi), _blk(co, ao * 2 + bo)] = w[di + 1, dj + 1]
+    return out
+
+
+def w_s2d_s2_nat(w: np.ndarray) -> np.ndarray:
+    """(3,3,Ci,Co) stride-2 'same' → (2,2,4Ci,Co) stride-1 over X' blocks;
+    output in the natural (non-s2d) layout of the next level."""
+    kh, kw, ci, co = w.shape
+    out = np.zeros((2, 2, 4 * ci, co), w.dtype)
+    for dI in range(2):
+        for dJ in range(2):
+            for ai in range(2):
+                for bi in range(2):
+                    di = 2 * dI + ai - 1
+                    dj = 2 * dJ + bi - 1
+                    if -1 <= di <= 1 and -1 <= dj <= 1:
+                        out[dI, dJ, _blk(ci, ai * 2 + bi), :] = w[di + 1, dj + 1]
+    return out
+
+
+def w_s2d_1x1(w: np.ndarray) -> np.ndarray:
+    """(1,1,Ci,Co) → (1,1,4Ci,4Co) block-diagonal."""
+    _, _, ci, co = w.shape
+    out = np.zeros((1, 1, 4 * ci, 4 * co), w.dtype)
+    for s in range(4):
+        out[0, 0, _blk(ci, s), _blk(co, s)] = w[0, 0]
+    return out
+
+
+def b_s2d(b: np.ndarray) -> np.ndarray:
+    """Bias tiled over the 4 sub-positions (block-major)."""
+    return np.tile(b, 4)
+
+
+def w_ps_permute(w: np.ndarray, r: int = 2) -> np.ndarray:
+    """Fold PixelShuffle(r) + s2d into the conv's output channels.
+
+    Output channel c*r² + i*r + j (torch PS order) → (i*2+j)*C + c
+    (block-major s2d order). After this permutation the conv output *is* the
+    next level's s2d tensor.
+    """
+    kh, kw, ci, co4 = w.shape
+    c = co4 // (r * r)
+    perm = np.empty(co4, np.int64)
+    for cc in range(c):
+        for i in range(r):
+            for j in range(r):
+                perm[(i * 2 + j) * c + cc] = cc * r * r + i * r + j
+    return w[..., perm]
+
+
+def w_s2d_s1_ps(w: np.ndarray) -> np.ndarray:
+    """Stride-1 conv whose (4C) output feeds PixelShuffle: s2d-transform the
+    conv, then fold PS ordering so the runtime d2s over sub-positions yields
+    the next (finer) level's s2d tensor directly.
+
+    Output channel layout after transform: (a*2+b)*4C + (i*2+j)*C + c, i.e.
+    sub-position major then PS offset then channel — d2s over the outer 4
+    doubles the block grid; the inner (i*2+j)*C+c is already s2d order.
+    """
+    t = w_s2d_s1(w)  # (2,2,4Ci, 4*(4C))
+    kh, kw, ci4, co4 = t.shape
+    co = co4 // 4  # = 4C (the PS channels per sub-position)
+    out = np.empty_like(t)
+    for s in range(4):
+        out[..., _blk(co, s)] = w_ps_permute(t[..., _blk(co, s)])
+    return out
+
+
+def d2s_blocks(x: jax.Array) -> jax.Array:
+    """d2s over the *outer* sub-position factor: (N,Hb,Wb,4K) → (N,2Hb,2Wb,K).
+
+    Used after the PS-folded up-convs: the inner K channels are already in
+    s2d order for the finer level.
+    """
+    return d2s(x)
+
+
+# ---------------------------------------------------------------------------
+# Parameter transform
+# ---------------------------------------------------------------------------
+
+# Per-layer transform roles for the release architecture (AGCM color_condition
+# + LE sft UNet). Classifier weights pass through untouched (natural ¼-res).
+_S1 = "s1"
+_S2 = "s2"  # stride-2, s2d output
+_S2N = "s2nat"  # stride-2, natural output
+_P11 = "1x1"
+_NAT = "nat"
+_PSL = "ps"  # stride-1 conv feeding PixelShuffle (s2d domain)
+_NATPS = "natps"  # natural conv feeding PixelShuffle whose output enters s2d
+
+
+def _le_layer_roles(prefix: str = "LE.") -> dict[str, str]:
+    r: dict[str, str] = {}
+    r[f"{prefix}conv_first"] = _S1
+    r[f"{prefix}HR_conv1"] = _S1
+    r[f"{prefix}HR_conv2"] = _S1
+    r[f"{prefix}conv_last"] = _S1
+    for sft in ("SFT_layer1", "SFT_layer2"):
+        for cv in ("SFT_scale_conv0", "SFT_scale_conv1", "SFT_shift_conv0", "SFT_shift_conv1"):
+            r[f"{prefix}{sft}.{cv}"] = _P11
+    r[f"{prefix}cond_first.0"] = _S1
+    r[f"{prefix}cond_first.2"] = _P11
+    r[f"{prefix}cond_first.4"] = _P11
+    for i in (0, 2, 4):
+        r[f"{prefix}CondNet1.{i}"] = _P11
+    r[f"{prefix}CondNet2.0"] = _S2
+    r[f"{prefix}CondNet2.2"] = _P11
+    r[f"{prefix}CondNet2.4"] = _P11
+    r[f"{prefix}CondNet3.0"] = _S2
+    r[f"{prefix}CondNet3.2"] = _S2
+    r[f"{prefix}CondNet3.4"] = _P11
+    r[f"{prefix}CondNet4.0"] = _S2
+    r[f"{prefix}CondNet4.2"] = _S2
+    r[f"{prefix}CondNet4.4"] = _S2N
+    r[f"{prefix}down_conv1"] = _S2
+    r[f"{prefix}down_conv2"] = _S2
+    r[f"{prefix}down_conv3"] = _S2N
+    # trunks 1/2/4/5 live in s2d levels; trunk3 stays natural (odd /8 dims).
+    for trunk in ("recon_trunk1", "recon_trunk2", "recon_trunk4", "recon_trunk5"):
+        r[f"{prefix}{trunk}.0.conv1"] = _S1
+        r[f"{prefix}{trunk}.0.conv2"] = _S1
+        for sft in ("sft1", "sft2"):
+            for cv in ("SFT_scale_conv0", "SFT_scale_conv1", "SFT_shift_conv0", "SFT_shift_conv1"):
+                r[f"{prefix}{trunk}.0.{sft}.{cv}"] = _P11
+    for i in range(4):
+        r[f"{prefix}recon_trunk3.{i}.conv1"] = _NAT
+        r[f"{prefix}recon_trunk3.{i}.conv2"] = _NAT
+        for sft in ("sft1", "sft2"):
+            for cv in ("SFT_scale_conv0", "SFT_scale_conv1", "SFT_shift_conv0", "SFT_shift_conv1"):
+                r[f"{prefix}recon_trunk3.{i}.{sft}.{cv}"] = _NAT
+    r[f"{prefix}up_conv1.0"] = _NATPS
+    r[f"{prefix}up_conv2.0"] = _PSL
+    r[f"{prefix}up_conv3.0"] = _PSL
+    return r
+
+
+def _agcm_layer_roles(prefix: str = "AGCM.") -> dict[str, str]:
+    return {
+        f"{prefix}conv_first": _P11,
+        f"{prefix}HRconv": _P11,
+        f"{prefix}conv_last": _P11,
+    }
+
+
+def s2d_transform_params(params: dict, cfg: ModelConfig | None = None) -> dict:
+    """Host-side weight rewrite for s2d execution (fp32; cacheable)."""
+    roles = {**_le_layer_roles(), **_agcm_layer_roles()}
+    out: dict[str, np.ndarray] = {}
+    handled: set[str] = set()
+    for layer, role in roles.items():
+        wk, bk = f"{layer}.weight", f"{layer}.bias"
+        if wk not in params:
+            continue
+        w = np.asarray(params[wk], np.float32)
+        b = params.get(bk)
+        b = None if b is None else np.asarray(b, np.float32)
+        if role == _NAT:
+            out[wk] = w
+            if b is not None:
+                out[bk] = b
+        elif role == _S1:
+            out[wk] = w_s2d_s1(w)
+            if b is not None:
+                out[bk] = b_s2d(b)
+        elif role == _S2:
+            out[wk] = w_s2d_s2(w)
+            if b is not None:
+                out[bk] = b_s2d(b)
+        elif role == _S2N:
+            out[wk] = w_s2d_s2_nat(w)
+            if b is not None:
+                out[bk] = b
+        elif role == _P11:
+            out[wk] = w_s2d_1x1(w)
+            if b is not None:
+                out[bk] = b_s2d(b)
+        elif role == _NATPS:
+            out[wk] = w_ps_permute(w)
+            if b is not None:
+                out[bk] = w_ps_permute(b.reshape(1, 1, 1, -1))[0, 0, 0]
+        elif role == _PSL:
+            out[wk] = w_s2d_s1_ps(w)
+            if b is not None:
+                bb = w_ps_permute(b.reshape(1, 1, 1, -1))[0, 0, 0]
+                out[bk] = np.tile(bb, 4)
+        handled.add(wk)
+        handled.add(bk)
+    # pass through everything else (classifier, linears, scales, ...)
+    for k, v in params.items():
+        if k not in handled and k not in out:
+            out[k] = np.asarray(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Block-domain conv helpers
+# ---------------------------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(p: Params, name: str, x: jax.Array, *, stride=1, padding="VALID", policy: Policy) -> jax.Array:
+    w = policy.cast(p[f"{name}.weight"])
+    y = jax.lax.conv_general_dilated(
+        policy.cast(x), w, (stride, stride), padding,
+        dimension_numbers=_DN, precision=policy.precision,
+        preferred_element_type=policy.compute_dtype,
+    )
+    b = p.get(f"{name}.bias")
+    if b is not None:
+        y = y + policy.cast(b)
+    return y
+
+
+def conv_s1(p, name, x, *, policy):
+    """Stride-1 3×3 in block domain: X' build + 2×2 VALID conv."""
+    return _conv(p, name, xprime(x), policy=policy)
+
+
+def conv_s2(p, name, x, *, policy):
+    """Stride-2 3×3, s2d output: 3×3 stride-2 VALID over X'."""
+    return _conv(p, name, xprime(x), stride=2, policy=policy)
+
+
+def conv_s2_nat(p, name, x, *, policy):
+    """Stride-2 3×3, natural output: 2×2 stride-1 VALID over X'."""
+    return _conv(p, name, xprime(x), policy=policy)
+
+
+def conv_1x1(p, name, x, *, policy):
+    return _conv(p, name, x, policy=policy)
+
+
+def conv_nat(p, name, x, *, pad=1, policy):
+    return _conv(p, name, x, padding=[(pad, pad), (pad, pad)], policy=policy)
+
+
+# ---------------------------------------------------------------------------
+# Forward (release arch: AGCM color_condition + LE sft, no HG)
+# ---------------------------------------------------------------------------
+
+
+def _sft(p, name, fea, cond, conv, *, policy):
+    scale = conv(p, f"{name}.SFT_scale_conv1", leaky_relu(conv(p, f"{name}.SFT_scale_conv0", cond, policy=policy), 0.1), policy=policy)
+    shift = conv(p, f"{name}.SFT_shift_conv1", leaky_relu(conv(p, f"{name}.SFT_shift_conv0", cond, policy=policy), 0.1), policy=policy)
+    return fea * (scale + 1.0) + shift
+
+
+def _resblock(p, name, fea, cond, conv3, conv1, *, policy):
+    out = _sft(p, f"{name}.sft1", fea, cond, conv1, policy=policy)
+    out = relu(conv3(p, f"{name}.conv1", out, policy=policy))
+    out = _sft(p, f"{name}.sft2", out, cond, conv1, policy=policy)
+    out = conv3(p, f"{name}.conv2", out, policy=policy)
+    return fea + out
+
+
+def _tile4(v: jax.Array) -> jax.Array:
+    """(N,C) modulation vector → (N,1,1,4C) for block-major s2d tensors."""
+    n, c = v.shape
+    return jnp.tile(v, (1, 4)).reshape(n, 1, 1, 4 * c)
+
+
+def agcm_s2d(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy) -> jax.Array:
+    """AGCM (dynamic color_condition) on an s2d frame; classifier runs on the
+    natural ¼-res condition image."""
+    fea = classifier_apply(p, "AGCM.classifier.", "color_condition", cond_nat, policy=policy)
+
+    def lin(name):
+        w = policy.cast(p[f"{name}.weight"])
+        return jnp.dot(policy.cast(fea), w, precision=policy.precision,
+                       preferred_element_type=policy.compute_dtype) + policy.cast(p[f"{name}.bias"])
+
+    def mod(out, scale, shift):
+        return out * _tile4(scale) + _tile4(shift) + out
+
+    out = conv_1x1(p, "AGCM.conv_first", xs, policy=policy)
+    out = relu(mod(out, lin("AGCM.cond_scale_first"), lin("AGCM.cond_shift_first")))
+    out = conv_1x1(p, "AGCM.HRconv", out, policy=policy)
+    out = relu(mod(out, lin("AGCM.cond_scale_HR"), lin("AGCM.cond_shift_HR")))
+    out = conv_1x1(p, "AGCM.conv_last", out, policy=policy)
+    return mod(out, lin("AGCM.cond_scale_last"), lin("AGCM.cond_shift_last"))
+
+
+def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax.Array:
+    """LE sft UNet in the block domain. ``xs``/``conds`` are s2d L0 tensors."""
+    act = relu
+    mask_out = xs  # weighting_network=False long skip
+
+    c = leaky_relu(conv_s1(p, "LE.cond_first.0", conds, policy=policy), 0.1)
+    c = leaky_relu(conv_1x1(p, "LE.cond_first.2", c, policy=policy), 0.1)
+    c = leaky_relu(conv_1x1(p, "LE.cond_first.4", c, policy=policy), 0.1)
+
+    c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.0", c, policy=policy), 0.1)
+    c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.2", c1, policy=policy), 0.1)
+    cond1 = conv_1x1(p, "LE.CondNet1.4", c1, policy=policy)
+
+    c2 = leaky_relu(conv_s2(p, "LE.CondNet2.0", c, policy=policy), 0.1)
+    c2 = leaky_relu(conv_1x1(p, "LE.CondNet2.2", c2, policy=policy), 0.1)
+    cond2 = conv_1x1(p, "LE.CondNet2.4", c2, policy=policy)
+
+    c3 = leaky_relu(conv_s2(p, "LE.CondNet3.0", c, policy=policy), 0.1)
+    c3 = leaky_relu(conv_s2(p, "LE.CondNet3.2", c3, policy=policy), 0.1)
+    cond3 = conv_1x1(p, "LE.CondNet3.4", c3, policy=policy)
+
+    c4 = leaky_relu(conv_s2(p, "LE.CondNet4.0", c, policy=policy), 0.1)
+    c4 = leaky_relu(conv_s2(p, "LE.CondNet4.2", c4, policy=policy), 0.1)
+    cond4 = conv_s2_nat(p, "LE.CondNet4.4", c4, policy=policy)  # natural /8
+
+    fea0 = act(conv_s1(p, "LE.conv_first", xs, policy=policy))
+    fea0 = _sft(p, "LE.SFT_layer1", fea0, cond1, conv_1x1, policy=policy)
+    fea0 = act(conv_s1(p, "LE.HR_conv1", fea0, policy=policy))
+
+    fea1 = act(conv_s2(p, "LE.down_conv1", fea0, policy=policy))
+    fea1 = _resblock(p, "LE.recon_trunk1.0", fea1, cond2, conv_s1, conv_1x1, policy=policy)
+
+    fea2 = act(conv_s2(p, "LE.down_conv2", fea1, policy=policy))
+    fea2 = _resblock(p, "LE.recon_trunk2.0", fea2, cond3, conv_s1, conv_1x1, policy=policy)
+
+    fea3 = act(conv_s2_nat(p, "LE.down_conv3", fea2, policy=policy))  # natural /8
+    out = fea3
+    for i in range(4):
+        out = _resblock(
+            p, f"LE.recon_trunk3.{i}", out, cond4,
+            lambda p_, n_, x_, policy: conv_nat(p_, n_, x_, policy=policy),
+            lambda p_, n_, x_, policy: conv_nat(p_, n_, x_, pad=0, policy=policy),
+            policy=policy,
+        )
+    out = out + fea3
+
+    # up_conv1: natural conv + PS fold → s2d L2 tensor directly.
+    up = act(conv_nat(p, "LE.up_conv1.0", out, policy=policy))
+    out = _resblock(p, "LE.recon_trunk4.0", up + fea2, cond3, conv_s1, conv_1x1, policy=policy)
+
+    # up_conv2: s2d conv at L2 + PS fold + block d2s → s2d L1.
+    up = act(d2s_blocks(conv_s1(p, "LE.up_conv2.0", out, policy=policy)))
+    out = _resblock(p, "LE.recon_trunk5.0", up + fea1, cond2, conv_s1, conv_1x1, policy=policy)
+
+    up = act(d2s_blocks(conv_s1(p, "LE.up_conv3.0", out, policy=policy)))
+    out = up + fea0
+    out = _sft(p, "LE.SFT_layer2", out, cond1, conv_1x1, policy=policy)
+
+    out = act(conv_s1(p, "LE.HR_conv2", out, policy=policy))
+    out = conv_s1(p, "LE.conv_last", out, policy=policy)
+    return mask_out + out
+
+
+def ensemble_s2d(
+    p: Params, img: jax.Array, cond: jax.Array, cfg: ModelConfig = ModelConfig(), *, policy: Policy = F32
+) -> jax.Array:
+    """Full ensemble in s2d mode: natural NHWC in → natural NHWC out.
+
+    ``img``: (N,H,W,3) [0,1] RGB (H,W even); ``cond``: natural ¼-res image.
+    """
+    img = policy.cast(img)
+    xs = s2d(img)
+    agcm_out = agcm_s2d(p, xs, cond, policy=policy)
+    out = le_s2d(p, agcm_out, agcm_out, policy=policy)
+    return d2s(out)

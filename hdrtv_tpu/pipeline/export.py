@@ -1,0 +1,217 @@
+"""HDR10 export — gui_export.py equivalent.
+
+The reference exports ProRes 422 HQ masters by piping RGB48 into FFmpeg with
+``deband → zscale (matrixin=gbr, transferin=smpte2084, primariesin=bt2020 →
+bt2020nc/smpte2084/limited, dither=error_diffusion, npl=1001) → yuv422p10le``
+plus prores_ks profile 3 and the prores_metadata BSF (gui_export.py:948-1023),
+with a bounded writer-queue thread (:1038-1067).
+
+This module keeps that exact FFmpeg contract when ffmpeg is on PATH, and
+degrades gracefully where it isn't (this CI image has no ffmpeg): a raw
+``.rgb48`` stream + sidecar JSON, or a 16-bit PNG frame sequence — both
+lossless HDR masters that ffmpeg can containerize later with the same filter
+chain (emitted into the sidecar for reproducibility).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import queue
+import shutil
+import subprocess
+import threading
+import time
+
+import numpy as np
+
+
+def ffmpeg_hdr10_command(
+    width: int,
+    height: int,
+    fps: float,
+    output: str,
+    *,
+    codec: str = "prores",
+    peak_nits: int = 1001,
+    audio_source: str | None = None,
+) -> list[str]:
+    """The reference export FFmpeg invocation (gui_export.py:948-1023)."""
+    vf = (
+        "deband,"
+        "zscale=matrixin=gbr:transferin=smpte2084:primariesin=bt2020:"
+        "matrix=bt2020nc:transfer=smpte2084:primaries=bt2020:range=limited:"
+        f"dither=error_diffusion:npl={peak_nits},"
+        "format=yuv422p10le"
+    )
+    cmd = [
+        "ffmpeg", "-y",
+        "-f", "rawvideo",
+        "-pix_fmt", "rgb48le",
+        "-s", f"{width}x{height}",
+        "-r", f"{fps}",
+        "-i", "pipe:0",
+    ]
+    if audio_source:
+        cmd += ["-i", audio_source, "-map", "0:v", "-map", "1:a?", "-c:a", "pcm_s16le"]
+    cmd += ["-vf", vf]
+    if codec == "prores":
+        cmd += [
+            "-c:v", "prores_ks", "-profile:v", "3",
+            "-bsf:v", "prores_metadata=color_primaries=bt2020:color_trc=smpte2084:colorspace=bt2020nc",
+        ]
+    elif codec == "hevc":
+        cmd += [
+            "-c:v", "libx265", "-crf", "16", "-preset", "medium",
+            "-x265-params",
+            "hdr10=1:colorprim=bt2020:transfer=smpte2084:colormatrix=bt2020nc",
+            "-pix_fmt", "yuv420p10le",
+        ]
+    cmd += [
+        "-color_primaries", "bt2020",
+        "-color_trc", "smpte2084",
+        "-colorspace", "bt2020nc",
+        output,
+    ]
+    return cmd
+
+
+@dataclasses.dataclass
+class ExportConfig:
+    output: str = "export.mov"
+    resolution_key: str = "1080p"
+    codec: str = "prores"  # prores | hevc | raw | png16
+    peak_nits: int = 1001
+    queue_depth: int = 3  # bounded writer queue (gui_export.py:1038-1067)
+    audio_source: str | None = None
+
+
+class _FfmpegWriter:
+    def __init__(self, cfg: ExportConfig, width: int, height: int, fps: float):
+        self.proc = subprocess.Popen(
+            ffmpeg_hdr10_command(
+                width, height, fps, cfg.output,
+                codec=cfg.codec, peak_nits=cfg.peak_nits, audio_source=cfg.audio_source,
+            ),
+            stdin=subprocess.PIPE,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def write(self, rgb48: np.ndarray):
+        self.proc.stdin.write(np.ascontiguousarray(rgb48).tobytes())
+
+    def close(self):
+        self.proc.stdin.close()
+        self.proc.wait(timeout=120)
+
+
+class _RawWriter:
+    def __init__(self, cfg: ExportConfig, width: int, height: int, fps: float):
+        self.path = cfg.output if cfg.output.endswith(".rgb48") else cfg.output + ".rgb48"
+        self._f = open(self.path, "wb")
+        sidecar = {
+            "format": "rgb48le",
+            "width": width,
+            "height": height,
+            "fps": fps,
+            "color": {"primaries": "bt2020", "transfer": "smpte2084", "range": "full"},
+            "containerize_with": " ".join(
+                ffmpeg_hdr10_command(width, height, fps, cfg.output, codec="prores", peak_nits=cfg.peak_nits)
+            ).replace("pipe:0", self.path),
+        }
+        with open(self.path + ".json", "w") as f:
+            json.dump(sidecar, f, indent=2)
+
+    def write(self, rgb48: np.ndarray):
+        self._f.write(np.ascontiguousarray(rgb48).tobytes())
+
+    def close(self):
+        self._f.close()
+
+
+class _Png16Writer:
+    def __init__(self, cfg: ExportConfig, width: int, height: int, fps: float):
+        import cv2
+
+        self._cv2 = cv2
+        self.dir = cfg.output if not os.path.splitext(cfg.output)[1] else os.path.splitext(cfg.output)[0]
+        os.makedirs(self.dir, exist_ok=True)
+        self.idx = 0
+
+    def write(self, rgb48: np.ndarray):
+        bgr = rgb48[..., ::-1]
+        self._cv2.imwrite(os.path.join(self.dir, f"frame_{self.idx:06d}.png"), bgr)
+        self.idx += 1
+
+    def close(self):
+        pass
+
+
+def export_video(video_path: str | None, processor, cfg: ExportConfig, *, source=None) -> dict:
+    """Flat-out export: decode → model → RGB48 → writer thread → container.
+
+    Returns stats {frames, seconds, fps, output}.
+    """
+    import jax.numpy as jnp
+
+    from hdrtv_tpu.config import processing_dims
+    from hdrtv_tpu.pipeline.source import SyntheticSource, VideoSource
+
+    if source is None:
+        source = VideoSource(video_path) if video_path else SyntheticSource(*processing_dims(cfg.resolution_key))
+    w = getattr(source, "width", None) or processing_dims(cfg.resolution_key)[0]
+    h = getattr(source, "height", None) or processing_dims(cfg.resolution_key)[1]
+    fps = getattr(source, "fps", 30.0)
+
+    codec = cfg.codec
+    if codec in ("prores", "hevc") and shutil.which("ffmpeg") is None:
+        codec = "raw"  # fallback ladder: no ffmpeg → raw master + sidecar
+    writer = {
+        "prores": _FfmpegWriter,
+        "hevc": _FfmpegWriter,
+        "raw": _RawWriter,
+        "png16": _Png16Writer,
+    }[codec](dataclasses.replace(cfg, codec=codec), w, h, fps)
+
+    q: queue.Queue = queue.Queue(maxsize=cfg.queue_depth)
+    error: list[Exception] = []
+
+    def write_loop():
+        while True:
+            buf = q.get()
+            if buf is None:
+                return
+            try:
+                writer.write(buf)
+            except Exception as e:  # keep draining to unblock producer
+                error.append(e)
+
+    wt = threading.Thread(target=write_loop, daemon=True, name="export-writer")
+    wt.start()
+
+    processor.warmup_compile(w, h)
+    frames = 0
+    t0 = time.monotonic()
+    while True:
+        meta = source.read_with_meta()
+        if meta is None:
+            break
+        out = processor.process_rgb48_device(jnp.asarray(meta[0]))
+        q.put(np.asarray(out))
+        frames += 1
+    q.put(None)
+    wt.join(timeout=60)
+    writer.close()
+    source.close()
+    dt = time.monotonic() - t0
+    if error:
+        raise error[0]
+    return {
+        "frames": frames,
+        "seconds": round(dt, 2),
+        "fps": round(frames / dt, 2) if dt > 0 else 0.0,
+        "output": getattr(writer, "path", cfg.output),
+        "codec": codec,
+    }

@@ -29,6 +29,7 @@ import numpy as np
 from hdrtv_tpu.models.hdrtvnet import ModelConfig, model_apply
 from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz
 from hdrtv_tpu.models.layers import Policy, policy_for
+from hdrtv_tpu.models.s2d import ensemble_s2d, s2d_transform_params
 from hdrtv_tpu.ops.pack import pack_rgb48
 from hdrtv_tpu.ops.resize import downsample_quarter_aa, downsample_quarter_bilinear
 from hdrtv_tpu.runtime import engine as engine_mod
@@ -55,6 +56,7 @@ class HDRTVNetTPU:
         fast_condition_resize: bool | None = None,
         fast_zero_condition: bool | None = None,
         persistent_cache: bool = True,
+        turbo: bool | None = None,
         cfg_overrides: dict[str, Any] | None = None,
     ):
         self.model_path = model_path
@@ -78,6 +80,25 @@ class HDRTVNetTPU:
                 model_path, hg_path=hg_path, use_hg=use_hg, **(cfg_overrides or {})
             )
         self.cfg = cfg
+        # Turbo = exact space-to-depth execution (models/s2d.py): ~128-lane
+        # channel occupancy instead of 32 — the TPU-native fast path. Only the
+        # release arch is transformed; other archs fall back to normal mode.
+        if turbo is None:
+            turbo = env_bool("HDRTVNET_TPU_TURBO", True)
+        self.turbo = bool(
+            turbo
+            and not cfg.use_hg
+            and cfg.classifier == "color_condition"
+            and cfg.le_arch == "sft"
+            and not cfg.post_correction
+            and not any(k.endswith(".weight_int8") for k in params)
+        )
+        self._nat_params = None
+        if self.turbo:
+            # Keep the natural-layout params too: odd-sized frames fall back
+            # to the untransformed model (safe path).
+            self._nat_params = jax.device_put({k: jnp.asarray(v) for k, v in params.items()})
+            params = s2d_transform_params(params, cfg)
         self.params = jax.device_put({k: jnp.asarray(v) for k, v in params.items()})
         self.model_hash = engine_mod.model_fingerprint(params)
         self.registry = engine_mod.EngineRegistry() if persistent_cache else None
@@ -101,8 +122,11 @@ class HDRTVNetTPU:
         return x, self._cond_of(x)
 
     def _net(self, x: jax.Array, cond: jax.Array) -> jax.Array:
-        out = model_apply(self.params, x, cond, self.cfg, policy=self.policy)
-        return out
+        if self.turbo:
+            if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                return ensemble_s2d(self.params, x, cond, self.cfg, policy=self.policy)
+            return model_apply(self._nat_params, x, cond, self.cfg, policy=self.policy)
+        return model_apply(self.params, x, cond, self.cfg, policy=self.policy)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _process_rgb48_jit(self, frame_u8: jax.Array) -> jax.Array:

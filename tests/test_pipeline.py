@@ -1,0 +1,152 @@
+"""Host pipeline tests: source prefetch/seek, pacing policy, runner overlap."""
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class FakeProcessor:
+    """Emulates HDRTVNetTPU.process_rgb48_device with a fixed compute delay."""
+
+    def __init__(self, delay_s: float = 0.0):
+        self.delay = delay_s
+        self.calls = 0
+
+    def process_rgb48_device(self, frame):
+        self.calls += 1
+        if self.delay:
+            time.sleep(self.delay)
+        return (frame.astype(jnp.uint16) * 257)
+
+
+class TestSyntheticSource:
+    def test_reads_and_eof(self):
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        src = SyntheticSource(64, 32, fps=30, frames=5)
+        frames = []
+        while True:
+            meta = src.read_with_meta()
+            if meta is None:
+                break
+            frames.append(meta)
+        assert len(frames) == 5
+        assert frames[0][0].shape == (32, 64, 3)
+        assert frames[0][0].dtype == np.uint8
+
+    def test_seek(self):
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        src = SyntheticSource(64, 32, frames=10)
+        src.read_with_meta()
+        src.seek(7)
+        _, idx, _ = src.read_with_meta()
+        assert idx == 7
+
+
+class TestVideoSource:
+    def _make_video(self, tmp_path, n=30, fps=25):
+        import cv2
+
+        path = str(tmp_path / "clip.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (64, 32))
+        for i in range(n):
+            frame = np.full((32, 64, 3), i * 8 % 255, np.uint8)
+            w.write(frame)
+        w.release()
+        return path
+
+    def test_sequential_read(self, tmp_path):
+        from hdrtv_tpu.pipeline.source import VideoSource
+
+        path = self._make_video(tmp_path)
+        with VideoSource(path, prefetch=4) as src:
+            assert abs(src.fps - 25.0) < 1e-3
+            metas = []
+            while True:
+                m = src.read_with_meta()
+                if m is None:
+                    break
+                metas.append(m)
+            assert len(metas) == 30
+            assert [m[1] for m in metas] == list(range(30))
+
+    def test_seek_flushes_stale_frames(self, tmp_path):
+        from hdrtv_tpu.pipeline.source import VideoSource
+
+        path = self._make_video(tmp_path)
+        with VideoSource(path, prefetch=4) as src:
+            src.read_with_meta()
+            src.seek(20)
+            m = src.read_with_meta()
+            assert m is not None
+            assert m[1] == 20  # generation tagging discarded prefetched 1..5
+
+
+class TestPacing:
+    def test_sleep_until_accuracy(self):
+        from hdrtv_tpu.pipeline.pacing import sleep_until
+
+        t0 = time.monotonic()
+        sleep_until(t0 + 0.05)
+        err = abs(time.monotonic() - (t0 + 0.05))
+        assert err < 0.005
+
+    def test_clock_no_skip_when_on_time(self):
+        from hdrtv_tpu.pipeline.pacing import PresentationClock
+
+        clk = PresentationClock(fps=100)
+        clk.start()
+        skips = [clk.wait_for_slot() for _ in range(5)]
+        assert sum(skips) == 0
+        assert clk.dropped == 0
+
+    def test_clock_skips_when_lagging(self):
+        from hdrtv_tpu.pipeline.pacing import PresentationClock
+
+        clk = PresentationClock(fps=100)  # 10ms interval
+        clk.start()
+        clk.wait_for_slot()
+        time.sleep(0.05)  # fall ~5 frames behind
+        skip = clk.wait_for_slot()
+        assert 1 <= skip <= 6  # max_skip cap (gui_pipeline_worker.py:899-936)
+        assert clk.dropped == skip
+
+
+class TestRunner:
+    def test_offline_run_processes_all_frames(self):
+        from hdrtv_tpu.pipeline.runner import PipelineRunner
+        from hdrtv_tpu.pipeline.sinks import NullSink
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        src = SyntheticSource(64, 32, fps=1000, frames=20)
+        sink = NullSink()
+        runner = PipelineRunner(src, FakeProcessor(), sink, realtime=False)
+        m = runner.run()
+        assert m.frames == 20
+        assert sink.frames == 20
+
+    def test_realtime_run_paces_and_reports(self):
+        from hdrtv_tpu.pipeline.runner import PipelineRunner
+        from hdrtv_tpu.pipeline.sinks import NullSink
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        src = SyntheticSource(64, 32, fps=120, frames=24)
+        runner = PipelineRunner(src, FakeProcessor(), NullSink(), realtime=True)
+        t0 = time.monotonic()
+        m = runner.run()
+        wall = time.monotonic() - t0
+        assert m.frames + m.dropped >= 20
+        assert wall > 0.1  # paced, not flat-out
+
+    def test_file_sink_writes_rgb48(self, tmp_path):
+        from hdrtv_tpu.pipeline.sinks import FileSink
+
+        path = str(tmp_path / "out.rgb48")
+        sink = FileSink(path)
+        frame = np.arange(2 * 3 * 3, dtype=np.uint16).reshape(2, 3, 3)
+        sink.show(frame)
+        sink.close()
+        data = np.fromfile(path, dtype=np.uint16).reshape(2, 3, 3)
+        np.testing.assert_array_equal(data, frame)
