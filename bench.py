@@ -30,6 +30,10 @@ BASELINE_FPS = 1000.0 / 34.23  # reference 1080p no-HG FP16 (README.md:67)
 
 def measure_fps(height: int = 1080, width: int = 1920, n: int = 60) -> float:
     import jax
+
+    from hdrtv_tpu.runtime.engine import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from hdrtv_tpu.models.hdrtvnet import ModelConfig
@@ -68,7 +72,12 @@ def measure_fps(height: int = 1080, width: int = 1920, n: int = 60) -> float:
 
 
 def main() -> None:
-    fps = measure_fps()
+    try:
+        fps = measure_fps()
+    except Exception as exc:  # pallas/remote-compile fragility → lax fallback
+        print(f"turbo path failed ({type(exc).__name__}); retrying without pallas", flush=True)
+        os.environ["HDRTV_DISABLE_PALLAS"] = "1"
+        fps = measure_fps()
     print(
         json.dumps(
             {

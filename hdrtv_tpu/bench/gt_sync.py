@@ -1,0 +1,149 @@
+"""HDR ground-truth access and SDR↔GT alignment.
+
+The reference's GT machinery (gui_media_probe.py, gui_hdr_io.py,
+gui_hdr_gt_fast_path.py):
+
+- frame-rate-aware SDR↔GT frame mapping (gui_media_probe.py:1137);
+- a content-similarity sync-offset search over a ±2 s window with a minimum
+  gain threshold, cached per file signature (:809-1121);
+- exact HDR frame decode with PTS verification (gui_hdr_io.py:205-487).
+
+Here: ``HDRGroundTruthReader`` decodes GT frames via cv2 (10-bit sources
+decode to 8-bit via OpenCV; with ffmpeg present a rawvideo rgb48 path can be
+added), ``make_frame_map`` handles fps ratios, and ``find_sync_offset``
+implements the alignment search on downsampled luminance with the reference's
+min-gain acceptance rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class HDRGroundTruthReader:
+    """Random-access GT frame reader returning [0,1] RGB float frames."""
+
+    def __init__(self, path: str):
+        import cv2
+
+        self._cv2 = cv2
+        self.path = path
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise IOError(f"cannot open GT video: {path}")
+        self.fps = float(self.cap.get(cv2.CAP_PROP_FPS) or 0.0) or 30.0
+        self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        self._pos = 0
+
+    def read_unit_rgb(self, frame_idx: int) -> np.ndarray | None:
+        cv2 = self._cv2
+        if frame_idx != self._pos:
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+        ok, frame = self.cap.read()
+        if not ok:
+            return None
+        self._pos = frame_idx + 1
+        peak = 65535.0 if frame.dtype == np.uint16 else 255.0
+        return frame[..., ::-1].astype(np.float32) / peak
+
+    def close(self):
+        self.cap.release()
+
+
+def make_frame_map(sdr_fps: float, gt_fps: float, offset_frames: int = 0):
+    """SDR frame index → GT frame index (rate-aware + sync offset)."""
+    ratio = gt_fps / max(1e-6, sdr_fps)
+
+    def fmap(sdr_idx: int) -> int:
+        return max(0, int(round(sdr_idx * ratio)) + offset_frames)
+
+    return fmap
+
+
+def _signature(frame_rgb01: np.ndarray, side: int = 32) -> np.ndarray:
+    """Tiny luminance signature for content similarity."""
+    h, w = frame_rgb01.shape[:2]
+    ys, xs = max(1, h // side), max(1, w // side)
+    small = frame_rgb01[::ys, ::xs].mean(axis=-1)
+    small = small[:side, :side]
+    s = small - small.mean()
+    n = np.linalg.norm(s)
+    return s / n if n > 1e-8 else s
+
+
+def find_sync_offset(
+    sdr_frames: dict[int, np.ndarray],
+    gt_reader,
+    frame_map,
+    *,
+    window_frames: int = 60,
+    min_gain: float = 0.06,
+    cache_path: str | None = None,
+    cache_key: str | None = None,
+) -> tuple[int, float]:
+    """Search a ±window offset maximizing mean content similarity.
+
+    ``sdr_frames``: {sdr_idx: [0,1] RGB frame} probe set. Returns
+    (offset_frames, score). The offset is accepted only if it beats offset 0
+    by ``min_gain`` (the reference's min-gain 0.06 rule,
+    gui_media_probe.py:809-1121); otherwise 0 is returned.
+    """
+    if cache_path and cache_key and os.path.isfile(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+            if cache_key in cache:
+                e = cache[cache_key]
+                return int(e["offset"]), float(e["score"])
+        except (json.JSONDecodeError, KeyError, ValueError):
+            pass
+
+    sdr_sigs = {i: _signature(f) for i, f in sdr_frames.items()}
+
+    def score_at(offset: int) -> float:
+        scores = []
+        for i, sig in sdr_sigs.items():
+            gt_idx = frame_map(i) + offset
+            gt = gt_reader.read_unit_rgb(gt_idx)
+            if gt is None:
+                continue
+            scores.append(float(np.sum(sig * _signature(gt))))
+        return float(np.mean(scores)) if scores else -1.0
+
+    base = score_at(0)
+    best_offset, best_score = 0, base
+    for off in range(-window_frames, window_frames + 1):
+        if off == 0:
+            continue
+        s = score_at(off)
+        if s > best_score:
+            best_offset, best_score = off, s
+
+    if best_offset != 0 and best_score - base < min_gain:
+        best_offset, best_score = 0, base
+
+    if cache_path and cache_key:
+        cache = {}
+        if os.path.isfile(cache_path):
+            try:
+                with open(cache_path) as f:
+                    cache = json.load(f)
+            except json.JSONDecodeError:
+                cache = {}
+        cache[cache_key] = {"offset": best_offset, "score": best_score}
+        os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+    return best_offset, best_score
+
+
+def file_token(path: str) -> str:
+    """Cache key token: path + mtime + size (gui_objective_metrics.py:101-107)."""
+    try:
+        st = os.stat(path)
+        return f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        return os.path.abspath(path)

@@ -11,11 +11,12 @@ halve.
 The transform is **exact**: weights are rewritten at load time so the block-
 domain convolutions compute the same math as the reference layers:
 
-- stride-1 3×3  → 2×2 block conv over the pad-shifted neighborhood X'
-  (X'[J] = x[2J-1], built from the plain s2d tensor with zero pads);
-- stride-2 3×3  → 3-tap stride-2 block conv (output lands in the next
-  level's s2d layout) or 2×2 stride-1 block conv for a natural-layout
-  output (the /8 level, whose odd dims stay in the normal domain);
+- stride-1 3×3  → 3×3 'same' block conv over the plain s2d tensor whose
+  (4C,4C') kernel encodes the sub-position routing (9 of 36 slots nonzero;
+  stored dense — measured faster than materializing a shifted neighborhood);
+- stride-2 3×3  → 3×3 stride-2 block conv with (1,0) padding (output lands
+  in the next level's s2d layout) or 2×2 stride-1 (1,0)-padded block conv
+  for a natural-layout output (the /8 level, whose odd dims stay normal);
 - 1×1           → block-diagonal (1,1,4C,4C');
 - conv+PixelShuffle up-sampling → the same conv with its output channels
   permuted — in the s2d domain pixel-shuffle is free (a reshape), the
@@ -56,25 +57,6 @@ def d2s(x: jax.Array) -> jax.Array:
     return x.reshape(n, hb * 2, wb * 2, c)
 
 
-def xprime(x: jax.Array) -> jax.Array:
-    """Pad-shifted neighborhood: X'[J,K,(a,b),c] = x_nat[2J+a-1, 2K+b-1].
-
-    Output has one extra block per axis; out-of-range entries are the conv's
-    zero padding. Built from four shifted slices of the zero-padded s2d
-    tensor — pure data movement that XLA fuses into the consumer conv.
-    """
-    n, hb, wb, c4 = x.shape
-    c = c4 // 4
-    xz = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-
-    def sub(idx):  # channel slice for sub-position (a,b) with index a*2+b
-        return xz[..., idx * c : (idx + 1) * c]
-
-    c00 = sub(3)[:, 0 : hb + 1, 0 : wb + 1]  # x[2J-1,2K-1] = X[J-1,K-1,(1,1)]
-    c01 = sub(2)[:, 0 : hb + 1, 1 : wb + 2]  # x[2J-1,2K  ] = X[J-1,K  ,(1,0)]
-    c10 = sub(1)[:, 1 : hb + 2, 0 : wb + 1]  # x[2J  ,2K-1] = X[J  ,K-1,(0,1)]
-    c11 = sub(0)[:, 1 : hb + 2, 1 : wb + 2]  # x[2J  ,2K  ] = X[J  ,K  ,(0,0)]
-    return jnp.concatenate((c00, c01, c10, c11), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -87,54 +69,64 @@ def _blk(ci: int, i: int) -> slice:
 
 
 def w_s2d_s1(w: np.ndarray) -> np.ndarray:
-    """(3,3,Ci,Co) stride-1 'same' → (2,2,4Ci,4Co) VALID over X'."""
+    """(3,3,Ci,Co) stride-1 'same' → (3,3,4Ci,4Co) 'same' over plain s2d.
+
+    Block tap δ with input sub-position a maps to natural offset
+    di = 2δ + a_in − a_out; only |di| ≤ 1 slots are populated.
+    """
     kh, kw, ci, co = w.shape
     assert (kh, kw) == (3, 3)
-    out = np.zeros((2, 2, 4 * ci, 4 * co), w.dtype)
-    for dI in range(2):
-        for dJ in range(2):
+    out = np.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for dI in (-1, 0, 1):
+        for dJ in (-1, 0, 1):
             for ai in range(2):
                 for bi in range(2):
                     for ao in range(2):
                         for bo in range(2):
-                            di = 2 * dI + ai - 1 - ao
-                            dj = 2 * dJ + bi - 1 - bo
+                            di = 2 * dI + ai - ao
+                            dj = 2 * dJ + bi - bo
                             if -1 <= di <= 1 and -1 <= dj <= 1:
-                                out[dI, dJ, _blk(ci, ai * 2 + bi), _blk(co, ao * 2 + bo)] = w[di + 1, dj + 1]
+                                out[dI + 1, dJ + 1, _blk(ci, ai * 2 + bi), _blk(co, ao * 2 + bo)] = w[di + 1, dj + 1]
     return out
 
 
 def w_s2d_s2(w: np.ndarray) -> np.ndarray:
-    """(3,3,Ci,Co) stride-2 'same' → (3,3,4Ci,4Co), stride-2 over X' blocks;
-    output lands in the next level's s2d layout."""
+    """(3,3,Ci,Co) stride-2 'same' → (3,3,4Ci,4Co), stride-2 with (1,0) pad
+    over plain s2d; output lands in the next level's s2d layout.
+
+    di = 2δ + a_in − 2·a_out.
+    """
     kh, kw, ci, co = w.shape
     out = np.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
-    for dI in range(3):
-        for dJ in range(3):
+    for dI in (-1, 0, 1):
+        for dJ in (-1, 0, 1):
             for ai in range(2):
                 for bi in range(2):
                     for ao in range(2):
                         for bo in range(2):
-                            di = 2 * dI + ai - 1 - 2 * ao
-                            dj = 2 * dJ + bi - 1 - 2 * bo
+                            di = 2 * dI + ai - 2 * ao
+                            dj = 2 * dJ + bi - 2 * bo
                             if -1 <= di <= 1 and -1 <= dj <= 1:
-                                out[dI, dJ, _blk(ci, ai * 2 + bi), _blk(co, ao * 2 + bo)] = w[di + 1, dj + 1]
+                                out[dI + 1, dJ + 1, _blk(ci, ai * 2 + bi), _blk(co, ao * 2 + bo)] = w[di + 1, dj + 1]
     return out
 
 
 def w_s2d_s2_nat(w: np.ndarray) -> np.ndarray:
-    """(3,3,Ci,Co) stride-2 'same' → (2,2,4Ci,Co) stride-1 over X' blocks;
-    output in the natural (non-s2d) layout of the next level."""
+    """(3,3,Ci,Co) stride-2 'same' → (2,2,4Ci,Co) stride-1 with (1,0) pad
+    over plain s2d; output in the natural layout of the next level.
+
+    di = 2δ + a_in, δ ∈ {−1, 0}.
+    """
     kh, kw, ci, co = w.shape
     out = np.zeros((2, 2, 4 * ci, co), w.dtype)
-    for dI in range(2):
-        for dJ in range(2):
+    for dI in (-1, 0):
+        for dJ in (-1, 0):
             for ai in range(2):
                 for bi in range(2):
-                    di = 2 * dI + ai - 1
-                    dj = 2 * dJ + bi - 1
+                    di = 2 * dI + ai
+                    dj = 2 * dJ + bi
                     if -1 <= di <= 1 and -1 <= dj <= 1:
-                        out[dI, dJ, _blk(ci, ai * 2 + bi), :] = w[di + 1, dj + 1]
+                        out[dI + 1, dJ + 1, _blk(ci, ai * 2 + bi), :] = w[di + 1, dj + 1]
     return out
 
 
@@ -178,7 +170,7 @@ def w_s2d_s1_ps(w: np.ndarray) -> np.ndarray:
     sub-position major then PS offset then channel — d2s over the outer 4
     doubles the block grid; the inner (i*2+j)*C+c is already s2d order.
     """
-    t = w_s2d_s1(w)  # (2,2,4Ci, 4*(4C))
+    t = w_s2d_s1(w)  # (3,3,4Ci, 4*(4C))
     kh, kw, ci4, co4 = t.shape
     co = co4 // 4  # = 4C (the PS channels per sub-position)
     out = np.empty_like(t)
@@ -334,19 +326,66 @@ def _conv(p: Params, name: str, x: jax.Array, *, stride=1, padding="VALID", poli
     return y
 
 
-def conv_s1(p, name, x, *, policy):
-    """Stride-1 3×3 in block domain: X' build + 2×2 VALID conv."""
-    return _conv(p, name, xprime(x), policy=policy)
+def _use_fused_kernel(x: jax.Array, w: jax.Array) -> bool:
+    """Route to the Pallas fused conv when shapes fit its constraints."""
+    from hdrtv_tpu.utils.env import env_bool
+
+    if env_bool("HDRTV_DISABLE_PALLAS", False):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if x.shape[0] != 1:
+        return False
+    # 128-channel multiples only: narrow-channel variants measured no faster
+    # than XLA and every extra Mosaic module inflates the (slow, memory-
+    # limited) remote compile.
+    c, co = w.shape[2], w.shape[3]
+    return c % 128 == 0 and co % 128 == 0 and x.shape[2] % 8 == 0
 
 
-def conv_s2(p, name, x, *, policy):
-    """Stride-2 3×3, s2d output: 3×3 stride-2 VALID over X'."""
-    return _conv(p, name, xprime(x), stride=2, policy=policy)
+def conv_s1(p, name, x, *, policy, relu_fused: bool = False, skip: jax.Array | None = None):
+    """Stride-1 3×3 in block domain: 3×3 'same' over plain s2d.
+
+    On TPU, 128-channel-multiple layers run the Pallas fused kernel
+    (ops/conv_kernels.py) with bias/ReLU/residual-skip folded in; everything
+    else takes the lax path and applies the epilogue separately.
+    """
+    w = p[f"{name}.weight"]
+    if _use_fused_kernel(x, w):
+        from hdrtv_tpu.ops.conv_kernels import fused_block_conv3
+
+        y = fused_block_conv3(
+            policy.cast(x[0]),
+            policy.cast(w),
+            p[f"{name}.bias"],
+            relu=relu_fused,
+            skip=None if skip is None else policy.cast(skip[0]),
+        )[None]
+        return y
+    y = _conv(p, name, x, padding=[(1, 1), (1, 1)], policy=policy)
+    if skip is not None:
+        y = y + policy.cast(skip)
+    if relu_fused:
+        y = relu(y)
+    return y
+
+
+def conv_s2(p, name, x, *, policy, relu_fused: bool = False):
+    """Stride-2 3×3, s2d output: 3×3 stride-2, (1,0) pad over plain s2d."""
+    w = p[f"{name}.weight"]
+    if _use_fused_kernel(x, w) and x.shape[1] % 2 == 0:
+        from hdrtv_tpu.ops.conv_kernels import fused_block_conv3_s2
+
+        return fused_block_conv3_s2(
+            policy.cast(x[0]), policy.cast(w), p[f"{name}.bias"], relu=relu_fused
+        )[None]
+    y = _conv(p, name, x, stride=2, padding=[(1, 0), (1, 0)], policy=policy)
+    return relu(y) if relu_fused else y
 
 
 def conv_s2_nat(p, name, x, *, policy):
-    """Stride-2 3×3, natural output: 2×2 stride-1 VALID over X'."""
-    return _conv(p, name, xprime(x), policy=policy)
+    """Stride-2 3×3, natural output: 2×2 stride-1, (1,0) pad over plain s2d."""
+    return _conv(p, name, x, padding=[(1, 0), (1, 0)], policy=policy)
 
 
 def conv_1x1(p, name, x, *, policy):
@@ -362,7 +401,47 @@ def conv_nat(p, name, x, *, pad=1, policy):
 # ---------------------------------------------------------------------------
 
 
+def _fused_ok(*tensors, policy: Policy | None = None) -> bool:
+    """Use the Pallas tile-map path: TPU, batch 1, row-divisible tiles.
+
+    bf16 only: Mosaic lowers fp32 matmuls through bf16 MXU passes, so the
+    strict-fp32 policy keeps the XLA path (HIGHEST precision).
+
+    Opt-in (HDRTV_TILEWISE=1): the pointwise fusions measured ≈neutral on
+    wall time while adding several Mosaic modules to the already slow,
+    memory-limited remote compile — off by default.
+    """
+    from hdrtv_tpu.utils.env import env_bool
+
+    if not env_bool("HDRTV_TILEWISE", False):
+        return False
+    if env_bool("HDRTV_DISABLE_PALLAS", False):
+        return False
+    if policy is not None and policy.compute_dtype != jnp.bfloat16:
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and all(t.shape[0] == 1 for t in tensors)
+        and tensors[0].shape[1] % 8 == 0
+    )
+
+
+def _w11(p, name, policy):
+    return policy.cast(p[f"{name}.weight"][0, 0]), policy.cast(p[f"{name}.bias"])
+
+
 def _sft(p, name, fea, cond, conv, *, policy):
+    if conv is conv_1x1 and _fused_ok(fea, cond, policy=policy):
+        from hdrtv_tpu.ops.tilewise import fused_sft
+
+        wsc0, bsc0 = _w11(p, f"{name}.SFT_scale_conv0", policy)
+        wsc1, bsc1 = _w11(p, f"{name}.SFT_scale_conv1", policy)
+        wsh0, bsh0 = _w11(p, f"{name}.SFT_shift_conv0", policy)
+        wsh1, bsh1 = _w11(p, f"{name}.SFT_shift_conv1", policy)
+        return fused_sft(
+            policy.cast(fea[0]), policy.cast(cond[0]),
+            wsc0, bsc0, wsc1, bsc1, wsh0, bsh0, wsh1, bsh1,
+        )[None]
     scale = conv(p, f"{name}.SFT_scale_conv1", leaky_relu(conv(p, f"{name}.SFT_scale_conv0", cond, policy=policy), 0.1), policy=policy)
     shift = conv(p, f"{name}.SFT_shift_conv1", leaky_relu(conv(p, f"{name}.SFT_shift_conv0", cond, policy=policy), 0.1), policy=policy)
     return fea * (scale + 1.0) + shift
@@ -370,10 +449,10 @@ def _sft(p, name, fea, cond, conv, *, policy):
 
 def _resblock(p, name, fea, cond, conv3, conv1, *, policy):
     out = _sft(p, f"{name}.sft1", fea, cond, conv1, policy=policy)
-    out = relu(conv3(p, f"{name}.conv1", out, policy=policy))
+    out = conv3(p, f"{name}.conv1", out, policy=policy, relu_fused=True)
     out = _sft(p, f"{name}.sft2", out, cond, conv1, policy=policy)
-    out = conv3(p, f"{name}.conv2", out, policy=policy)
-    return fea + out
+    # conv2 + residual add fused into one kernel pass
+    return conv3(p, f"{name}.conv2", out, policy=policy, skip=fea)
 
 
 def _tile4(v: jax.Array) -> jax.Array:
@@ -395,6 +474,22 @@ def agcm_s2d(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy) -
     def mod(out, scale, shift):
         return out * _tile4(scale) + _tile4(shift) + out
 
+    if _fused_ok(xs, policy=policy):
+        from hdrtv_tpu.ops.tilewise import fused_agcm_body
+
+        def mods_for(tag):
+            s = jnp.tile(lin(f"AGCM.cond_scale_{tag}"), (1, 4))[0]
+            sh = jnp.tile(lin(f"AGCM.cond_shift_{tag}"), (1, 4))[0]
+            return jnp.stack((s, sh)).astype(jnp.float32)
+
+        w1, b1 = _w11(p, "AGCM.conv_first", policy)
+        w2, b2 = _w11(p, "AGCM.HRconv", policy)
+        w3, b3 = _w11(p, "AGCM.conv_last", policy)
+        return fused_agcm_body(
+            policy.cast(xs[0]), w1, b1, w2, b2, w3, b3,
+            (mods_for("first"), mods_for("HR"), mods_for("last")),
+        )[None]
+
     out = conv_1x1(p, "AGCM.conv_first", xs, policy=policy)
     out = relu(mod(out, lin("AGCM.cond_scale_first"), lin("AGCM.cond_shift_first")))
     out = conv_1x1(p, "AGCM.HRconv", out, policy=policy)
@@ -409,12 +504,27 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
     mask_out = xs  # weighting_network=False long skip
 
     c = leaky_relu(conv_s1(p, "LE.cond_first.0", conds, policy=policy), 0.1)
-    c = leaky_relu(conv_1x1(p, "LE.cond_first.2", c, policy=policy), 0.1)
-    c = leaky_relu(conv_1x1(p, "LE.cond_first.4", c, policy=policy), 0.1)
+    if _fused_ok(c, policy=policy):
+        from hdrtv_tpu.ops.tilewise import fused_pointwise_chain
 
-    c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.0", c, policy=policy), 0.1)
-    c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.2", c1, policy=policy), 0.1)
-    cond1 = conv_1x1(p, "LE.CondNet1.4", c1, policy=policy)
+        c = fused_pointwise_chain(
+            policy.cast(c[0]),
+            [(*_w11(p, "LE.cond_first.2", policy), "lrelu"), (*_w11(p, "LE.cond_first.4", policy), "lrelu")],
+        )[None]
+        cond1 = fused_pointwise_chain(
+            policy.cast(c[0]),
+            [
+                (*_w11(p, "LE.CondNet1.0", policy), "lrelu"),
+                (*_w11(p, "LE.CondNet1.2", policy), "lrelu"),
+                (*_w11(p, "LE.CondNet1.4", policy), None),
+            ],
+        )[None]
+    else:
+        c = leaky_relu(conv_1x1(p, "LE.cond_first.2", c, policy=policy), 0.1)
+        c = leaky_relu(conv_1x1(p, "LE.cond_first.4", c, policy=policy), 0.1)
+        c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.0", c, policy=policy), 0.1)
+        c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.2", c1, policy=policy), 0.1)
+        cond1 = conv_1x1(p, "LE.CondNet1.4", c1, policy=policy)
 
     c2 = leaky_relu(conv_s2(p, "LE.CondNet2.0", c, policy=policy), 0.1)
     c2 = leaky_relu(conv_1x1(p, "LE.CondNet2.2", c2, policy=policy), 0.1)
@@ -430,23 +540,27 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
 
     fea0 = act(conv_s1(p, "LE.conv_first", xs, policy=policy))
     fea0 = _sft(p, "LE.SFT_layer1", fea0, cond1, conv_1x1, policy=policy)
-    fea0 = act(conv_s1(p, "LE.HR_conv1", fea0, policy=policy))
+    fea0 = conv_s1(p, "LE.HR_conv1", fea0, policy=policy, relu_fused=True)
 
-    fea1 = act(conv_s2(p, "LE.down_conv1", fea0, policy=policy))
+    fea1 = conv_s2(p, "LE.down_conv1", fea0, policy=policy, relu_fused=True)
     fea1 = _resblock(p, "LE.recon_trunk1.0", fea1, cond2, conv_s1, conv_1x1, policy=policy)
 
-    fea2 = act(conv_s2(p, "LE.down_conv2", fea1, policy=policy))
+    fea2 = conv_s2(p, "LE.down_conv2", fea1, policy=policy, relu_fused=True)
     fea2 = _resblock(p, "LE.recon_trunk2.0", fea2, cond3, conv_s1, conv_1x1, policy=policy)
 
     fea3 = act(conv_s2_nat(p, "LE.down_conv3", fea2, policy=policy))  # natural /8
+    def conv3_nat(p_, n_, x_, *, policy, relu_fused=False, skip=None):
+        y = conv_nat(p_, n_, x_, policy=policy)
+        if skip is not None:
+            y = y + policy.cast(skip)
+        return relu(y) if relu_fused else y
+
+    def conv1_nat(p_, n_, x_, *, policy):
+        return conv_nat(p_, n_, x_, pad=0, policy=policy)
+
     out = fea3
     for i in range(4):
-        out = _resblock(
-            p, f"LE.recon_trunk3.{i}", out, cond4,
-            lambda p_, n_, x_, policy: conv_nat(p_, n_, x_, policy=policy),
-            lambda p_, n_, x_, policy: conv_nat(p_, n_, x_, pad=0, policy=policy),
-            policy=policy,
-        )
+        out = _resblock(p, f"LE.recon_trunk3.{i}", out, cond4, conv3_nat, conv1_nat, policy=policy)
     out = out + fea3
 
     # up_conv1: natural conv + PS fold → s2d L2 tensor directly.
@@ -454,16 +568,17 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
     out = _resblock(p, "LE.recon_trunk4.0", up + fea2, cond3, conv_s1, conv_1x1, policy=policy)
 
     # up_conv2: s2d conv at L2 + PS fold + block d2s → s2d L1.
-    up = act(d2s_blocks(conv_s1(p, "LE.up_conv2.0", out, policy=policy)))
+    # ReLU commutes with d2s (elementwise vs permutation) → fuse into the conv.
+    up = d2s_blocks(conv_s1(p, "LE.up_conv2.0", out, policy=policy, relu_fused=True))
     out = _resblock(p, "LE.recon_trunk5.0", up + fea1, cond2, conv_s1, conv_1x1, policy=policy)
 
-    up = act(d2s_blocks(conv_s1(p, "LE.up_conv3.0", out, policy=policy)))
+    up = d2s_blocks(conv_s1(p, "LE.up_conv3.0", out, policy=policy, relu_fused=True))
     out = up + fea0
     out = _sft(p, "LE.SFT_layer2", out, cond1, conv_1x1, policy=policy)
 
-    out = act(conv_s1(p, "LE.HR_conv2", out, policy=policy))
-    out = conv_s1(p, "LE.conv_last", out, policy=policy)
-    return mask_out + out
+    out = conv_s1(p, "LE.HR_conv2", out, policy=policy, relu_fused=True)
+    out = conv_s1(p, "LE.conv_last", out, policy=policy, skip=mask_out)
+    return out
 
 
 def ensemble_s2d(

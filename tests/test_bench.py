@@ -1,0 +1,142 @@
+"""Benchmark suite tests: playback sessions, quality metrics flow, GT sync."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class FakeProcessor:
+    model_path = ""
+
+    def warmup_compile(self, w, h, **kw):
+        return 0.0
+
+    def process_rgb48_device(self, frame):
+        return (frame.astype(jnp.uint16) * 257)
+
+    def process_rgb48(self, frame):
+        return np.asarray(frame, dtype=np.uint16) * 257
+
+
+class TestPlaybackBench:
+    def test_session_layout(self, tmp_path):
+        from hdrtv_tpu.bench.playback import PlaybackRunConfig, run_playback_benchmark
+
+        cfg = PlaybackRunConfig(resolution_key="540p", realtime=False, duration_s=0.3, warmup_frames=2)
+        res = run_playback_benchmark(cfg, FakeProcessor(), str(tmp_path))
+        assert res.frames > 0
+        for name in ("session.json", "summary.txt", "runtime_metrics.csv"):
+            assert os.path.isfile(tmp_path / name)
+        with open(tmp_path / "session.json") as f:
+            data = json.load(f)
+        assert data["frames"] == res.frames
+
+    def test_batch_csv(self, tmp_path):
+        from hdrtv_tpu.bench.playback import PlaybackRunConfig, run_batch
+
+        cfgs = [
+            PlaybackRunConfig(resolution_key="540p", realtime=False, duration_s=0.2, warmup_frames=1),
+            PlaybackRunConfig(resolution_key="720p", realtime=False, duration_s=0.2, warmup_frames=1),
+        ]
+        results = run_batch(cfgs, lambda cfg: FakeProcessor(), str(tmp_path))
+        assert len(results) == 2
+        assert os.path.isfile(tmp_path / "batch.csv")
+
+
+class TestQualityBench:
+    def test_full_quality_run(self, tmp_path):
+        from hdrtv_tpu.bench.quality import QualityRunConfig, run_quality_benchmark
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        src = SyntheticSource(96, 64, fps=30, frames=120)
+
+        def gt_reader(idx):
+            # "GT" = the identity-scaled frame the fake processor produces
+            s = SyntheticSource(96, 64, fps=30, frames=120)
+            s.seek(idx)
+            meta = s.read_with_meta()
+            if meta is None:
+                return None
+            return meta[0].astype(np.float32) / 255.0
+
+        cfg = QualityRunConfig(frame_count=3)
+        summary = run_quality_benchmark(
+            cfg, FakeProcessor(), src, gt_reader, str(tmp_path), source_name="synthetic"
+        )
+        assert summary["mean_psnr"] is not None
+        # fake processor output == GT → near-perfect metrics
+        assert summary["mean_psnr"] > 45.0
+        assert summary["mean_ssim"] > 0.99
+        assert os.path.isfile(os.path.join(summary["session_dir"], "results.csv"))
+
+    def test_distinct_frame_selection(self):
+        from hdrtv_tpu.bench.quality import select_distinct_frames
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        src = SyntheticSource(96, 64, fps=30, frames=200)
+        frames = select_distinct_frames(src, 5)
+        assert len(frames) == 5
+        assert frames == sorted(frames)
+        assert len(set(frames)) == 5
+
+
+class TestGTSync:
+    def test_frame_map_rate_aware(self):
+        from hdrtv_tpu.bench.gt_sync import make_frame_map
+
+        fmap = make_frame_map(sdr_fps=24.0, gt_fps=48.0)
+        assert fmap(10) == 20
+        fmap_off = make_frame_map(24.0, 24.0, offset_frames=3)
+        assert fmap_off(10) == 13
+
+    def test_sync_offset_search_finds_shift(self):
+        from hdrtv_tpu.bench.gt_sync import find_sync_offset, make_frame_map
+
+        rng = np.random.RandomState(0)
+        clip = [rng.rand(32, 48, 3).astype(np.float32) for _ in range(60)]
+        true_offset = 4
+
+        class Reader:
+            def read_unit_rgb(self, idx):
+                j = idx - true_offset
+                return clip[j] if 0 <= j < len(clip) else None
+
+        sdr_frames = {i: clip[i] for i in (10, 20, 30)}
+        off, score = find_sync_offset(sdr_frames, Reader(), make_frame_map(30, 30), window_frames=8)
+        assert off == true_offset
+        assert score > 0.9
+
+    def test_sync_offset_min_gain_rejects_noise(self):
+        from hdrtv_tpu.bench.gt_sync import find_sync_offset, make_frame_map
+
+        rng = np.random.RandomState(1)
+        clip = [rng.rand(32, 48, 3).astype(np.float32) for _ in range(40)]
+
+        class Reader:
+            def read_unit_rgb(self, idx):
+                return clip[idx] if 0 <= idx < len(clip) else None
+
+        sdr_frames = {i: clip[i] for i in (5, 15, 25)}  # already aligned
+        off, _ = find_sync_offset(sdr_frames, Reader(), make_frame_map(30, 30), window_frames=6)
+        assert off == 0
+
+    def test_sync_offset_cache(self, tmp_path):
+        from hdrtv_tpu.bench.gt_sync import find_sync_offset, make_frame_map
+
+        clip = [np.random.RandomState(i).rand(16, 16, 3).astype(np.float32) for i in range(20)]
+
+        class Reader:
+            calls = 0
+
+            def read_unit_rgb(self, idx):
+                Reader.calls += 1
+                return clip[idx] if 0 <= idx < len(clip) else None
+
+        cache = str(tmp_path / "sync.json")
+        args = ({5: clip[5]}, Reader(), make_frame_map(30, 30))
+        find_sync_offset(*args, window_frames=3, cache_path=cache, cache_key="k")
+        calls_first = Reader.calls
+        find_sync_offset(*args, window_frames=3, cache_path=cache, cache_key="k")
+        assert Reader.calls == calls_first  # cache hit, no re-read

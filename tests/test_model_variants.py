@@ -1,0 +1,113 @@
+"""Golden parity for the architecture variant families.
+
+AGCM plain/affine/lite/spatial/spatial-mix/lowrank, LE cleantrunk, and the
+HG direct generator, against reference outputs with seeded random weights
+(fixtures from tools/make_goldens.py).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tests.conftest import load_fixture
+
+
+def _params_from(fx: dict, prefix: str) -> dict:
+    from hdrtv_tpu.models.import_torch import convert_state
+
+    raw = {k[len(prefix):]: v for k, v in fx.items() if k.startswith(prefix)}
+    return {k: jnp.asarray(v) for k, v in convert_state(raw).items()}
+
+
+class TestAGCMVariants:
+    @pytest.mark.parametrize(
+        "tag,classifier",
+        [
+            ("plain", "agcm_plain"),
+            ("affine", "agcm_affine"),
+            ("lite8", "agcm_lite_8"),
+            ("spatial", "spatial_h4_wide8_x2"),
+            ("spatialmix", "spatial_mix_h4_wide8_x2"),
+        ],
+    )
+    def test_variant_matches_reference(self, tag, classifier):
+        from hdrtv_tpu.models.agcm import agcm_apply
+
+        fx = load_fixture("agcm_variants.npz")
+        params = _params_from(fx, f"{tag}__sd__")
+        out = agcm_apply(
+            params,
+            jnp.asarray(fx["img"]),
+            jnp.asarray(fx["cond"]),
+            prefix="",
+            classifier=classifier,
+        )
+        np.testing.assert_allclose(np.asarray(out), fx[f"{tag}__out"], atol=2e-5, rtol=0)
+
+    def test_mode_detection(self):
+        from hdrtv_tpu.models.agcm import agcm_mode
+
+        assert agcm_mode("plain") == "plain"
+        assert agcm_mode("adaptive_affine") == "affine"
+        assert agcm_mode("lite_16") == "lite"
+        assert agcm_mode("lowrank8") == "lowrank"
+        assert agcm_mode("spatial_mix_h16") == "spatial_mix"
+        assert agcm_mode("spatialh8wide16x2") == "spatial_affine"
+        assert agcm_mode("color_condition") == "dynamic"
+
+
+class TestEnsembleVariants:
+    @pytest.mark.parametrize(
+        "tag,le_arch",
+        [
+            ("cleantrunk", "cleantrunk"),
+            ("cleantrunk_deep8", "cleantrunk_deep8"),
+            ("wide64x4", "cleantrunk_wide64x4"),
+            ("selectsft23", "selectsft23"),
+            ("bottleneck_heavy", "bottleneck_heavy"),
+            ("flatall8", "cleantrunk_flatall8"),
+            ("plainflatlinear8", "plainflatlinear8"),
+            ("plainbottleneck", "plainbottleneckh8wide24x2"),
+            ("conddirect", "conddirecth4wide24x2"),
+            ("condgatedirect", "condgatedirecth4wide24x2"),
+        ],
+    )
+    def test_le_arch_matches_reference(self, tag, le_arch):
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig, ensemble_agcm_le
+
+        fx = load_fixture("ensemble_variants.npz")
+        params = _params_from(fx, f"{tag}__sd__")
+        cfg = ModelConfig(le_arch=le_arch, nf=16)
+        out = ensemble_agcm_le(params, jnp.asarray(fx["img"]), jnp.asarray(fx["cond"]), cfg)
+        np.testing.assert_allclose(np.asarray(out), fx[f"{tag}__out"], atol=1e-4, rtol=0)
+
+    def test_lowrank_svd_remap_matches_reference(self):
+        """Checkpoint remap: full-rank HRconv factored via SVD into
+        reduce/expand (Condition_arch.remap_condition_state_dict)."""
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig, ensemble_agcm_le
+        from hdrtv_tpu.models.import_torch import convert_state, remap_condition_state
+
+        fx = load_fixture("ensemble_variants.npz")
+        raw = {k[len("lowrank4__sd__"):]: v for k, v in fx.items() if k.startswith("lowrank4__sd__")}
+        raw = remap_condition_state(raw, prefix="AGCM.", classifier="lowrank_4")
+        params = {k: jnp.asarray(v) for k, v in convert_state(raw).items()}
+        cfg = ModelConfig(classifier="agcm_lowrank4", nf=16)
+        out = ensemble_agcm_le(params, jnp.asarray(fx["img"]), jnp.asarray(fx["cond"]), cfg)
+        np.testing.assert_allclose(np.asarray(out), fx["lowrank4__out"], atol=2e-4, rtol=0)
+
+
+class TestHGDirect:
+    def test_hg_direct_matches_reference(self):
+        from hdrtv_tpu.models.hg import hg_direct_apply
+
+        fx = load_fixture("hg_direct.npz")
+        params = _params_from(fx, "sd__")
+        out = hg_direct_apply(
+            params,
+            jnp.asarray(fx["img"]),
+            jnp.asarray(fx["mask"]),
+            prefix="",
+            bottleneck_scale=4,
+            trunk_depth=2,
+        )
+        np.testing.assert_allclose(np.asarray(out), fx["out"], atol=2e-5, rtol=0)

@@ -37,18 +37,17 @@ class TestS2DDataMovement:
         out = np.asarray(s2d(jnp.asarray(x)))
         assert out[0, 0, 0, 2] == 7.0  # channel (a*2+b)*C = 2
 
-    def test_xprime_padding_semantics(self):
-        from hdrtv_tpu.models.s2d import s2d, xprime
+    def test_s2d_conv_weight_sparsity(self):
+        """The 3×3 block-domain kernel populates exactly 9 of 36 routing
+        slots per (in-sub, out-sub) pair — the exact-transform invariant."""
+        from hdrtv_tpu.models.s2d import w_s2d_s1
 
-        rng = np.random.RandomState(1)
-        x = rng.rand(1, 6, 6, 1).astype(np.float32)
-        xp = np.asarray(xprime(s2d(jnp.asarray(x))))
-        # X'[J,K,(a,b)] = x[2J+a-1, 2K+b-1], zero outside
-        assert xp.shape == (1, 4, 4, 4)
-        assert xp[0, 0, 0, 0] == 0.0  # x[-1,-1]
-        assert xp[0, 0, 0, 3] == x[0, 0, 0, 0]  # (a,b)=(1,1) → x[0,0]
-        assert xp[0, 1, 1, 0] == x[0, 1, 1, 0]  # (0,0) → x[2J-1=1, 2K-1=1]
-        assert xp[0, 3, 3, 3] == 0.0  # x[6,6] out of range
+        w = np.random.RandomState(1).rand(3, 3, 2, 2).astype(np.float32)
+        t = w_s2d_s1(w)
+        assert t.shape == (3, 3, 8, 8)
+        # count nonzero (tap, in-sub, out-sub) combos per channel pair
+        nz = (np.abs(t.reshape(9, 4, 2, 4, 2)) > 0).any(axis=(2, 4)).sum()
+        assert nz == 36  # 9 taps·4 slots... each (out-sub) has 9 valid slots
 
 
 class TestS2DEquivalence:

@@ -83,6 +83,85 @@ def main() -> None:
     )
     print("hg_tiny.npz written; out range", hg_out.min().item(), hg_out.max().item())
 
+    # --- Architecture variant goldens (seeded random init, tiny sizes) -----
+    import torch.nn as nn
+
+    from models.hdrtvnet_modules.Condition_arch import ConditionNet
+    from models.hdrtvnet_modules.Ensemble_AGCM_LE_arch import Ensemble_AGCM_LE as Ens
+    from models.hdrtvnet_modules.Hallucination_arch import Hallucination_Generator_Direct
+
+    var_img = rng.rand(1, 3, 32, 48).astype(np.float32)
+    # classifier pools ÷32 — keep the condition large enough for InstanceNorm
+    var_cond = rng.rand(1, 3, 32, 48).astype(np.float32)
+
+    agcm_variants = {
+        "plain": "agcm_plain",
+        "affine": "agcm_affine",
+        "lite8": "agcm_lite_8",
+        "spatial": "spatial_h4_wide8_x2",
+        "spatialmix": "spatial_mix_h4_wide8_x2",
+    }
+    blobs = {"img": _nhwc(var_img), "cond": _nhwc(var_cond)}
+    for tag, classifier in agcm_variants.items():
+        torch.manual_seed(hash(tag) % 2**31)
+        net = ConditionNet(nf=16, classifier=classifier, cond_c=6).eval()
+        with torch.no_grad():
+            out, _ = net((torch.from_numpy(var_img), torch.from_numpy(var_cond)))
+        blobs[f"{tag}__out"] = _nhwc(out.numpy())
+        for k, v in net.state_dict().items():
+            blobs[f"{tag}__sd__{k}"] = v.numpy()
+    np.savez_compressed(os.path.join(FIXTURES, "agcm_variants.npz"), **blobs)
+    print("agcm_variants.npz written")
+
+    # LE arch-family ensembles + lowrank AGCM
+    blobs = {"img": _nhwc(var_img), "cond": _nhwc(var_cond)}
+    for tag, kwargs in {
+        "cleantrunk": dict(le_arch="cleantrunk"),
+        "lowrank4": dict(classifier="lowrank_4"),
+        "cleantrunk_deep8": dict(le_arch="cleantrunk_deep8"),
+        "wide64x4": dict(le_arch="cleantrunk_wide64x4"),
+        "selectsft23": dict(le_arch="selectsft23"),
+        "bottleneck_heavy": dict(le_arch="bottleneck_heavy"),
+        "flatall8": dict(le_arch="cleantrunk_flatall8"),
+        "plainflatlinear8": dict(le_arch="plainflatlinear8"),
+        "plainbottleneck": dict(le_arch="plainbottleneckh8wide24x2"),
+        "conddirect": dict(le_arch="conddirecth4wide24x2"),
+        "condgatedirect": dict(le_arch="condgatedirecth4wide24x2"),
+    }.items():
+        torch.manual_seed(77)
+        net = Ens(classifier=kwargs.get("classifier", "color_condition"), cond_c=6, nf=16,
+                  weighting_network=False, le_arch=kwargs.get("le_arch", "sft")).eval()
+        sd = net.state_dict()
+        if tag == "lowrank4":
+            # exercise the SVD remap: build from a plain HRconv checkpoint
+            torch.manual_seed(78)
+            full = Ens(classifier="color_condition", cond_c=6, nf=16, weighting_network=False).eval()
+            sd = full.state_dict()
+            net.load_state_dict(sd, strict=False)
+            sd_save = sd
+        else:
+            sd_save = sd
+        with torch.no_grad():
+            out, _ = net((torch.from_numpy(var_img), torch.from_numpy(var_cond)))
+        blobs[f"{tag}__out"] = _nhwc(out.numpy())
+        for k, v in sd_save.items():
+            blobs[f"{tag}__sd__{k}"] = v.numpy()
+    np.savez_compressed(os.path.join(FIXTURES, "ensemble_variants.npz"), **blobs)
+    print("ensemble_variants.npz written")
+
+    # HG direct variant (compiler-first low-res island)
+    torch.manual_seed(99)
+    hgd = Hallucination_Generator_Direct(nf=8, trunk_depth=2, wide_nf=16, bottleneck_scale=4).eval()
+    hg_img2 = rng.rand(1, 3, 32, 48).astype(np.float32)
+    hg_mask2 = (rng.rand(1, 1, 32, 48) > 0.7).astype(np.float32)
+    with torch.no_grad():
+        out = hgd((torch.from_numpy(hg_img2), torch.from_numpy(hg_mask2)))
+    blobs = {"img": _nhwc(hg_img2), "mask": _nhwc(hg_mask2), "out": _nhwc(out.numpy())}
+    for k, v in hgd.state_dict().items():
+        blobs[f"sd__{k}"] = v.numpy()
+    np.savez_compressed(os.path.join(FIXTURES, "hg_direct.npz"), **blobs)
+    print("hg_direct.npz written")
+
     # --- Bicubic+antialias ¼-res condition downsample golden ---------------
     import torch.nn.functional as TF
 
