@@ -125,6 +125,33 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_build_engines(args) -> int:
+    """Batch engine prebuild over resolutions × precisions — the
+    build_tensorrt_engines.py role (/root/reference/src/build_tensorrt_engines.py:260)."""
+    import time as _time
+
+    from hdrtv_tpu.config import processing_dims
+
+    resolutions = args.resolutions.split(",")
+    precisions = args.precisions.split(",")
+    for precision in precisions:
+        a = argparse.Namespace(**{**vars(args), "precision": precision})
+        proc = _make_processor(a)
+        for res in resolutions:
+            w, h = processing_dims(res.strip())
+            dt = proc.warmup_compile(w, h)
+            line = f"{precision} {res}: engine ready in {dt:.1f}s"
+            if args.benchmark_runs:
+                frame = (np.random.RandomState(0).rand(h, w, 3) * 255).astype(np.uint8)
+                t0 = _time.perf_counter()
+                for _ in range(args.benchmark_runs):
+                    proc.process_rgb48(frame)
+                ms = (_time.perf_counter() - t0) / args.benchmark_runs * 1e3
+                line += f"; {ms:.1f} ms/frame over {args.benchmark_runs} runs"
+            print(line, flush=True)
+    return 0
+
+
 def cmd_engines(args) -> int:
     from hdrtv_tpu.runtime.engine import EngineRegistry
 
@@ -187,6 +214,33 @@ def cmd_quantize(args) -> int:
     for v in summary.values():
         counts[v] = counts.get(v, 0) + 1
     print(f"wrote {args.out}; layer mix: {counts}")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Checkpoint parity validation vs an fp32 teacher
+    (validate_tensorrt_sources.py role, SURVEY.md §4)."""
+    from hdrtv_tpu.bench.validate import temporal_stability_probe, validate_checkpoint
+    from hdrtv_tpu.models.hdrtvnet import ModelConfig
+    from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz
+
+    def load(path):
+        if path.endswith(".npz"):
+            return load_npz(path), ModelConfig(use_hg=args.use_hg)
+        return load_checkpoint(path, use_hg=args.use_hg)
+
+    student, cfg = load(args.model)
+    teacher, _ = load(args.teacher)
+    expected = None
+    if args.expect_w8a8 is not None:
+        expected = {"w8a8": args.expect_w8a8} if not args.asymmetric else {"w8a8-asym": args.expect_w8a8}
+    report = validate_checkpoint(
+        student, teacher, cfg, frame_count=args.frames, expected_mix=expected, out_dir=args.out
+    )
+    result = report.as_dict()
+    if args.temporal:
+        result["temporal"] = temporal_stability_probe(student, cfg)
+    print(json.dumps(result, indent=2))
     return 0
 
 
@@ -256,6 +310,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("action", choices=["list", "clear", "warm"])
     e.set_defaults(fn=cmd_engines)
 
+    be = sub.add_parser("build-engines", help="batch engine prebuild (resolutions × precisions)")
+    _add_model_args(be)
+    be.add_argument("--resolutions", default="1080p,720p")
+    be.add_argument("--precisions", default="FP16")
+    be.add_argument("--benchmark-runs", type=int, default=0)
+    be.set_defaults(fn=cmd_build_engines)
+
     z = sub.add_parser("quantize", help="PTQ quantization")
     z.add_argument("--model", required=True)
     z.add_argument("--out", required=True)
@@ -267,6 +328,17 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--calib-frames", type=int, default=16)
     z.add_argument("--calib-method", default="max", choices=["max", "percentile"])
     z.set_defaults(fn=cmd_quantize)
+
+    v = sub.add_parser("validate", help="checkpoint parity vs fp32 teacher")
+    v.add_argument("--model", required=True)
+    v.add_argument("--teacher", required=True)
+    v.add_argument("--frames", type=int, default=4)
+    v.add_argument("--use-hg", action="store_true")
+    v.add_argument("--expect-w8a8", type=int, default=None, help="assert quantized-layer contract")
+    v.add_argument("--asymmetric", action="store_true")
+    v.add_argument("--temporal", action="store_true", help="run the temporal stability probe")
+    v.add_argument("--out", default=None, help="write ×8 diff contact sheets + report.json")
+    v.set_defaults(fn=cmd_validate)
 
     i = sub.add_parser("info", help="checkpoint inspection")
     i.add_argument("--model", required=True)

@@ -303,6 +303,22 @@ def s2d_transform_params(params: dict, cfg: ModelConfig | None = None) -> dict:
     for k, v in params.items():
         if k not in handled and k not in out:
             out[k] = np.asarray(v)
+
+    # Exact consolidations: convs sharing one input fuse into a single wider
+    # conv (one pass over the input instead of N) — outputs split afterwards.
+    if "LE.conv_first.weight" in out and "LE.cond_first.0.weight" in out:
+        out["LE.__in_fused.weight"] = np.concatenate(
+            (out["LE.conv_first.weight"], out["LE.cond_first.0.weight"]), axis=-1
+        )
+        out["LE.__in_fused.bias"] = np.concatenate(
+            (out["LE.conv_first.bias"], out["LE.cond_first.0.bias"])
+        )
+    down_keys = [f"LE.CondNet{i}.0" for i in (2, 3, 4)]
+    if all(f"{k}.weight" in out for k in down_keys):
+        out["LE.__cond_down.weight"] = np.concatenate(
+            [out[f"{k}.weight"] for k in down_keys], axis=-1
+        )
+        out["LE.__cond_down.bias"] = np.concatenate([out[f"{k}.bias"] for k in down_keys])
     return out
 
 
@@ -336,10 +352,10 @@ def _use_fused_kernel(x: jax.Array, w: jax.Array) -> bool:
         return False
     if x.shape[0] != 1:
         return False
-    # 128-channel multiples only: narrow-channel variants measured no faster
-    # than XLA and every extra Mosaic module inflates the (slow, memory-
-    # limited) remote compile.
     c, co = w.shape[2], w.shape[3]
+    if env_bool("HDRTV_WIDE_KERNELS", False):
+        # any 4-multiple channels (narrow heads included)
+        return c % 4 == 0 and co % 4 == 0 and x.shape[2] % 8 == 0
     return c % 128 == 0 and co % 128 == 0 and x.shape[2] % 8 == 0
 
 
@@ -371,9 +387,15 @@ def conv_s1(p, name, x, *, policy, relu_fused: bool = False, skip: jax.Array | N
 
 
 def conv_s2(p, name, x, *, policy, relu_fused: bool = False):
-    """Stride-2 3×3, s2d output: 3×3 stride-2, (1,0) pad over plain s2d."""
+    """Stride-2 3×3, s2d output: 3×3 stride-2, (1,0) pad over plain s2d.
+
+    The Pallas stride-2 kernel is opt-in (HDRTV_S2_KERNEL=1): its extra
+    Mosaic modules tip the remote compile helper into OOM on this runner.
+    """
+    from hdrtv_tpu.utils.env import env_bool
+
     w = p[f"{name}.weight"]
-    if _use_fused_kernel(x, w) and x.shape[1] % 2 == 0:
+    if env_bool("HDRTV_S2_KERNEL", False) and _use_fused_kernel(x, w) and x.shape[1] % 2 == 0:
         from hdrtv_tpu.ops.conv_kernels import fused_block_conv3_s2
 
         return fused_block_conv3_s2(
@@ -413,7 +435,7 @@ def _fused_ok(*tensors, policy: Policy | None = None) -> bool:
     """
     from hdrtv_tpu.utils.env import env_bool
 
-    if not env_bool("HDRTV_TILEWISE", False):
+    if not env_bool("HDRTV_TILEWISE", True):
         return False
     if env_bool("HDRTV_DISABLE_PALLAS", False):
         return False
@@ -430,14 +452,22 @@ def _w11(p, name, policy):
     return policy.cast(p[f"{name}.weight"][0, 0]), policy.cast(p[f"{name}.bias"])
 
 
+def _w11_small(p, name, policy):
+    """Recover the original (Ci,Co) 1×1 kernel from its 4-way block-diag
+    s2d expansion (the top-left block; bias is tiled ×4 → first Co)."""
+    w = p[f"{name}.weight"][0, 0]
+    ci, co = w.shape[0] // 4, w.shape[1] // 4
+    return policy.cast(w[:ci, :co]), policy.cast(p[f"{name}.bias"][:co])
+
+
 def _sft(p, name, fea, cond, conv, *, policy):
     if conv is conv_1x1 and _fused_ok(fea, cond, policy=policy):
         from hdrtv_tpu.ops.tilewise import fused_sft
 
-        wsc0, bsc0 = _w11(p, f"{name}.SFT_scale_conv0", policy)
-        wsc1, bsc1 = _w11(p, f"{name}.SFT_scale_conv1", policy)
-        wsh0, bsh0 = _w11(p, f"{name}.SFT_shift_conv0", policy)
-        wsh1, bsh1 = _w11(p, f"{name}.SFT_shift_conv1", policy)
+        wsc0, bsc0 = _w11_small(p, f"{name}.SFT_scale_conv0", policy)
+        wsc1, bsc1 = _w11_small(p, f"{name}.SFT_scale_conv1", policy)
+        wsh0, bsh0 = _w11_small(p, f"{name}.SFT_shift_conv0", policy)
+        wsh1, bsh1 = _w11_small(p, f"{name}.SFT_shift_conv1", policy)
         return fused_sft(
             policy.cast(fea[0]), policy.cast(cond[0]),
             wsc0, bsc0, wsc1, bsc1, wsh0, bsh0, wsh1, bsh1,
@@ -482,9 +512,9 @@ def agcm_s2d(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy) -
             sh = jnp.tile(lin(f"AGCM.cond_shift_{tag}"), (1, 4))[0]
             return jnp.stack((s, sh)).astype(jnp.float32)
 
-        w1, b1 = _w11(p, "AGCM.conv_first", policy)
-        w2, b2 = _w11(p, "AGCM.HRconv", policy)
-        w3, b3 = _w11(p, "AGCM.conv_last", policy)
+        w1, b1 = _w11_small(p, "AGCM.conv_first", policy)
+        w2, b2 = _w11_small(p, "AGCM.HRconv", policy)
+        w3, b3 = _w11_small(p, "AGCM.conv_last", policy)
         return fused_agcm_body(
             policy.cast(xs[0]), w1, b1, w2, b2, w3, b3,
             (mods_for("first"), mods_for("HR"), mods_for("last")),
@@ -503,20 +533,29 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
     act = relu
     mask_out = xs  # weighting_network=False long skip
 
-    c = leaky_relu(conv_s1(p, "LE.cond_first.0", conds, policy=policy), 0.1)
+    # conv_first and cond_first.0 read the same tensor in the ensemble
+    # (LE input = [agcm_out, agcm_out]); fuse into one pass when possible.
+    fea0_pre = None
+    if xs is conds and "LE.__in_fused.weight" in p:
+        y = conv_s1(p, "LE.__in_fused", xs, policy=policy)
+        n_first = p["LE.conv_first.bias"].shape[-1]
+        fea0_pre = y[..., :n_first]
+        c = leaky_relu(y[..., n_first:], 0.1)
+    else:
+        c = leaky_relu(conv_s1(p, "LE.cond_first.0", conds, policy=policy), 0.1)
     if _fused_ok(c, policy=policy):
         from hdrtv_tpu.ops.tilewise import fused_pointwise_chain
 
         c = fused_pointwise_chain(
             policy.cast(c[0]),
-            [(*_w11(p, "LE.cond_first.2", policy), "lrelu"), (*_w11(p, "LE.cond_first.4", policy), "lrelu")],
+            [(*_w11_small(p, "LE.cond_first.2", policy), "lrelu"), (*_w11_small(p, "LE.cond_first.4", policy), "lrelu")],
         )[None]
         cond1 = fused_pointwise_chain(
             policy.cast(c[0]),
             [
-                (*_w11(p, "LE.CondNet1.0", policy), "lrelu"),
-                (*_w11(p, "LE.CondNet1.2", policy), "lrelu"),
-                (*_w11(p, "LE.CondNet1.4", policy), None),
+                (*_w11_small(p, "LE.CondNet1.0", policy), "lrelu"),
+                (*_w11_small(p, "LE.CondNet1.2", policy), "lrelu"),
+                (*_w11_small(p, "LE.CondNet1.4", policy), None),
             ],
         )[None]
     else:
@@ -526,19 +565,25 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
         c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.2", c1, policy=policy), 0.1)
         cond1 = conv_1x1(p, "LE.CondNet1.4", c1, policy=policy)
 
-    c2 = leaky_relu(conv_s2(p, "LE.CondNet2.0", c, policy=policy), 0.1)
+    # Consolidated CondNet{2,3,4}.0 stride-2 down-convs: one pass over c.
+    if "LE.__cond_down.weight" in p:
+        cd = leaky_relu(conv_s2(p, "LE.__cond_down", c, policy=policy), 0.1)
+        nch = cd.shape[-1] // 3
+        c2, c3, c4 = cd[..., :nch], cd[..., nch : 2 * nch], cd[..., 2 * nch :]
+    else:
+        c2 = leaky_relu(conv_s2(p, "LE.CondNet2.0", c, policy=policy), 0.1)
+        c3 = leaky_relu(conv_s2(p, "LE.CondNet3.0", c, policy=policy), 0.1)
+        c4 = leaky_relu(conv_s2(p, "LE.CondNet4.0", c, policy=policy), 0.1)
     c2 = leaky_relu(conv_1x1(p, "LE.CondNet2.2", c2, policy=policy), 0.1)
     cond2 = conv_1x1(p, "LE.CondNet2.4", c2, policy=policy)
 
-    c3 = leaky_relu(conv_s2(p, "LE.CondNet3.0", c, policy=policy), 0.1)
     c3 = leaky_relu(conv_s2(p, "LE.CondNet3.2", c3, policy=policy), 0.1)
     cond3 = conv_1x1(p, "LE.CondNet3.4", c3, policy=policy)
 
-    c4 = leaky_relu(conv_s2(p, "LE.CondNet4.0", c, policy=policy), 0.1)
     c4 = leaky_relu(conv_s2(p, "LE.CondNet4.2", c4, policy=policy), 0.1)
     cond4 = conv_s2_nat(p, "LE.CondNet4.4", c4, policy=policy)  # natural /8
 
-    fea0 = act(conv_s1(p, "LE.conv_first", xs, policy=policy))
+    fea0 = act(fea0_pre) if fea0_pre is not None else act(conv_s1(p, "LE.conv_first", xs, policy=policy))
     fea0 = _sft(p, "LE.SFT_layer1", fea0, cond1, conv_1x1, policy=policy)
     fea0 = conv_s1(p, "LE.HR_conv1", fea0, policy=policy, relu_fused=True)
 

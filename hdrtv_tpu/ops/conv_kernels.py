@@ -26,10 +26,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_th(hb: int, wb: int, c: int, budget: int = 10 * 1024 * 1024) -> int:
-    """Rows per tile: multiple of 8 dividing hb, sized for VMEM."""
+def _pick_th(hb: int, wb: int, c: int, budget: int = 10 * 1024 * 1024, max_th: int = 16) -> int:
+    """Rows per tile: multiple of 8 dividing hb, sized for VMEM.
+
+    Capped: huge per-kernel matmul M extents (th·wb) blow up the Mosaic
+    remote compile (memory), not just VMEM.
+    """
     row_bytes = wb * c * 2 + wb * c * 4 + wb * c * 2  # x + acc + out per row
-    limit = max(8, budget // max(1, row_bytes))
+    limit = max(8, min(max_th, budget // max(1, row_bytes)))
     best = 0
     for cand in range(8, min(hb, limit) + 1, 8):
         if hb % cand == 0:

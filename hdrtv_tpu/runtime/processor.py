@@ -123,7 +123,9 @@ class HDRTVNetTPU:
 
     def _net(self, x: jax.Array, cond: jax.Array) -> jax.Array:
         if self.turbo:
-            if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # s2d mode needs /8-divisible dims (every UNet level must keep an
+            # integral block grid — e.g. 540p's /4 level is 135, odd).
+            if x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0:
                 return ensemble_s2d(self.params, x, cond, self.cfg, policy=self.policy)
             return model_apply(self._nat_params, x, cond, self.cfg, policy=self.policy)
         return model_apply(self.params, x, cond, self.cfg, policy=self.policy)

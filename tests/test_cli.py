@@ -1,0 +1,86 @@
+"""CLI surface tests (CPU; small synthetic media)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hdrtv_tpu.cli import build_parser, main
+
+
+WEIGHTS = os.path.join(os.path.dirname(__file__), "..", "weights", "hr_fp32.npz")
+
+
+class TestParser:
+    def test_all_subcommands_parse(self):
+        p = build_parser()
+        for argv in [
+            ["convert", "--display", "null", "--frames", "3"],
+            ["bench", "--duration", "1"],
+            ["engines", "list"],
+            ["build-engines", "--resolutions", "540p"],
+            ["quantize", "--model", "m.npz", "--out", "o.npz"],
+            ["info", "--model", "m.npz"],
+            ["export", "--video", "v.mp4"],
+        ]:
+            args = p.parse_args(argv)
+            assert callable(args.fn)
+
+    def test_unknown_resolution_rejected(self):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args(["convert", "--resolution", "8K"])
+
+
+class TestCommands:
+    def test_info_on_npz(self, capsys):
+        rc = main(["info", "--model", WEIGHTS])
+        assert rc == 0
+        raw = capsys.readouterr().out
+        out = json.loads(raw[raw.index("{"):])
+        assert out["tensors"] == 264
+        assert out["layer_mix"].get("fp", 0) > 100
+
+    def test_quantize_roundtrip(self, tmp_path, capsys):
+        out_path = str(tmp_path / "int8.npz")
+        rc = main([
+            "quantize", "--model", WEIGHTS, "--out", out_path,
+            "--mode", "w8a8", "--asymmetric", "--calib-frames", "1",
+        ])
+        assert rc == 0
+        assert os.path.isfile(out_path)
+        capsys.readouterr()  # clear quantize output
+        rc = main(["info", "--model", out_path])
+        out = capsys.readouterr().out
+        info = json.loads(out[out.index("{"):])
+        assert info["layer_mix"].get("w8a8-asym", 0) > 50
+
+    def test_quantize_with_reference_layout(self, tmp_path, capsys):
+        layout = "/root/reference/configs/qat_layouts/original_nohg_mixed_w8a8.txt"
+        if not os.path.isfile(layout):
+            pytest.skip("reference layout unavailable")
+        out_path = str(tmp_path / "mixed.npz")
+        rc = main([
+            "quantize", "--model", WEIGHTS, "--out", out_path,
+            "--layout", layout, "--calib-frames", "1",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        main(["info", "--model", out_path])
+        out = capsys.readouterr().out
+        info = json.loads(out[out.index("{"):])
+        # mixed no-HG contract: 29 W8A8 layers (README.md:1130-1143)
+        assert info["layer_mix"]["w8a8"] == 29
+
+    def test_convert_synthetic_null_sink(self, capsys):
+        rc = main([
+            "convert", "--model", WEIGHTS, "--display", "null",
+            "--resolution", "540p", "--frames", "2", "--no-realtime",
+        ])
+        assert rc == 0
+        assert "frames=2" in capsys.readouterr().out
+
+    def test_engines_list_and_warm_smoke(self, capsys, tmp_path, monkeypatch):
+        monkeypatch.setenv("HDRTVNET_ENGINE_CACHE_DIR", str(tmp_path))
+        rc = main(["engines", "list"])
+        assert rc == 0
