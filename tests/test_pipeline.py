@@ -96,9 +96,10 @@ class TestPacing:
     def test_clock_no_skip_when_on_time(self):
         from hdrtv_tpu.pipeline.pacing import PresentationClock
 
-        clk = PresentationClock(fps=100)
+        # Slow clock: generous slack so CI scheduler jitter can't force a skip.
+        clk = PresentationClock(fps=20)
         clk.start()
-        skips = [clk.wait_for_slot() for _ in range(5)]
+        skips = [clk.wait_for_slot() for _ in range(3)]
         assert sum(skips) == 0
         assert clk.dropped == 0
 
