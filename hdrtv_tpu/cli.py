@@ -217,6 +217,64 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_qat(args) -> int:
+    """Teacher-distilled QAT fine-tune → calibrated portable int8 checkpoint
+    (quantize_int8_mixed_qat.py / quantize_int8_full_qat.py roles)."""
+    from hdrtv_tpu.models.hdrtvnet import ModelConfig
+    from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz, save_npz
+    from hdrtv_tpu.quant.int8 import (
+        DEFAULT_EXCLUDE_SUFFIXES,
+        load_mixed_layout,
+        quantizable_layers,
+        quantized_layer_summary,
+    )
+    from hdrtv_tpu.quant.qat import run_qat
+
+    if args.model.endswith(".npz"):
+        params, cfg = load_npz(args.model), ModelConfig(use_hg=args.use_hg)
+    else:
+        params, cfg = load_checkpoint(args.model, use_hg=args.use_hg)
+    if args.layout:
+        layers = load_mixed_layout(args.layout)
+    else:
+        layers = [l for l in quantizable_layers(params) if not l.endswith(DEFAULT_EXCLUDE_SUFFIXES)]
+
+    if args.frames_video:
+        from hdrtv_tpu.pipeline.source import VideoSource
+
+        frames = []
+        with VideoSource(args.frames_video) as src:
+            step = max(1, (src.frame_count or 300) // args.num_frames)
+            for i in range(args.num_frames):
+                src.seek(i * step)
+                meta = src.read_with_meta()
+                if meta is None:
+                    break
+                frames.append(meta[0][..., ::-1].astype(np.float32) / 255.0)
+    else:
+        frames = [
+            np.random.RandomState(i).rand(args.crop, args.crop * 2, 3).astype(np.float32)
+            for i in range(args.num_frames)
+        ]
+
+    qp, losses = run_qat(
+        params, cfg, layers, frames,
+        steps=args.steps, lr=args.lr, asymmetric=not args.symmetric,
+    )
+    save_npz(args.out, qp)
+    counts: dict[str, int] = {}
+    for v in quantized_layer_summary(qp).values():
+        counts[v] = counts.get(v, 0) + 1
+    print(json.dumps({
+        "out": args.out,
+        "layers_quantized": len(layers),
+        "layer_mix": counts,
+        "loss_first": round(losses[0], 6),
+        "loss_last": round(losses[-1], 6),
+    }, indent=2))
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Checkpoint parity validation vs an fp32 teacher
     (validate_tensorrt_sources.py role, SURVEY.md §4)."""
@@ -328,6 +386,19 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--calib-frames", type=int, default=16)
     z.add_argument("--calib-method", default="max", choices=["max", "percentile"])
     z.set_defaults(fn=cmd_quantize)
+
+    t = sub.add_parser("qat", help="QAT fine-tune to int8 (teacher-distilled)")
+    t.add_argument("--model", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--layout", default=None, help="mixed layer list (qat_layouts txt)")
+    t.add_argument("--use-hg", action="store_true")
+    t.add_argument("--steps", type=int, default=50)
+    t.add_argument("--lr", type=float, default=2e-6)  # mixed recipe (README.md:1174)
+    t.add_argument("--symmetric", action="store_true")
+    t.add_argument("--frames-video", default=None)
+    t.add_argument("--num-frames", type=int, default=8)
+    t.add_argument("--crop", type=int, default=128)
+    t.set_defaults(fn=cmd_qat)
 
     v = sub.add_parser("validate", help="checkpoint parity vs fp32 teacher")
     v.add_argument("--model", required=True)
