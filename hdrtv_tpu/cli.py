@@ -72,8 +72,34 @@ def cmd_convert(args) -> int:
     sink.close()
     print(
         f"frames={m.frames} dropped={m.dropped} fps={m.fps:.2f} "
-        f"1%low={m.fps_1pct_low:.2f} model={m.model_ms:.2f}ms rt×={m.realtime_factor:.2f}"
+        f"1%low={m.fps_1pct_low:.2f} model={m.model_ms:.2f}ms rt×={m.realtime_factor:.2f} "
+        f"dev_mem={m.device_mem_mb}MB rss={m.host_rss_mb}MB"
     )
+    if args.log_session:
+        # Log Session artifact layout (gui_playback_logging.py:276-534).
+        import dataclasses as _dc
+        import time as _time
+
+        from hdrtv_tpu.bench.playback import PlaybackResult, write_session
+
+        ts = _time.strftime("%Y%m%d_%H%M%S")
+        name = os.path.splitext(os.path.basename(args.video or "synthetic"))[0]
+        out_dir = os.path.join(args.log_session, f"{ts}_{name}")
+        write_session(
+            out_dir,
+            PlaybackResult(
+                config={"video": args.video, "precision": args.precision, "resolution": args.resolution},
+                fps=round(m.fps, 2),
+                fps_1pct_low=round(m.fps_1pct_low, 2),
+                model_ms=round(m.model_ms, 2),
+                frames=m.frames,
+                dropped=m.dropped,
+                realtime_factor=round(m.realtime_factor, 3),
+                artifact_mb=0.0,
+                wall_s=0.0,
+            ),
+        )
+        print(f"session logged to {out_dir}")
     return 0
 
 
@@ -345,6 +371,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output", default=None)
     c.add_argument("--frames", type=int, default=None)
     c.add_argument("--no-realtime", action="store_true")
+    c.add_argument("--log-session", default=None, help="write a Log Session dir (summary/json/csv)")
     c.set_defaults(fn=cmd_convert)
 
     b = sub.add_parser("bench", help="playback performance benchmark")

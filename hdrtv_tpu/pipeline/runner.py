@@ -39,6 +39,30 @@ class RuntimeMetrics:
     frames: int = 0
     dropped: int = 0
     realtime_factor: float = 0.0
+    device_mem_mb: float = 0.0  # whole-app VRAM analog (runtime_metrics.py:28-78)
+    host_rss_mb: float = 0.0
+
+
+def _device_memory_mb() -> float:
+    """Device memory in use (bytes_in_use when the backend reports it)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return round(stats.get("bytes_in_use", 0) / 1e6, 1)
+    except Exception:
+        return 0.0
+
+
+def _host_rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except OSError:
+        pass
+    return 0.0
 
 
 def trimmed_mean_fps(stamps: list[float], trim: float = 0.05) -> float:
@@ -152,6 +176,8 @@ class PipelineRunner:
             feeder_done.wait(timeout=10.0)
 
         wall = time.monotonic() - t_start
+        self.metrics.device_mem_mb = _device_memory_mb()
+        self.metrics.host_rss_mb = _host_rss_mb()
         self.metrics.frames = processed
         self.metrics.fps = trimmed_mean_fps(self._stamps)
         self.metrics.fps_1pct_low = one_percent_low_fps(self._stamps)
