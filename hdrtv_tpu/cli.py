@@ -58,10 +58,35 @@ def cmd_convert(args) -> int:
 
     proc = _make_processor(args)
     w, h = processing_dims(args.resolution)
+    bypass = False
     if args.video:
+        from hdrtv_tpu.runtime.probe import probe_media, should_bypass_processing
+
+        info = probe_media(args.video)
+        if should_bypass_processing(info):
+            # Reference GUI rejects HDR input for playback (gui_media_probe.py:178);
+            # --hdr-input bypass feeds it through untouched instead.
+            if args.hdr_input == "reject":
+                print("input is already HDR (PQ/BT.2020); refusing to convert "
+                      "(use --hdr-input bypass to pass it through)")
+                return 2
+            bypass = True
         src = VideoSource(args.video)
     else:
         src = SyntheticSource(w, h, fps=30, frames=args.frames or 300)
+    if bypass:
+        class _Bypass:
+            def __init__(self, p):
+                self._p = p
+                self.model_path = getattr(p, "model_path", "")
+
+            def warmup_compile(self, *a, **k):
+                return 0.0
+
+            def process_rgb48_device(self, frame):
+                return self._p.passthrough_rgb48_device(frame)
+
+        proc = _Bypass(proc)
     sink = make_sink(args.display, w, h, getattr(src, "fps", 30.0), path=args.output)
     print(f"compiling {w}x{h} ({args.precision})...", flush=True)
     dt = proc.warmup_compile(w, h)
@@ -372,6 +397,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--frames", type=int, default=None)
     c.add_argument("--no-realtime", action="store_true")
     c.add_argument("--log-session", default=None, help="write a Log Session dir (summary/json/csv)")
+    c.add_argument("--hdr-input", default="reject", choices=["reject", "bypass"])
     c.set_defaults(fn=cmd_convert)
 
     b = sub.add_parser("bench", help="playback performance benchmark")

@@ -182,6 +182,19 @@ class HDRTVNetTPU:
         """Device-resident variant for the pipelined runner (no host sync)."""
         return self._process_rgb48_jit(frame_u8_dev)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _passthrough_jit(self, frame_u8: jax.Array) -> jax.Array:
+        # HDR-input bypass: the source is already the PQ signal — scale u8
+        # code values to u16 without running the model (HDR-input bypass
+        # path, gui_pipeline_worker_frame_processing HDR-input handling).
+        return frame_u8[..., ::-1].astype(jnp.uint16) * jnp.uint16(257)
+
+    def passthrough_rgb48(self, frame_bgr: np.ndarray) -> np.ndarray:
+        return np.asarray(self._passthrough_jit(jnp.asarray(frame_bgr)))
+
+    def passthrough_rgb48_device(self, frame_u8_dev: jax.Array) -> jax.Array:
+        return self._passthrough_jit(frame_u8_dev)
+
     def process_timed(self, frame_bgr: np.ndarray):
         """(output, pre_ms, infer_ms, post_ms) with device fences between
         stages — reference process_timed (hdrtvnet_torch.py:2380-2399)."""

@@ -96,3 +96,51 @@ def make_train_step(
 def init_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
     # Only float parameters are trainable; int8 payloads are frozen buffers.
     return TrainState(params=params, opt_state=optimizer.init(params))
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (QAT early-stop + best-by-monitor pattern, SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(path: str, state: TrainState) -> None:
+    """Persist params + optimizer state to a single npz.
+
+    Leaves are stored flat with the pytree structure alongside, so the exact
+    optax state (namedtuple chain) round-trips. Self-contained single file;
+    orbax's sharded checkpointing becomes worthwhile only at multi-host scale.
+    """
+    import os
+    import pickle
+
+    import jax
+    import numpy as np
+
+    flat, treedef = jax.tree_util.tree_flatten(
+        {"params": state.params, "opt_state": state.opt_state}
+    )
+    out = path if path.endswith(".npz") else path + ".npz"
+    parent = os.path.dirname(os.path.abspath(out))
+    os.makedirs(parent, exist_ok=True)
+    np.savez_compressed(
+        out,
+        step=np.int64(state.step),
+        treedef=np.frombuffer(pickle.dumps(treedef), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(flat)},
+    )
+
+
+def load_train_state(path: str, optimizer: optax.GradientTransformation | None = None) -> TrainState:
+    import pickle
+
+    import jax
+    import numpy as np
+
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    with np.load(npz_path, allow_pickle=False) as z:
+        step = int(z["step"])
+        treedef = pickle.loads(z["treedef"].tobytes())
+        n_leaves = len([k for k in z.files if k.startswith("leaf_")])
+        leaves = [z[f"leaf_{i}"] for i in range(n_leaves)]
+    tree = jax.tree_util.tree_unflatten(treedef, leaves)
+    return TrainState(params=tree["params"], opt_state=tree["opt_state"], step=step)
