@@ -435,16 +435,18 @@ def _fused_ok(*tensors, policy: Policy | None = None) -> bool:
     """
     from hdrtv_tpu.utils.env import env_bool
 
-    if not env_bool("HDRTV_TILEWISE", True):
+    if not env_bool("HDRTV_TILEWISE", False):
         return False
     if env_bool("HDRTV_DISABLE_PALLAS", False):
         return False
     if policy is not None and policy.compute_dtype != jnp.bfloat16:
         return False
+    # Row tiling is unconstrained (only the last two block dims have TPU
+    # tile-shape rules); lane dims must be 8-aligned.
     return (
         jax.default_backend() == "tpu"
-        and all(t.shape[0] == 1 for t in tensors)
-        and tensors[0].shape[1] % 8 == 0
+        and all(t.shape[0] == 1 and t.shape[-1] % 8 == 0 for t in tensors)
+        and tensors[0].shape[2] % 8 == 0
     )
 
 

@@ -24,16 +24,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_th(h: int, per_row_bytes: int, budget: int = 8 * 1024 * 1024, max_th: int = 24) -> int:
-    """Rows per tile. Capped small: Mosaic compile cost grows super-linearly
-    with the per-kernel matmul M extent (th·W rows), and tiles beyond ~20k
-    rows blow up the remote compile helper."""
-    limit = max(8, min(max_th, budget // max(1, per_row_bytes)))
-    best = 0
-    for cand in range(8, min(h, limit) + 1, 8):
-        if h % cand == 0:
-            best = cand
-    if best:
-        return best
+    """Rows per tile: the largest divisor of h within the cap.
+
+    Only the last two block dims carry TPU tiling constraints; the row dim is
+    free. Capped small: Mosaic compile cost grows super-linearly with the
+    per-kernel matmul M extent (th·W rows)."""
+    limit = max(1, min(max_th, budget // max(1, per_row_bytes)))
     for cand in range(min(h, limit), 0, -1):
         if h % cand == 0:
             return cand
@@ -117,16 +113,25 @@ def best_pack(ci: int) -> int:
 
 
 def _mix_bd(tile, w_bd, b_bd):
-    """Packed block-diag channel mix over an s2d tile (th, W, 4·Ci)."""
+    """Packed block-diag channel mix over an s2d tile (th, W, 4·Ci).
+
+    Mosaic can't reshape rows↔lanes, so replication over the unpacked groups
+    runs as lane-sliced matmuls: (th·W, k)@(k, k') per group-pair, concat on
+    lanes. k = pack·Ci fills the MXU contraction.
+    """
     th, wd, ctot = tile.shape
     k = w_bd.shape[0]
     nrep = ctot // k
-    y = jnp.dot(
-        tile.reshape(th * wd * nrep, k).astype(jnp.float32),
-        w_bd.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    y = y + b_bd.astype(jnp.float32)
+    flat = tile.reshape(th * wd, ctot).astype(jnp.float32)
+    outs = []
+    for r in range(nrep):
+        y = jnp.dot(
+            flat[:, r * k : (r + 1) * k],
+            w_bd.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(y + b_bd.astype(jnp.float32))
+    y = outs[0] if nrep == 1 else jnp.concatenate(outs, axis=-1)
     return y.reshape(th, wd, nrep * w_bd.shape[-1])
 
 
