@@ -268,6 +268,29 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Precision sweep with ΔEITP quality bench vs the fp32 reference output."""
+    from hdrtv_tpu.bench.sweep import precision_sweep
+    from hdrtv_tpu.models.hdrtvnet import ModelConfig
+    from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz
+
+    if args.model.endswith(".npz"):
+        params, cfg = load_npz(args.model), ModelConfig(use_hg=args.use_hg)
+    else:
+        params, cfg = load_checkpoint(args.model, use_hg=args.use_hg)
+
+    presets = None
+    if args.preset_checkpoints:
+        presets = {}
+        for spec in args.preset_checkpoints:
+            name, _, path = spec.partition("=")
+            p = load_npz(path) if path.endswith(".npz") else load_checkpoint(path, use_hg=args.use_hg)[0]
+            presets[name] = {"params": p, "precision": "bf16"}
+    entries = precision_sweep(params, cfg, presets=presets, frame_count=args.frames)
+    print(json.dumps([e.__dict__ for e in entries], indent=2))
+    return 0
+
+
 def cmd_qat(args) -> int:
     """Teacher-distilled QAT fine-tune → calibrated portable int8 checkpoint
     (quantize_int8_mixed_qat.py / quantize_int8_full_qat.py roles)."""
@@ -439,6 +462,16 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--calib-frames", type=int, default=16)
     z.add_argument("--calib-method", default="max", choices=["max", "percentile"])
     z.set_defaults(fn=cmd_quantize)
+
+    s = sub.add_parser("sweep", help="precision sweep with ΔEITP quality bench")
+    s.add_argument("--model", required=True, help="fp32 reference checkpoint")
+    s.add_argument("--frames", type=int, default=3)
+    s.add_argument("--use-hg", action="store_true")
+    s.add_argument(
+        "--preset-checkpoints", nargs="*", default=None,
+        help="name=path pairs (e.g. 'int8-mixed-qat=/path.pt'); default: PTQ ladder",
+    )
+    s.set_defaults(fn=cmd_sweep)
 
     t = sub.add_parser("qat", help="QAT fine-tune to int8 (teacher-distilled)")
     t.add_argument("--model", required=True)

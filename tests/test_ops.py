@@ -152,6 +152,42 @@ class TestMetrics:
         assert float(m["delta_e_itp"]) > 0.0
 
 
+class TestMetricsGoldenParity:
+    """Metric values must match the reference implementation on the same pair
+    (fixture computed by tools/make_goldens.py from gui_objective_metrics)."""
+
+    def _fx(self):
+        from tests.conftest import load_fixture
+
+        return load_fixture("metrics_golden.npz")
+
+    def test_psnr_matches_reference(self):
+        from hdrtv_tpu.ops.metrics import psnr
+
+        fx = self._fx()
+        pred = jnp.asarray(fx["pred_bgr"][..., ::-1].astype(np.float32) / 65535.0)
+        ref = jnp.asarray(fx["ref_bgr"][..., ::-1].astype(np.float32) / 65535.0)
+        assert abs(float(psnr(pred, ref)) - float(fx["psnr"])) < 1e-3
+
+    def test_ssim_matches_reference(self):
+        from hdrtv_tpu.ops.metrics import ssim
+
+        fx = self._fx()
+        pred = jnp.asarray(fx["pred_bgr"][..., ::-1].astype(np.float32) / 65535.0)
+        ref = jnp.asarray(fx["ref_bgr"][..., ::-1].astype(np.float32) / 65535.0)
+        assert abs(float(ssim(pred, ref)) - float(fx["ssim"])) < 1e-4
+
+    def test_delta_e_itp_matches_reference(self):
+        from hdrtv_tpu.ops.metrics import delta_e_itp_unit
+
+        fx = self._fx()
+        pred = jnp.asarray(fx["pred_bgr"][..., ::-1].astype(np.float32) / 65535.0)
+        ref = jnp.asarray(fx["ref_bgr"][..., ::-1].astype(np.float32) / 65535.0)
+        got = float(delta_e_itp_unit(pred, ref, peak_nits=1000.0))
+        expect = float(fx["delta_e_itp"])
+        assert abs(got - expect) < max(5e-3, expect * 1e-3)
+
+
 class TestPack:
     def test_pack_rgb48_matches_ref(self):
         from hdrtv_tpu.ops.pack import pack_rgb48, pack_rgb48_ref

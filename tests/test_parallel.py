@@ -46,6 +46,30 @@ class TestMesh:
         # GSPMD halo exchange must reproduce the single-device result.
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=0)
 
+    def test_s2d_mode_shards_spatially(self, tiny_params_cfg, cpu_devices):
+        """The turbo (s2d) forward must also partition under GSPMD —
+        the 4K single-frame latency path (spatial W sharding)."""
+        from hdrtv_tpu.models.s2d import ensemble_s2d, s2d_transform_params
+        from hdrtv_tpu.parallel.mesh import frame_sharding, make_mesh, replicate_params
+        import numpy as np
+
+        params, cfg = tiny_params_cfg
+        host = {k: np.asarray(v) for k, v in params.items()}
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(host).items()}
+        mesh = make_mesh(8)
+        rng = np.random.RandomState(1)
+        img = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+        cond = jnp.asarray(rng.rand(2, 8, 16, 3).astype(np.float32))
+        ref = np.asarray(ensemble_s2d(sp, img, cond, cfg))
+
+        fsh = frame_sharding(mesh)
+        out = np.asarray(
+            jax.jit(lambda p, i, c: ensemble_s2d(p, i, c, cfg), out_shardings=fsh)(
+                replicate_params(sp, mesh), jax.device_put(img, fsh), jax.device_put(cond, fsh)
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=0)
+
     def test_dryrun_multichip_entry(self, cpu_devices):
         import __graft_entry__ as ge
 

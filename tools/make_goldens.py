@@ -162,6 +162,24 @@ def main() -> None:
     np.savez_compressed(os.path.join(FIXTURES, "hg_direct.npz"), **blobs)
     print("hg_direct.npz written")
 
+    # --- Objective-metric goldens (reference gui_objective_metrics math) ---
+    import gui_objective_metrics as gom
+
+    rng_m = np.random.RandomState(55)
+    pred_bgr = (rng_m.rand(96, 128, 3) * 65535).astype(np.uint16)
+    ref_bgr = np.clip(
+        pred_bgr.astype(np.float32) + rng_m.randn(96, 128, 3) * 2000, 0, 65535
+    ).astype(np.uint16)
+    np.savez_compressed(
+        os.path.join(FIXTURES, "metrics_golden.npz"),
+        pred_bgr=pred_bgr,
+        ref_bgr=ref_bgr,
+        psnr=np.float64(gom._psnr_bgr(pred_bgr, ref_bgr)),
+        ssim=np.float64(gom._ssim_bgr(pred_bgr, ref_bgr)),
+        delta_e_itp=np.float64(gom._delta_e_itp_bgr(pred_bgr, ref_bgr)),
+    )
+    print("metrics_golden.npz written")
+
     # --- Bicubic+antialias ¼-res condition downsample golden ---------------
     import torch.nn.functional as TF
 
