@@ -402,6 +402,8 @@ def cmd_export(args) -> int:
         output=args.output or "export.mov",
         resolution_key=args.resolution,
         codec=args.codec,
+        batch=args.batch,
+        use_mesh=args.mesh,
     )
     stats = export_video(args.video, proc, cfg)
     print(json.dumps(stats, indent=2))
@@ -506,7 +508,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(x)
     x.add_argument("--video", required=True)
     x.add_argument("--output", default=None)
-    x.add_argument("--codec", default="prores", choices=["prores", "hevc", "raw"])
+    x.add_argument("--codec", default="prores", choices=["prores", "hevc", "raw", "png16"])
+    x.add_argument("--batch", type=int, default=1, help="frames per dispatch (DP when >1)")
+    x.add_argument("--mesh", action="store_true", help="shard batches over the device mesh")
     x.set_defaults(fn=cmd_export)
 
     return p

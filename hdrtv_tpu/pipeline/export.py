@@ -85,6 +85,8 @@ class ExportConfig:
     peak_nits: int = 1001
     queue_depth: int = 3  # bounded writer queue (gui_export.py:1038-1067)
     audio_source: str | None = None
+    batch: int = 1  # frames per device dispatch (mesh DP when batch > 1)
+    use_mesh: bool = False
 
 
 class _FfmpegWriter:
@@ -192,15 +194,37 @@ def export_video(video_path: str | None, processor, cfg: ExportConfig, *, source
     wt.start()
 
     processor.warmup_compile(w, h)
+    mesh = None
+    if cfg.use_mesh and cfg.batch > 1:
+        from hdrtv_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     frames = 0
     t0 = time.monotonic()
-    while True:
-        meta = source.read_with_meta()
-        if meta is None:
-            break
-        out = processor.process_rgb48_device(jnp.asarray(meta[0]))
-        q.put(np.asarray(out))
-        frames += 1
+    if cfg.batch > 1 and hasattr(processor, "process_rgb48_batch"):
+        # Frame-batch data parallelism: batches shard over the mesh's data
+        # axis (export throughput — SURVEY.md §7 stage 5).
+        pending: list[np.ndarray] = []
+        while True:
+            meta = source.read_with_meta()
+            if meta is not None:
+                pending.append(meta[0])
+            if (meta is None and pending) or len(pending) == cfg.batch:
+                outs = processor.process_rgb48_batch(np.stack(pending), mesh=mesh if len(pending) == cfg.batch else None)
+                for o in outs:
+                    q.put(o)
+                frames += len(pending)
+                pending = []
+            if meta is None:
+                break
+    else:
+        while True:
+            meta = source.read_with_meta()
+            if meta is None:
+                break
+            out = processor.process_rgb48_device(jnp.asarray(meta[0]))
+            q.put(np.asarray(out))
+            frames += 1
     q.put(None)
     wt.join(timeout=60)
     writer.close()

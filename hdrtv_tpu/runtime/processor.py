@@ -182,6 +182,25 @@ class HDRTVNetTPU:
         """Device-resident variant for the pipelined runner (no host sync)."""
         return self._process_rgb48_jit(frame_u8_dev)
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _process_rgb48_batch_jit(self, frames_u8: jax.Array) -> jax.Array:
+        """(N,H,W,3) BGR u8 → (N,H,W,3) u16 RGB48 — export/benchmark
+        throughput path; shard N over the mesh's data axis for multi-chip DP."""
+        x = frames_u8[..., ::-1].astype(jnp.float32) * (1.0 / 255.0)
+        cond = self._cond_of(x)
+        out = self._net(x, cond)
+        return pack_rgb48(out)
+
+    def process_rgb48_batch(self, frames_bgr: np.ndarray, *, mesh=None) -> np.ndarray:
+        """Batched conversion; with ``mesh``, frames are sharded over the
+        data axis (frame-batch DP — SURVEY.md §2.8 green-field axis)."""
+        arr = jnp.asarray(frames_bgr)
+        if mesh is not None:
+            from hdrtv_tpu.parallel.mesh import frame_sharding
+
+            arr = jax.device_put(arr, frame_sharding(mesh, spatial=False))
+        return np.asarray(self._process_rgb48_batch_jit(arr))
+
     @functools.partial(jax.jit, static_argnums=0)
     def _passthrough_jit(self, frame_u8: jax.Array) -> jax.Array:
         # HDR-input bypass: the source is already the PQ signal — scale u8

@@ -14,6 +14,9 @@ class FakeProcessor:
     def process_rgb48_device(self, frame):
         return frame.astype(jnp.uint16) * 257
 
+    def process_rgb48_batch(self, frames, *, mesh=None):
+        return np.asarray(frames, dtype=np.uint16) * 257
+
 
 class TestExport:
     def test_raw_export_with_sidecar(self, tmp_path):
@@ -46,6 +49,44 @@ class TestExport:
 
         img = cv2.imread(str(tmp_path / "frames" / files[0]), cv2.IMREAD_UNCHANGED)
         assert img.dtype == np.uint16
+
+    def test_batched_export_matches_single(self, tmp_path):
+        from hdrtv_tpu.pipeline.export import ExportConfig, export_video
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        stats = export_video(
+            None, FakeProcessor(),
+            ExportConfig(output=str(tmp_path / "b.rgb48"), codec="raw", batch=4),
+            source=SyntheticSource(64, 32, fps=24, frames=10),  # 10 % 4 != 0 → tail batch
+        )
+        assert stats["frames"] == 10
+        a = np.fromfile(tmp_path / "b.rgb48", dtype=np.uint16)
+        stats2 = export_video(
+            None, FakeProcessor(),
+            ExportConfig(output=str(tmp_path / "s.rgb48"), codec="raw", batch=1),
+            source=SyntheticSource(64, 32, fps=24, frames=10),
+        )
+        b = np.fromfile(tmp_path / "s.rgb48", dtype=np.uint16)
+        np.testing.assert_array_equal(a, b)
+
+    def test_batched_export_real_model_on_mesh(self, tmp_path, ):
+        """Real processor, batch sharded over the 8-device CPU mesh."""
+        import os
+
+        from hdrtv_tpu.pipeline.export import ExportConfig, export_video
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+        from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+        weights = os.path.join(os.path.dirname(__file__), "..", "weights", "hr_fp32.npz")
+        proc = HDRTVNetTPU(weights, precision="fp32", persistent_cache=False)
+        stats = export_video(
+            None, proc,
+            ExportConfig(output=str(tmp_path / "m.rgb48"), codec="raw", batch=8, use_mesh=True),
+            source=SyntheticSource(64, 32, fps=24, frames=8),
+        )
+        assert stats["frames"] == 8
+        data = np.fromfile(tmp_path / "m.rgb48", dtype=np.uint16)
+        assert data.size == 8 * 64 * 32 * 3
 
     def test_ffmpeg_command_contract(self):
         """The ProRes chain matches the reference export filter contract
