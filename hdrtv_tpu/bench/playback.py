@@ -15,10 +15,8 @@ import json
 import os
 import time
 
-import numpy as np
-
 from hdrtv_tpu.pipeline.runner import PipelineRunner
-from hdrtv_tpu.pipeline.sinks import NullSink, make_sink
+from hdrtv_tpu.pipeline.sinks import make_sink
 from hdrtv_tpu.pipeline.source import SyntheticSource, VideoSource
 
 

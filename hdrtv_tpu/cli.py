@@ -102,7 +102,6 @@ def cmd_convert(args) -> int:
     )
     if args.log_session:
         # Log Session artifact layout (gui_playback_logging.py:276-534).
-        import dataclasses as _dc
         import time as _time
 
         from hdrtv_tpu.bench.playback import PlaybackResult, write_session

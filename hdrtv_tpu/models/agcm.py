@@ -15,8 +15,6 @@ scale/shift (Condition_arch.py:552-585).
 from __future__ import annotations
 
 import re
-from typing import Tuple
-
 import jax
 
 from hdrtv_tpu.models.layers import (
