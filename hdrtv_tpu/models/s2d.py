@@ -479,11 +479,50 @@ def _sft(p, name, fea, cond, conv, *, policy):
     return fea * (scale + 1.0) + shift
 
 
+def _sft_small_weights(p, sft_name, policy):
+    return [
+        _w11_small(p, f"{sft_name}.SFT_scale_conv0", policy),
+        _w11_small(p, f"{sft_name}.SFT_scale_conv1", policy),
+        _w11_small(p, f"{sft_name}.SFT_shift_conv0", policy),
+        _w11_small(p, f"{sft_name}.SFT_shift_conv1", policy),
+    ]
+
+
+def _sft_conv(p, sft_name, conv_name, x, cond, *, policy, relu_fused=False, skip=None):
+    """SFT + 3×3 conv, fused into one Pallas pass when eligible
+    (ops/sft_conv.py); falls back to SFT-then-conv otherwise."""
+    from hdrtv_tpu.utils.env import env_bool
+
+    w = p[f"{conv_name}.weight"]
+    if (
+        policy.compute_dtype == jnp.bfloat16
+        and env_bool("HDRTV_SFT_CONV", True)
+        and _use_fused_kernel(x, w)
+        and cond.shape[-1] % 8 == 0
+    ):
+        from hdrtv_tpu.ops.sft_conv import fused_sft_conv3
+
+        return fused_sft_conv3(
+            policy.cast(x[0]),
+            policy.cast(cond[0]),
+            policy.cast(w),
+            p[f"{conv_name}.bias"],
+            _sft_small_weights(p, sft_name, policy),
+            relu=relu_fused,
+            skip=None if skip is None else policy.cast(skip[0]),
+        )[None]
+    out = _sft(p, sft_name, x, cond, conv_1x1, policy=policy)
+    return conv_s1(p, conv_name, out, policy=policy, relu_fused=relu_fused, skip=skip)
+
+
 def _resblock(p, name, fea, cond, conv3, conv1, *, policy):
+    if conv3 is conv_s1:
+        out = _sft_conv(p, f"{name}.sft1", f"{name}.conv1", fea, cond, policy=policy, relu_fused=True)
+        # conv2 + residual add fused into the same pass
+        return _sft_conv(p, f"{name}.sft2", f"{name}.conv2", out, cond, policy=policy, skip=fea)
     out = _sft(p, f"{name}.sft1", fea, cond, conv1, policy=policy)
     out = conv3(p, f"{name}.conv1", out, policy=policy, relu_fused=True)
     out = _sft(p, f"{name}.sft2", out, cond, conv1, policy=policy)
-    # conv2 + residual add fused into one kernel pass
     return conv3(p, f"{name}.conv2", out, policy=policy, skip=fea)
 
 
@@ -586,8 +625,7 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
     cond4 = conv_s2_nat(p, "LE.CondNet4.4", c4, policy=policy)  # natural /8
 
     fea0 = act(fea0_pre) if fea0_pre is not None else act(conv_s1(p, "LE.conv_first", xs, policy=policy))
-    fea0 = _sft(p, "LE.SFT_layer1", fea0, cond1, conv_1x1, policy=policy)
-    fea0 = conv_s1(p, "LE.HR_conv1", fea0, policy=policy, relu_fused=True)
+    fea0 = _sft_conv(p, "LE.SFT_layer1", "LE.HR_conv1", fea0, cond1, policy=policy, relu_fused=True)
 
     fea1 = conv_s2(p, "LE.down_conv1", fea0, policy=policy, relu_fused=True)
     fea1 = _resblock(p, "LE.recon_trunk1.0", fea1, cond2, conv_s1, conv_1x1, policy=policy)
@@ -621,9 +659,7 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
 
     up = d2s_blocks(conv_s1(p, "LE.up_conv3.0", out, policy=policy, relu_fused=True))
     out = up + fea0
-    out = _sft(p, "LE.SFT_layer2", out, cond1, conv_1x1, policy=policy)
-
-    out = conv_s1(p, "LE.HR_conv2", out, policy=policy, relu_fused=True)
+    out = _sft_conv(p, "LE.SFT_layer2", "LE.HR_conv2", out, cond1, policy=policy, relu_fused=True)
     out = conv_s1(p, "LE.conv_last", out, policy=policy, skip=mask_out)
     return out
 
