@@ -569,6 +569,64 @@ def agcm_s2d(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy) -
     return mod(out, lin("AGCM.cond_scale_last"), lin("AGCM.cond_shift_last"))
 
 
+def _le_cond_downs(p: Params, c: jax.Array, *, policy: Policy):
+    """CondNet2/3/4 down chains from the shared cond feature ``c``."""
+    if "LE.__cond_down.weight" in p:
+        cd = leaky_relu(conv_s2(p, "LE.__cond_down", c, policy=policy), 0.1)
+        nch = cd.shape[-1] // 3
+        c2, c3, c4 = cd[..., :nch], cd[..., nch : 2 * nch], cd[..., 2 * nch :]
+    else:
+        c2 = leaky_relu(conv_s2(p, "LE.CondNet2.0", c, policy=policy), 0.1)
+        c3 = leaky_relu(conv_s2(p, "LE.CondNet3.0", c, policy=policy), 0.1)
+        c4 = leaky_relu(conv_s2(p, "LE.CondNet4.0", c, policy=policy), 0.1)
+    c2 = leaky_relu(conv_1x1(p, "LE.CondNet2.2", c2, policy=policy), 0.1)
+    cond2 = conv_1x1(p, "LE.CondNet2.4", c2, policy=policy)
+
+    c3 = leaky_relu(conv_s2(p, "LE.CondNet3.2", c3, policy=policy), 0.1)
+    cond3 = conv_1x1(p, "LE.CondNet3.4", c3, policy=policy)
+
+    c4 = leaky_relu(conv_s2(p, "LE.CondNet4.2", c4, policy=policy), 0.1)
+    cond4 = conv_s2_nat(p, "LE.CondNet4.4", c4, policy=policy)  # natural /8
+    return cond2, cond3, cond4
+
+
+def _le_mid(p: Params, fea0: jax.Array, cond2, cond3, cond4, *, policy: Policy) -> jax.Array:
+    """Down path + bottleneck + up path, fea0 (post HR_conv1) → trunk5 out
+    at L1. The L0 head/tail around this are either the plain helpers below
+    (le_s2d) or the fused megakernels (ops/megakernel.py)."""
+    act = relu
+    fea1 = conv_s2(p, "LE.down_conv1", fea0, policy=policy, relu_fused=True)
+    fea1 = _resblock(p, "LE.recon_trunk1.0", fea1, cond2, conv_s1, conv_1x1, policy=policy)
+
+    fea2 = conv_s2(p, "LE.down_conv2", fea1, policy=policy, relu_fused=True)
+    fea2 = _resblock(p, "LE.recon_trunk2.0", fea2, cond3, conv_s1, conv_1x1, policy=policy)
+
+    fea3 = act(conv_s2_nat(p, "LE.down_conv3", fea2, policy=policy))  # natural /8
+
+    def conv3_nat(p_, n_, x_, *, policy, relu_fused=False, skip=None):
+        y = conv_nat(p_, n_, x_, policy=policy)
+        if skip is not None:
+            y = y + policy.cast(skip)
+        return relu(y) if relu_fused else y
+
+    def conv1_nat(p_, n_, x_, *, policy):
+        return conv_nat(p_, n_, x_, pad=0, policy=policy)
+
+    out = fea3
+    for i in range(4):
+        out = _resblock(p, f"LE.recon_trunk3.{i}", out, cond4, conv3_nat, conv1_nat, policy=policy)
+    out = out + fea3
+
+    # up_conv1: natural conv + PS fold → s2d L2 tensor directly.
+    up = act(conv_nat(p, "LE.up_conv1.0", out, policy=policy))
+    out = _resblock(p, "LE.recon_trunk4.0", up + fea2, cond3, conv_s1, conv_1x1, policy=policy)
+
+    # up_conv2: s2d conv at L2 + PS fold + block d2s → s2d L1.
+    # ReLU commutes with d2s (elementwise vs permutation) → fuse into the conv.
+    up = d2s_blocks(conv_s1(p, "LE.up_conv2.0", out, policy=policy, relu_fused=True))
+    return _resblock(p, "LE.recon_trunk5.0", up + fea1, cond2, conv_s1, conv_1x1, policy=policy)
+
+
 def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax.Array:
     """LE sft UNet in the block domain. ``xs``/``conds`` are s2d L0 tensors."""
     act = relu
@@ -606,56 +664,12 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
         c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.2", c1, policy=policy), 0.1)
         cond1 = conv_1x1(p, "LE.CondNet1.4", c1, policy=policy)
 
-    # Consolidated CondNet{2,3,4}.0 stride-2 down-convs: one pass over c.
-    if "LE.__cond_down.weight" in p:
-        cd = leaky_relu(conv_s2(p, "LE.__cond_down", c, policy=policy), 0.1)
-        nch = cd.shape[-1] // 3
-        c2, c3, c4 = cd[..., :nch], cd[..., nch : 2 * nch], cd[..., 2 * nch :]
-    else:
-        c2 = leaky_relu(conv_s2(p, "LE.CondNet2.0", c, policy=policy), 0.1)
-        c3 = leaky_relu(conv_s2(p, "LE.CondNet3.0", c, policy=policy), 0.1)
-        c4 = leaky_relu(conv_s2(p, "LE.CondNet4.0", c, policy=policy), 0.1)
-    c2 = leaky_relu(conv_1x1(p, "LE.CondNet2.2", c2, policy=policy), 0.1)
-    cond2 = conv_1x1(p, "LE.CondNet2.4", c2, policy=policy)
-
-    c3 = leaky_relu(conv_s2(p, "LE.CondNet3.2", c3, policy=policy), 0.1)
-    cond3 = conv_1x1(p, "LE.CondNet3.4", c3, policy=policy)
-
-    c4 = leaky_relu(conv_s2(p, "LE.CondNet4.2", c4, policy=policy), 0.1)
-    cond4 = conv_s2_nat(p, "LE.CondNet4.4", c4, policy=policy)  # natural /8
+    cond2, cond3, cond4 = _le_cond_downs(p, c, policy=policy)
 
     fea0 = act(fea0_pre) if fea0_pre is not None else act(conv_s1(p, "LE.conv_first", xs, policy=policy))
     fea0 = _sft_conv(p, "LE.SFT_layer1", "LE.HR_conv1", fea0, cond1, policy=policy, relu_fused=True)
 
-    fea1 = conv_s2(p, "LE.down_conv1", fea0, policy=policy, relu_fused=True)
-    fea1 = _resblock(p, "LE.recon_trunk1.0", fea1, cond2, conv_s1, conv_1x1, policy=policy)
-
-    fea2 = conv_s2(p, "LE.down_conv2", fea1, policy=policy, relu_fused=True)
-    fea2 = _resblock(p, "LE.recon_trunk2.0", fea2, cond3, conv_s1, conv_1x1, policy=policy)
-
-    fea3 = act(conv_s2_nat(p, "LE.down_conv3", fea2, policy=policy))  # natural /8
-    def conv3_nat(p_, n_, x_, *, policy, relu_fused=False, skip=None):
-        y = conv_nat(p_, n_, x_, policy=policy)
-        if skip is not None:
-            y = y + policy.cast(skip)
-        return relu(y) if relu_fused else y
-
-    def conv1_nat(p_, n_, x_, *, policy):
-        return conv_nat(p_, n_, x_, pad=0, policy=policy)
-
-    out = fea3
-    for i in range(4):
-        out = _resblock(p, f"LE.recon_trunk3.{i}", out, cond4, conv3_nat, conv1_nat, policy=policy)
-    out = out + fea3
-
-    # up_conv1: natural conv + PS fold → s2d L2 tensor directly.
-    up = act(conv_nat(p, "LE.up_conv1.0", out, policy=policy))
-    out = _resblock(p, "LE.recon_trunk4.0", up + fea2, cond3, conv_s1, conv_1x1, policy=policy)
-
-    # up_conv2: s2d conv at L2 + PS fold + block d2s → s2d L1.
-    # ReLU commutes with d2s (elementwise vs permutation) → fuse into the conv.
-    up = d2s_blocks(conv_s1(p, "LE.up_conv2.0", out, policy=policy, relu_fused=True))
-    out = _resblock(p, "LE.recon_trunk5.0", up + fea1, cond2, conv_s1, conv_1x1, policy=policy)
+    out = _le_mid(p, fea0, cond2, cond3, cond4, policy=policy)
 
     up = d2s_blocks(conv_s1(p, "LE.up_conv3.0", out, policy=policy, relu_fused=True))
     out = up + fea0
@@ -673,6 +687,128 @@ def ensemble_s2d(
     """
     img = policy.cast(img)
     xs = s2d(img)
+    if _mega_ok(p, xs.shape, policy):
+        out = _ensemble_mega(p, xs[0], cond, policy=policy, pack=False)
+        return d2s(out[None])
     agcm_out = agcm_s2d(p, xs, cond, policy=policy)
     out = le_s2d(p, agcm_out, agcm_out, policy=policy)
     return d2s(out)
+
+
+def ensemble_s2d_rgb48(
+    p: Params,
+    frame_u8: jax.Array,
+    cond: jax.Array,
+    cfg: ModelConfig = ModelConfig(),
+    *,
+    policy: Policy = F32,
+) -> jax.Array:
+    """uint8 RGB frame → uint16 RGB48 PQ code values, fully fused.
+
+    The RGB48 pack (clamp·65535+0.5 → u16, the reference delivery contract —
+    gui_pipeline_worker_feeders.py:193-235) happens *inside* the tail
+    megakernel; only a cheap uint16 d2s epilogue remains. ``cond`` is the
+    natural ¼-res condition image (f32 [0,1]).
+    """
+    from hdrtv_tpu.ops.pack import pack_rgb48
+
+    xs_u8 = s2d(frame_u8[None])[0]
+    xs = xs_u8.astype(policy.compute_dtype) * jnp.asarray(1.0 / 255.0, policy.compute_dtype)
+    if _mega_ok(p, (1, *xs.shape), policy):
+        packed = _ensemble_mega(p, xs, cond, policy=policy, pack=True)
+        return d2s(packed[None])[0]
+    x = frame_u8[None].astype(jnp.float32) * (1.0 / 255.0)
+    out = ensemble_s2d(p, x, cond, cfg, policy=policy)
+    return pack_rgb48(out[0])
+
+
+# ---------------------------------------------------------------------------
+# Megakernel execution path (ops/megakernel.py) — the L0 section as three
+# fused HBM passes instead of ~15 separate lax convs / elementwise passes.
+# ---------------------------------------------------------------------------
+
+
+def _mega_ok(p: Params, xs_shape, policy: Policy) -> bool:
+    from hdrtv_tpu.ops.megakernel import pick_rows
+    from hdrtv_tpu.utils.env import env_bool
+
+    if not env_bool("HDRTV_MEGAKERNEL", True) or env_bool("HDRTV_DISABLE_PALLAS", False):
+        return False
+    if not env_bool("HDRTV_MEGAKERNEL_INTERPRET", False) and jax.default_backend() != "tpu":
+        return False
+    if policy.compute_dtype != jnp.bfloat16 and not env_bool("HDRTV_MEGAKERNEL_INTERPRET", False):
+        return False
+    if len(xs_shape) != 4 or xs_shape[0] != 1 or xs_shape[3] != 12:
+        return False
+    n, hb, wb, _ = xs_shape
+    if wb % 8 != 0 or hb < 8 or pick_rows(hb) > 32:
+        return False
+    needed = ("LE.__in_fused.weight", "AGCM.conv_first.weight", "LE.conv_last.weight")
+    return all(k in p for k in needed)
+
+
+def _agcm_mods(p: Params, cond_nat: jax.Array, *, policy: Policy) -> jax.Array:
+    """AGCM global modulation vectors, tiled for block-major s2d lanes:
+    (6, 4·nf) fp32 rows = (scale,shift) × (first, HR, last); the conv_last
+    rows occupy the first 12 lanes."""
+    fea = classifier_apply(p, "AGCM.classifier.", "color_condition", cond_nat, policy=policy)
+
+    def lin(name):
+        w = policy.cast(p[f"{name}.weight"])
+        v = jnp.dot(
+            policy.cast(fea), w, precision=policy.precision,
+            preferred_element_type=policy.compute_dtype,
+        ) + policy.cast(p[f"{name}.bias"])
+        return v[0]
+
+    rows = [
+        jnp.tile(lin(f"AGCM.cond_{kind}_{tag}"), 4).astype(jnp.float32)
+        for tag in ("first", "HR", "last")
+        for kind in ("scale", "shift")
+    ]
+    width = max(v.shape[0] for v in rows)
+    return jnp.stack([jnp.pad(v, (0, width - v.shape[0])) for v in rows])
+
+
+def _ensemble_mega(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy, pack: bool) -> jax.Array:
+    """xs: unbatched s2d L0 frame (Hb,Wb,12) → (Hb,Wb,12) u16 (pack) or bf16."""
+    from hdrtv_tpu.ops.megakernel import fused_agcm_head, fused_cond_chain, fused_tail
+
+    def w11(name):
+        return p[f"{name}.weight"][0, 0], p[f"{name}.bias"]
+
+    xs = policy.cast(xs)
+    mods = _agcm_mods(p, cond_nat, policy=policy)
+    n_first = p["LE.conv_first.bias"].shape[-1]
+    fc, agcm = fused_agcm_head(
+        xs, mods,
+        *w11("AGCM.conv_first"), *w11("AGCM.HRconv"), *w11("AGCM.conv_last"),
+        p["LE.__in_fused.weight"], p["LE.__in_fused.bias"],
+        n_first=n_first,
+    )
+
+    c_feat, cond1 = fused_cond_chain(
+        fc[..., n_first:],
+        [w11("LE.cond_first.2"), w11("LE.cond_first.4"),
+         w11("LE.CondNet1.0"), w11("LE.CondNet1.2"), w11("LE.CondNet1.4")],
+    )
+
+    fea0 = _sft_conv(
+        p, "LE.SFT_layer1", "LE.HR_conv1", fc[None, ..., :n_first], cond1[None],
+        policy=policy, relu_fused=True,
+    )
+    cond2, cond3, cond4 = _le_cond_downs(p, c_feat[None], policy=policy)
+    out = _le_mid(p, fea0, cond2, cond3, cond4, policy=policy)
+    up = d2s_blocks(conv_s1(p, "LE.up_conv3.0", out, policy=policy, relu_fused=True))
+    s = up[0] + fea0[0]
+
+    sft2 = [
+        w11("LE.SFT_layer2.SFT_scale_conv0"), w11("LE.SFT_layer2.SFT_scale_conv1"),
+        w11("LE.SFT_layer2.SFT_shift_conv0"), w11("LE.SFT_layer2.SFT_shift_conv1"),
+    ]
+    return fused_tail(
+        s, cond1, agcm, sft2,
+        p["LE.HR_conv2.weight"], p["LE.HR_conv2.bias"],
+        p["LE.conv_last.weight"], p["LE.conv_last.bias"],
+        pack=pack,
+    )

@@ -1,0 +1,147 @@
+"""Profile the fused 1080p frame program on the real TPU chip.
+
+Captures a jax.profiler device trace of n chained frame steps, then parses
+the relay's ``plugins/profile/*/*.trace.json.gz`` event dump into a per-HLO
+and per-category time breakdown (the round-1 methodology from PERF_NOTES.md).
+
+Usage:
+    python tools/profile_frame.py [--height 1080] [--width 1920] [--n 20]
+    python tools/profile_frame.py --parse /tmp/hdrtv_trace   # re-parse only
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+
+def capture(log_dir: str, height: int, width: int, n: int) -> None:
+    import jax
+
+    from hdrtv_tpu.runtime.engine import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hdrtv_tpu.models.hdrtvnet import ModelConfig
+    from hdrtv_tpu.models.import_torch import load_npz
+    from hdrtv_tpu.models.layers import BF16
+    from hdrtv_tpu.models.s2d import ensemble_s2d, s2d_transform_params
+    from hdrtv_tpu.ops.pack import pack_rgb48
+    from hdrtv_tpu.ops.resize import downsample_quarter_aa
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    params = load_npz(os.path.join(here, "weights", "hr_fp32.npz"))
+    sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(params).items()}
+    cfg = ModelConfig()
+
+    @jax.jit
+    def step(p, frame_u8):
+        x = frame_u8[None].astype(jnp.float32) * (1.0 / 255.0)
+        cond = downsample_quarter_aa(x)
+        out = ensemble_s2d(p, x, cond, cfg, policy=BF16)
+        packed = pack_rgb48(out[0])
+        return packed, (packed % 256).astype(jnp.uint8)
+
+    frame = jax.device_put(
+        jnp.asarray((np.random.RandomState(0).rand(height, width, 3) * 255).astype(np.uint8))
+    )
+    packed, frame = step(sp, frame)
+    _ = np.asarray(packed[:2, :2, 0])  # force warm execution
+
+    jax.profiler.start_trace(log_dir)
+    f = frame
+    for _ in range(n):
+        packed, f = step(sp, f)
+    _ = np.asarray(packed[:2, :2, 0])
+    jax.profiler.stop_trace()
+    print(f"trace written to {log_dir}", flush=True)
+
+
+CATEGORIES = [
+    ("pallas", re.compile(r"fused_block_conv3|fused_sft|custom-call|pallas|tpu_custom_call")),
+    ("conv", re.compile(r"^%?(convolution|conv)")),
+    ("copy", re.compile(r"^%?copy")),
+    ("reshape", re.compile(r"^%?(reshape|transpose|bitcast)")),
+    ("dot", re.compile(r"^%?dot")),
+    ("select", re.compile(r"select|compare|maximum")),
+    ("fusion", re.compile(r"^%?(fusion|loop_|input_|output_)")),
+]
+
+
+def parse(log_dir: str, top: int = 40) -> None:
+    files = sorted(
+        glob.glob(os.path.join(log_dir, "plugins/profile/*/*.trace.json.gz")),
+        key=os.path.getmtime,
+    )
+    if not files:
+        print(f"no trace files under {log_dir}", file=sys.stderr)
+        sys.exit(1)
+    path = files[-1]
+    with gzip.open(path, "rt") as fh:
+        data = json.load(fh)
+    events = data.get("traceEvents", [])
+    # Device-side complete events: pid of TPU core tracks; aggregate by name.
+    per_op: dict[str, float] = collections.defaultdict(float)
+    per_op_count: dict[str, int] = collections.defaultdict(int)
+    # identify device pids: process_name metadata containing "TPU" or "/device"
+    proc_names = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            proc_names[ev.get("pid")] = ev.get("args", {}).get("name", "")
+    dev_pids = {
+        pid
+        for pid, name in proc_names.items()
+        if "TPU" in name or "Device" in name or "/device" in name.lower()
+    }
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        name = ev.get("name", "")
+        if name.startswith("$") or name in ("", "IDLE"):
+            continue
+        per_op[name] += ev.get("dur", 0)
+        per_op_count[name] += 1
+    total = sum(per_op.values())
+    cats: dict[str, float] = collections.defaultdict(float)
+    for name, us in per_op.items():
+        for cat, rx in CATEGORIES:
+            if rx.search(name):
+                cats[cat] += us
+                break
+        else:
+            cats["other"] += us
+    print(f"== {os.path.basename(path)}: total device-op time {total/1e3:.2f} ms ==")
+    print("-- categories (ms) --")
+    for cat, us in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:10s} {us/1e3:9.2f}")
+    print(f"-- top {top} ops (ms, count) --")
+    for name, us in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {us/1e3:9.3f}  x{per_op_count[name]:<4d} {name[:140]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--n", type=int, default=20)
+    ap.add_argument("--log-dir", default="/tmp/hdrtv_trace")
+    ap.add_argument("--parse", metavar="DIR", help="parse an existing trace dir only")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+    if args.parse:
+        parse(args.parse, args.top)
+        return
+    capture(args.log_dir, args.height, args.width, args.n)
+    parse(args.log_dir, args.top)
+
+
+if __name__ == "__main__":
+    main()
