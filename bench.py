@@ -39,8 +39,7 @@ def measure_fps(height: int = 1080, width: int = 1920, n: int = 60) -> float:
     from hdrtv_tpu.models.hdrtvnet import ModelConfig
     from hdrtv_tpu.models.import_torch import load_npz
     from hdrtv_tpu.models.layers import BF16
-    from hdrtv_tpu.models.s2d import ensemble_s2d, s2d_transform_params
-    from hdrtv_tpu.ops.pack import pack_rgb48
+    from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48, s2d_transform_params
     from hdrtv_tpu.ops.resize import downsample_quarter_aa
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -50,10 +49,8 @@ def measure_fps(height: int = 1080, width: int = 1920, n: int = 60) -> float:
 
     @jax.jit
     def step(p, frame_u8):
-        x = frame_u8[None].astype(jnp.float32) * (1.0 / 255.0)
-        cond = downsample_quarter_aa(x)
-        out = ensemble_s2d(p, x, cond, cfg, policy=BF16)
-        packed = pack_rgb48(out[0])
+        cond = downsample_quarter_aa(frame_u8[None].astype(jnp.float32) * (1.0 / 255.0))
+        packed = ensemble_s2d_rgb48(p, frame_u8, cond, cfg, policy=BF16)
         return packed, (packed % 256).astype(jnp.uint8)
 
     frame = jax.device_put(

@@ -386,23 +386,38 @@ def conv_s1(p, name, x, *, policy, relu_fused: bool = False, skip: jax.Array | N
     return y
 
 
-def conv_s2(p, name, x, *, policy, relu_fused: bool = False):
+def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = None):
     """Stride-2 3×3, s2d output: 3×3 stride-2, (1,0) pad over plain s2d.
 
-    The Pallas stride-2 kernel is opt-in (HDRTV_S2_KERNEL=1): its extra
-    Mosaic modules tip the remote compile helper into OOM on this runner.
+    On TPU this routes to the fused_down2 Pallas kernel (ops/megakernel.py)
+    with the activation folded in — XLA's stride-2 conv on the dense-s2d
+    weights was the single worst op in the round-1 device profile.
     """
     from hdrtv_tpu.utils.env import env_bool
 
+    if relu_fused:
+        act = "relu"
     w = p[f"{name}.weight"]
-    if env_bool("HDRTV_S2_KERNEL", False) and _use_fused_kernel(x, w) and x.shape[1] % 2 == 0:
-        from hdrtv_tpu.ops.conv_kernels import fused_block_conv3_s2
+    hb, wb = x.shape[1], x.shape[2]
+    if (
+        env_bool("HDRTV_DOWN2_KERNEL", True)
+        and _use_fused_kernel(x, w)
+        and hb % 2 == 0
+        and wb % 2 == 0
+        and (wb // 2) % 8 == 0
+    ):
+        from hdrtv_tpu.ops.megakernel import fused_down2, pick_rows
 
-        return fused_block_conv3_s2(
-            policy.cast(x[0]), policy.cast(w), p[f"{name}.bias"], relu=relu_fused
-        )[None]
+        if pick_rows(hb // 2, limit=8) <= 16:
+            return fused_down2(
+                policy.cast(x[0]), policy.cast(w), p[f"{name}.bias"], act=act
+            )[None]
     y = _conv(p, name, x, stride=2, padding=[(1, 0), (1, 0)], policy=policy)
-    return relu(y) if relu_fused else y
+    if act == "relu":
+        return relu(y)
+    if act == "lrelu":
+        return leaky_relu(y, 0.1)
+    return y
 
 
 def conv_s2_nat(p, name, x, *, policy):
@@ -572,20 +587,20 @@ def agcm_s2d(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy) -
 def _le_cond_downs(p: Params, c: jax.Array, *, policy: Policy):
     """CondNet2/3/4 down chains from the shared cond feature ``c``."""
     if "LE.__cond_down.weight" in p:
-        cd = leaky_relu(conv_s2(p, "LE.__cond_down", c, policy=policy), 0.1)
+        cd = conv_s2(p, "LE.__cond_down", c, policy=policy, act="lrelu")
         nch = cd.shape[-1] // 3
         c2, c3, c4 = cd[..., :nch], cd[..., nch : 2 * nch], cd[..., 2 * nch :]
     else:
-        c2 = leaky_relu(conv_s2(p, "LE.CondNet2.0", c, policy=policy), 0.1)
-        c3 = leaky_relu(conv_s2(p, "LE.CondNet3.0", c, policy=policy), 0.1)
-        c4 = leaky_relu(conv_s2(p, "LE.CondNet4.0", c, policy=policy), 0.1)
+        c2 = conv_s2(p, "LE.CondNet2.0", c, policy=policy, act="lrelu")
+        c3 = conv_s2(p, "LE.CondNet3.0", c, policy=policy, act="lrelu")
+        c4 = conv_s2(p, "LE.CondNet4.0", c, policy=policy, act="lrelu")
     c2 = leaky_relu(conv_1x1(p, "LE.CondNet2.2", c2, policy=policy), 0.1)
     cond2 = conv_1x1(p, "LE.CondNet2.4", c2, policy=policy)
 
-    c3 = leaky_relu(conv_s2(p, "LE.CondNet3.2", c3, policy=policy), 0.1)
+    c3 = conv_s2(p, "LE.CondNet3.2", c3, policy=policy, act="lrelu")
     cond3 = conv_1x1(p, "LE.CondNet3.4", c3, policy=policy)
 
-    c4 = leaky_relu(conv_s2(p, "LE.CondNet4.2", c4, policy=policy), 0.1)
+    c4 = conv_s2(p, "LE.CondNet4.2", c4, policy=policy, act="lrelu")
     cond4 = conv_s2_nat(p, "LE.CondNet4.4", c4, policy=policy)  # natural /8
     return cond2, cond3, cond4
 
@@ -712,11 +727,16 @@ def ensemble_s2d_rgb48(
     """
     from hdrtv_tpu.ops.pack import pack_rgb48
 
-    xs_u8 = s2d(frame_u8[None])[0]
-    xs = xs_u8.astype(policy.compute_dtype) * jnp.asarray(1.0 / 255.0, policy.compute_dtype)
-    if _mega_ok(p, (1, *xs.shape), policy):
-        packed = _ensemble_mega(p, xs, cond, policy=policy, pack=True)
-        return d2s(packed[None])[0]
+    h, w, _ = frame_u8.shape
+    if h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, h // 2, w // 2, 12), policy):
+        # s2d of an HWC frame needs no W transpose: adjacent column pairs are
+        # already lane-adjacent, so the s2d tensor is a row-deinterleave —
+        # reshape + slice + lane concat, all contiguous copies.
+        xr = frame_u8.reshape(h // 2, 2, w // 2, 6)
+        xs_u8 = jnp.concatenate([xr[:, 0], xr[:, 1]], axis=-1)  # (Hb,Wb,12) u8
+        packed = _ensemble_mega(p, xs_u8, cond, policy=policy, pack=True, scale=1.0 / 255.0)
+        # (Hb,2,Wb,6) u16 — flat layout equals the natural RGB48 frame.
+        return packed.reshape(h, w, 3)
     x = frame_u8[None].astype(jnp.float32) * (1.0 / 255.0)
     out = ensemble_s2d(p, x, cond, cfg, policy=policy)
     return pack_rgb48(out[0])
@@ -770,31 +790,36 @@ def _agcm_mods(p: Params, cond_nat: jax.Array, *, policy: Policy) -> jax.Array:
     return jnp.stack([jnp.pad(v, (0, width - v.shape[0])) for v in rows])
 
 
-def _ensemble_mega(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy, pack: bool) -> jax.Array:
-    """xs: unbatched s2d L0 frame (Hb,Wb,12) → (Hb,Wb,12) u16 (pack) or bf16."""
+def _ensemble_mega(
+    p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy, pack: bool, scale: float = 1.0
+) -> jax.Array:
+    """xs: unbatched s2d L0 frame (Hb,Wb,12), u8 (with ``scale``) or float →
+    (Hb,2,Wb,6) u16 (pack — a metadata reshape of the RGB48 frame) or
+    (Hb,Wb,12) compute-dtype."""
     from hdrtv_tpu.ops.megakernel import fused_agcm_head, fused_cond_chain, fused_tail
 
     def w11(name):
         return p[f"{name}.weight"][0, 0], p[f"{name}.bias"]
 
-    xs = policy.cast(xs)
+    if xs.dtype != jnp.uint8:
+        xs = policy.cast(xs)
     mods = _agcm_mods(p, cond_nat, policy=policy)
     n_first = p["LE.conv_first.bias"].shape[-1]
-    fc, agcm = fused_agcm_head(
+    fea_pre, c0, agcm = fused_agcm_head(
         xs, mods,
         *w11("AGCM.conv_first"), *w11("AGCM.HRconv"), *w11("AGCM.conv_last"),
         p["LE.__in_fused.weight"], p["LE.__in_fused.bias"],
-        n_first=n_first,
+        n_first=n_first, scale=scale, out_dtype=policy.compute_dtype,
     )
 
     c_feat, cond1 = fused_cond_chain(
-        fc[..., n_first:],
+        c0,
         [w11("LE.cond_first.2"), w11("LE.cond_first.4"),
          w11("LE.CondNet1.0"), w11("LE.CondNet1.2"), w11("LE.CondNet1.4")],
     )
 
     fea0 = _sft_conv(
-        p, "LE.SFT_layer1", "LE.HR_conv1", fc[None, ..., :n_first], cond1[None],
+        p, "LE.SFT_layer1", "LE.HR_conv1", fea_pre[None], cond1[None],
         policy=policy, relu_fused=True,
     )
     cond2, cond3, cond4 = _le_cond_downs(p, c_feat[None], policy=policy)

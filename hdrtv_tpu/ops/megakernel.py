@@ -2,34 +2,45 @@
 
 Device profiling (tools/profile_frame.py) showed the 1080p frame time is
 dominated by the *L0-resolution* section of the s2d ensemble: the AGCM 1×1
-chain, the LE input conv, the condition 1×1 chain, and the output
-SFT/HR_conv2/conv_last/pack slice together cost ~30 ms of the 49 ms step —
-almost all of it lax convs that XLA runs as separate HBM round-trips over
-132 MB tensors, plus the layout copies between them. The three kernels here
-replace those sections with one HBM pass each:
+chain, the LE input conv, the condition 1×1 chain, the stride-2 down convs
+and the output SFT/HR_conv2/conv_last/pack slice together cost ~40 ms of the
+49 ms round-1 step — almost all of it lax convs that XLA runs as separate
+HBM round-trips over 132 MB tensors, plus the layout copies between them.
+The kernels here replace those sections with one HBM pass each:
 
 - ``fused_agcm_head``: AGCM (three modulated 1×1 convs, Condition_arch.py
   :552-585 semantics in the s2d domain) + the fused LE input conv
   (conv_first‖cond_first.0) + relu/lrelu epilogues. Reads the 12-channel s2d
-  frame once, writes fea0‖c0 (256ch) and the AGCM output (the LE long-skip).
+  frame once (uint8 ok — the /255 scale fuses in), writes fea0, c0 and the
+  AGCM output (the LE long-skip). The 9 conv taps are lane-concatenated into
+  one K=108 matmul — at 12 input channels, nine K=12 MXU passes would waste
+  ~90% of the contraction.
 - ``fused_cond_chain``: the five pointwise 1×1s (cond_first.2/.4 +
   CondNet1.0/.2/.4, HDRUNet3T1_arch.py:118-137) as one pass: c0 → (c, cond1).
 - ``fused_tail``: SFT_layer2 + HR_conv2 + conv_last + long-skip add
   (HDRUNet3T1_arch.py:196-206) + the RGB48 PQ-signal pack
-  (clamp·65535+0.5→u16, gui_pipeline_worker_feeders.py:193-235) — the whole
-  output slice in one pass, emitting uint16 in the s2d layout (d2s on uint16
-  is a cheap XLA epilogue).
+  (clamp·65535+0.5→u16, gui_pipeline_worker_feeders.py:193-235). The packed
+  variant writes uint16 in a (Hb,2,Wb,6) layout that is a *pure metadata
+  reshape* of the natural (H,W,3) RGB48 frame — the d2s transpose (an
+  expensive lane-interleave on TPU) disappears entirely.
+- ``fused_down2``: dense-s2d stride-2 3×3 block conv ((1,0) pad — the
+  weight-transformed down convs, models/s2d.py w_s2d_s2). The W-dimension
+  stride-2 access is eliminated by pre-pairing adjacent columns in XLA
+  (``x.reshape(hb, wb//2, 2c)`` — a free bitcast), so the kernel needs only
+  sublane shifts and leading-dim splits; H stride-2 reads come from
+  even-position rows of a leading-split reshape. This replaces the single
+  worst op in the round-1 profile (the fused CondNet down conv: 12.9 ms as
+  an XLA conv) and avoids the whole-tile sublane-split reshape that made the
+  round-1 stride-2 kernel OOM the remote compile helper.
 
-Halo handling: instead of manual DMA (whose serial start/wait cost ~15-20%
-of kernel time in round 1, and whose ANY-space streams Mosaic constrains to
-128-multiple lanes), each halo input is passed as THREE overlapping
-row-block views of the same array (prev/cur/next, edge-clamped index maps).
-The Pallas pipeline double-buffers the block fetches automatically, and the
-kernel masks out-of-image halo rows to reproduce 'same'-conv zero padding.
+Halo handling: each halo input is passed as THREE overlapping row-block
+views of the same array (prev/cur/next, edge-clamped index maps) instead of
+manual DMA — the Pallas pipeline double-buffers the block fetches, and the
+kernel masks out-of-image halo rows to reproduce conv padding semantics.
 
-All kernels accumulate matmuls in fp32 and carry activations in the caller's
-compute dtype (bf16 on the hot path). jnp reference implementations
-(``*_ref``) are the parity oracles used by tests (interpret mode on CPU).
+All kernels accumulate matmuls in fp32 and carry activations in the compute
+dtype (bf16 on the hot path). jnp reference implementations (``*_ref``) are
+the parity oracles used by tests (interpret mode on CPU).
 """
 
 from __future__ import annotations
@@ -42,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pick_rows(hb: int, limit: int = 12, minimum: int = 4) -> int:
+def pick_rows(hb: int, limit: int = 12, minimum: int = 3) -> int:
     """Rows per grid step: the largest divisor of ``hb`` ≤ limit."""
     for cand in range(min(limit, hb), minimum - 1, -1):
         if hb % cand == 0:
@@ -76,9 +87,10 @@ def _row_mask(vals, r0, hb: int, wb: int):
     return jnp.where(jnp.logical_and(g >= 0, g < hb), vals, 0.0)
 
 
-def _taps_conv(t, w9_ref, th: int, wb: int, c: int, co: int):
-    """9-tap 3×3 'same' conv: t (th+2, wb, c) → (th*wb, co) fp32 acc."""
-    acc = jnp.zeros((th * wb, co), jnp.float32)
+def _tap_views(t, th: int, wb: int):
+    """The 9 shifted views of t (th+2, wb, c), ordered (dI, dJ) row-major —
+    matching ``w.reshape(9, C, Co)``."""
+    views = []
     for dI in range(3):
         for dJ in (-1, 0, 1):
             r = t[dI : dI + th]
@@ -86,15 +98,39 @@ def _taps_conv(t, w9_ref, th: int, wb: int, c: int, co: int):
                 r = jnp.pad(r[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
             elif dJ == -1:
                 r = jnp.pad(r[:, : wb - 1, :], ((0, 0), (1, 0), (0, 0)))
-            acc = acc + jnp.dot(
-                r.reshape(th * wb, c), w9_ref[dI * 3 + (dJ + 1)],
-                preferred_element_type=jnp.float32,
-            )
+            views.append(r)
+    return views
+
+
+def _taps_conv(t, w9_ref, th: int, wb: int, c: int, co: int):
+    """9-tap 3×3 'same' conv: t (th+2, wb, c) → (th*wb, co) fp32 acc."""
+    acc = jnp.zeros((th * wb, co), jnp.float32)
+    for i, r in enumerate(_tap_views(t, th, wb)):
+        acc = acc + jnp.dot(
+            r.reshape(th * wb, c), w9_ref[i], preferred_element_type=jnp.float32
+        )
     return acc
+
+
+def _taps_conv_cat(t, wcat_ref, th: int, wb: int, c: int):
+    """3×3 conv with the 9 taps lane-concatenated into one K=9·C matmul —
+    the MXU-efficient form for narrow C (the 12-channel input conv)."""
+    cat = jnp.concatenate(_tap_views(t, th, wb), axis=-1)  # (th, wb, 9C)
+    return jnp.dot(
+        cat.reshape(th * wb, 9 * c), wcat_ref[:], preferred_element_type=jnp.float32
+    )
 
 
 def _lrelu(v):
     return jnp.where(v >= 0, v, v * 0.1)
+
+
+def _apply_act(v, act):
+    if act == "relu":
+        return jnp.maximum(v, 0.0)
+    if act == "lrelu":
+        return _lrelu(v)
+    return v
 
 
 # ---------------------------------------------------------------------------
@@ -103,105 +139,108 @@ def _lrelu(v):
 
 
 def _agcm_head_kernel(
-    xp, xc, xn, mods_ref, aw1, ab1, aw2, ab2, aw3, ab3, w9, b9,
-    fc_ref, agcm_ref, *, th, wb, cin, cf, hb,
+    xp, xc, xn, mods_ref, aw1, ab1, aw2, ab2, aw3, ab3, wcat, b9,
+    fea_ref, c0_ref, agcm_ref, *, th, wb, cin, cf, hb, scale, cdtype,
 ):
     i = pl.program_id(0)
     r0 = i * th
     rows = th + 2
 
-    x = _gather_halo(xp, xc, xn, 1).reshape(rows * wb, cin).astype(jnp.float32)
+    x = _gather_halo(xp, xc, xn, 1).reshape(rows * wb, cin)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.int32)  # Mosaic has no u8→f32 cast; hop via i32
+    x = x.astype(jnp.float32)
+    if scale != 1.0:
+        x = x * scale
 
     def mod(v, row, width):
         s = mods_ref[row, :width].astype(jnp.float32)
         sh = mods_ref[row + 1, :width].astype(jnp.float32)
         return v * (s + 1.0) + sh
 
-    a = jnp.maximum(mod(jnp.dot(x, aw1[:].astype(jnp.float32), preferred_element_type=jnp.float32) + ab1[0], 0, aw1.shape[1]), 0.0)
-    a = a.astype(xc.dtype).astype(jnp.float32)
-    b = jnp.maximum(mod(jnp.dot(a, aw2[:].astype(jnp.float32), preferred_element_type=jnp.float32) + ab2[0], 2, aw2.shape[1]), 0.0)
-    b = b.astype(xc.dtype).astype(jnp.float32)
-    g = mod(jnp.dot(b, aw3[:].astype(jnp.float32), preferred_element_type=jnp.float32) + ab3[0], 4, cin)
+    a = jnp.maximum(mod(jnp.dot(x.astype(cdtype), aw1[:], preferred_element_type=jnp.float32) + ab1[0], 0, aw1.shape[1]), 0.0)
+    b = jnp.maximum(mod(jnp.dot(a.astype(cdtype), aw2[:], preferred_element_type=jnp.float32) + ab2[0], 2, aw2.shape[1]), 0.0)
+    g = mod(jnp.dot(b.astype(cdtype), aw3[:], preferred_element_type=jnp.float32) + ab3[0], 4, cin)
 
     g = _row_mask(g, r0 - 1, hb, wb)
-    agcm = g.astype(xc.dtype).reshape(rows, wb, cin)
+    agcm = g.astype(cdtype).reshape(rows, wb, cin)
     agcm_ref[:] = agcm[1 : th + 1]
 
-    acc = _taps_conv(agcm, w9, th, wb, cin, fc_ref.shape[-1]) + b9[0].astype(jnp.float32)
-    fea = jnp.maximum(acc[:, :cf], 0.0)
+    acc = _taps_conv_cat(agcm, wcat, th, wb, cin) + b9[0].astype(jnp.float32)
+    fea_ref[:] = jnp.maximum(acc[:, :cf], 0.0).reshape(th, wb, cf).astype(fea_ref.dtype)
     c0 = _lrelu(acc[:, cf:])
-    out = jnp.concatenate([fea, c0], axis=-1)
-    fc_ref[:] = out.reshape(th, wb, -1).astype(fc_ref.dtype)
+    c0_ref[:] = c0.reshape(th, wb, -1).astype(c0_ref.dtype)
 
 
 def fused_agcm_head(
     xs: jax.Array, mods: jax.Array,
     aw1, ab1, aw2, ab2, aw3, ab3, w_in, b_in,
-    *, n_first: int, out_dtype=None,
+    *, n_first: int, scale: float = 1.0, out_dtype=jnp.bfloat16,
 ):
-    """s2d frame (Hb,Wb,12) → (fea0‖c0 (Hb,Wb,256), agcm_out (Hb,Wb,12)).
+    """s2d frame (Hb,Wb,12) → (fea0, c0, agcm_out).
 
-    ``mods``: (6, 4·nf) fp32 — AGCM scale/shift vectors (first, HR, last),
-    already tiled over the 4 s2d sub-positions (conv_last rows use the
-    first 12 lanes). ``w_in``: (3,3,12,256) fused conv_first‖cond_first.0.
+    ``xs`` may be uint8 (pass ``scale=1/255``). ``mods``: (6, 4·nf) fp32 —
+    AGCM scale/shift vectors (first, HR, last), tiled over the 4 s2d
+    sub-positions (conv_last rows use the first 12 lanes). ``w_in``:
+    (3,3,12,Cf+Cc) fused conv_first‖cond_first.0; relu/lrelu split at Cf.
     """
     hb, wb, cin = xs.shape
     co = w_in.shape[-1]
-    out_dtype = out_dtype or xs.dtype
     th = pick_rows(hb)
-    w9 = w_in.reshape(9, cin, co).astype(xs.dtype)
+    wcat = w_in.reshape(9 * cin, co).astype(out_dtype)
 
     kernel = functools.partial(
-        _agcm_head_kernel, th=th, wb=wb, cin=cin, cf=n_first, hb=hb
+        _agcm_head_kernel, th=th, wb=wb, cin=cin, cf=n_first, hb=hb,
+        scale=float(scale), cdtype=out_dtype,
     )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((hb, wb, co), out_dtype),
+            jax.ShapeDtypeStruct((hb, wb, n_first), out_dtype),
+            jax.ShapeDtypeStruct((hb, wb, co - n_first), out_dtype),
             jax.ShapeDtypeStruct((hb, wb, cin), out_dtype),
         ),
         grid=(hb // th,),
         in_specs=_halo_specs(hb, th, wb, cin) + [wspec] * 9,
         out_specs=(
-            pl.BlockSpec((th, wb, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, wb, n_first), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, wb, co - n_first), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((th, wb, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         xs, xs, xs,
         mods.astype(jnp.float32),
-        aw1.astype(xs.dtype), ab1.reshape(1, -1).astype(jnp.float32),
-        aw2.astype(xs.dtype), ab2.reshape(1, -1).astype(jnp.float32),
-        aw3.astype(xs.dtype), ab3.reshape(1, -1).astype(jnp.float32),
-        w9, b_in.reshape(1, -1).astype(jnp.float32),
+        aw1.astype(out_dtype), ab1.reshape(1, -1).astype(jnp.float32),
+        aw2.astype(out_dtype), ab2.reshape(1, -1).astype(jnp.float32),
+        aw3.astype(out_dtype), ab3.reshape(1, -1).astype(jnp.float32),
+        wcat, b_in.reshape(1, -1).astype(jnp.float32),
     )
 
 
-def fused_agcm_head_ref(xs, mods, aw1, ab1, aw2, ab2, aw3, ab3, w_in, b_in, *, n_first, out_dtype=None):
+def fused_agcm_head_ref(xs, mods, aw1, ab1, aw2, ab2, aw3, ab3, w_in, b_in, *, n_first, scale=1.0, out_dtype=jnp.float32):
     """jnp oracle (same math, unfused)."""
-    out_dtype = out_dtype or xs.dtype
     hb, wb, cin = xs.shape
-    x = xs.astype(jnp.float32).reshape(-1, cin)
+    x = xs.astype(jnp.float32).reshape(-1, cin) * scale
 
     def mod(v, row, width):
         return v * (mods[row, :width].astype(jnp.float32) + 1.0) + mods[row + 1, :width].astype(jnp.float32)
 
-    a = jnp.maximum(mod(x @ aw1.astype(jnp.float32) + ab1.astype(jnp.float32), 0, aw1.shape[1]), 0.0)
-    a = a.astype(out_dtype).astype(jnp.float32)
-    b = jnp.maximum(mod(a @ aw2.astype(jnp.float32) + ab2.astype(jnp.float32), 2, aw2.shape[1]), 0.0)
-    b = b.astype(out_dtype).astype(jnp.float32)
-    agcm = mod(b @ aw3.astype(jnp.float32) + ab3.astype(jnp.float32), 4, cin).reshape(hb, wb, cin)
+    def dot(v, w):
+        return v.astype(out_dtype).astype(jnp.float32) @ w.astype(out_dtype).astype(jnp.float32)
+
+    a = jnp.maximum(mod(dot(x, aw1) + ab1.astype(jnp.float32), 0, aw1.shape[1]), 0.0)
+    b = jnp.maximum(mod(dot(a, aw2) + ab2.astype(jnp.float32), 2, aw2.shape[1]), 0.0)
+    agcm = mod(dot(b, aw3) + ab3.astype(jnp.float32), 4, cin).reshape(hb, wb, cin)
     y = jax.lax.conv_general_dilated(
-        agcm.astype(out_dtype).astype(jnp.float32)[None], w_in.astype(jnp.float32),
+        agcm.astype(out_dtype).astype(jnp.float32)[None],
+        w_in.astype(out_dtype).astype(jnp.float32),
         (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )[0] + b_in.astype(jnp.float32)
     fea = jnp.maximum(y[..., :n_first], 0.0)
     c0 = jnp.where(y[..., n_first:] >= 0, y[..., n_first:], y[..., n_first:] * 0.1)
-    return (
-        jnp.concatenate([fea, c0], axis=-1).astype(out_dtype),
-        agcm.astype(out_dtype),
-    )
+    return fea.astype(out_dtype), c0.astype(out_dtype), agcm.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +347,11 @@ def _tail_kernel(
     y = y + skip_ref[:].reshape(th * wb, cl).astype(jnp.float32)
     if pack:
         v = jnp.clip(y, 0.0, 1.0) * 65535.0 + 0.5
-        out_ref[:] = v.astype(jnp.int32).astype(jnp.uint16).reshape(th, wb, cl)
+        u = v.astype(jnp.int32).astype(jnp.uint16).reshape(th, wb, cl)
+        # (th,2,wb,6): a metadata reshape of the natural (2·th, wb·2, 3)
+        # RGB48 rows — even rows are s2d channels [:6], odd rows [6:].
+        out_ref[:, 0] = u[..., : cl // 2]
+        out_ref[:, 1] = u[..., cl // 2 :]
     else:
         out_ref[:] = y.reshape(th, wb, cl).astype(out_ref.dtype)
 
@@ -326,7 +369,8 @@ def fused_tail(
         out = pack ? u16(clip(y)·65535+.5) : y
 
     ``s`` = up3+fea0 (Hb,Wb,128); ``skip`` = agcm_out (Hb,Wb,12).
-    ``sft_small``: four (w,b) pairs, block-diag packed to full lanes.
+    With ``pack`` the result is (Hb,2,Wb,6) uint16 whose flat layout equals
+    the natural (2Hb, 2Wb, 3) RGB48 frame — reshape, don't d2s.
     """
     hb, wb, c = s.shape
     cc = cond1.shape[-1]
@@ -338,19 +382,24 @@ def fused_tail(
     for w, b in sft_small:
         consts.append(w.astype(s.dtype))
         consts.append(b.reshape(1, -1).astype(jnp.float32))
-    out_dtype = jnp.uint16 if pack else (out_dtype or s.dtype)
 
     kernel = functools.partial(_tail_kernel, th=th, wb=wb, c=c, cc=cc, cl=cl, hb=hb, pack=pack)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if pack:
+        out_shape = jax.ShapeDtypeStruct((hb, 2, wb, cl // 2), jnp.uint16)
+        out_spec = pl.BlockSpec((th, 2, wb, cl // 2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((hb, wb, cl), out_dtype or s.dtype)
+        out_spec = pl.BlockSpec((th, wb, cl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((hb, wb, cl), out_dtype),
+        out_shape=out_shape,
         grid=(hb // th,),
         in_specs=_halo_specs(hb, th, wb, c)
         + _halo_specs(hb, th, wb, cc)
         + [pl.BlockSpec((th, wb, cl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
         + [wspec] * 12,
-        out_specs=pl.BlockSpec((th, wb, cl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         s, s, s, cond1, cond1, cond1, skip,
@@ -385,5 +434,90 @@ def fused_tail_ref(s, cond1, skip, sft_small, w_hr, b_hr, w_last, b_last, *, pac
     hv = jnp.maximum(conv(t, w_hr, b_hr), 0.0).astype(dt)
     y = conv(hv, w_last, b_last) + skip.astype(jnp.float32)
     if pack:
-        return (jnp.clip(y, 0.0, 1.0) * 65535.0 + 0.5).astype(jnp.uint16)
+        u = (jnp.clip(y, 0.0, 1.0) * 65535.0 + 0.5).astype(jnp.uint16)
+        cl = u.shape[-1]
+        return jnp.stack([u[..., : cl // 2], u[..., cl // 2 :]], axis=1)
     return y.astype(out_dtype or dt)
+
+
+# ---------------------------------------------------------------------------
+# 4. Stride-2 dense-s2d block conv (the weight-transformed down convs)
+# ---------------------------------------------------------------------------
+
+
+def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, out_ref, *, th, wbo, c, hbo, act):
+    """Out rows [r0, r0+th) ← paired input rows [2r0-1, 2r0+2th+1).
+
+    Input is column-paired: (hb, wb/2, 2C), lane d = (col parity)·C + ch.
+    For output col p and natural tap dJ∈{0,1,2} (pad (1,0)): input col
+    2p+dJ-1 → dJ∈{1,2} hit paired col p (both halves — one K=2C matmul);
+    dJ=0 hits paired col p-1's upper half (a sublane shift + K=C matmul).
+    Row taps dI read even-position rows of a leading-split reshape.
+    """
+    i = pl.program_id(0)
+    r0 = i * th
+    co = out_ref.shape[-1]
+    n2 = 2 * th
+
+    g = jnp.concatenate([xp[n2 - 1 :], xc[:], xn[:1]], axis=0)  # (2th+2, wbo, 2c)
+    # pad (1,0): only global input row -1 needs zeroing (first tile, dI=0).
+    gf = _row_mask(g.reshape((n2 + 2) * wbo, 2 * c), 2 * r0 - 1, 2 * hbo, wbo)
+    g = gf.astype(xc.dtype).reshape(n2 + 2, wbo, 2 * c)
+
+    acc = jnp.zeros((th * wbo, co), jnp.float32)
+    for dI in range(3):
+        rows = g[dI : dI + n2].reshape(th, 2, wbo, 2 * c)[:, 0]  # (th, wbo, 2c)
+        acc = acc + jnp.dot(
+            rows.reshape(th * wbo, 2 * c), wcat_ref[dI], preferred_element_type=jnp.float32
+        )
+        sh = jnp.pad(rows[:, : wbo - 1, :], ((0, 0), (1, 0), (0, 0)))
+        acc = acc + jnp.dot(
+            sh[..., c:].reshape(th * wbo, c), wr_ref[dI], preferred_element_type=jnp.float32
+        )
+    acc = _apply_act(acc + b_ref[0].astype(jnp.float32), act)
+    out_ref[:] = acc.reshape(th, wbo, co).astype(out_ref.dtype)
+
+
+def fused_down2(x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = None, out_dtype=None):
+    """Stride-2 3×3 block conv, (1,0) pad: (Hb,Wb,C) → (Hb/2,Wb/2,Co).
+
+    ``w``: (3,3,C,Co) — the s2d-transformed stride-2 weight (w_s2d_s2).
+    ``act``: None | 'relu' | 'lrelu' fused epilogue.
+    """
+    hb, wb, c = x.shape
+    co = w.shape[-1]
+    hbo, wbo = hb // 2, wb // 2
+    out_dtype = out_dtype or x.dtype
+    th = pick_rows(hbo, limit=8)
+    xpair = x.reshape(hb, wbo, 2 * c)  # free bitcast: adjacent W pairs → lanes
+
+    wcat = jnp.concatenate([w[:, 1], w[:, 2]], axis=1).astype(x.dtype)  # (3, 2C, Co)
+    wr = w[:, 0].astype(x.dtype)  # (3, C, Co)
+
+    kernel = functools.partial(_down2_kernel, th=th, wbo=wbo, c=c, hbo=hbo, act=act)
+    n = hbo // th
+    specs = [
+        pl.BlockSpec((2 * th, wbo, 2 * c), lambda i: (jnp.maximum(i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * th, wbo, 2 * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * th, wbo, 2 * c), lambda i: (jnp.minimum(i + 1, n - 1), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hbo, wbo, co), out_dtype),
+        grid=(n,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((th, wbo, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(xpair, xpair, xpair, wcat, wr, b.reshape(1, -1).astype(jnp.float32))
+
+
+def fused_down2_ref(x, w, b, *, act=None, out_dtype=None):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32)[None], w.astype(jnp.float32), (2, 2), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0] + b.astype(jnp.float32)
+    y = _apply_act(y, act)
+    return y.astype(out_dtype or x.dtype)

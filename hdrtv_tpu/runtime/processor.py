@@ -29,7 +29,7 @@ import numpy as np
 from hdrtv_tpu.models.hdrtvnet import ModelConfig, model_apply
 from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz
 from hdrtv_tpu.models.layers import Policy, policy_for
-from hdrtv_tpu.models.s2d import ensemble_s2d, s2d_transform_params
+from hdrtv_tpu.models.s2d import ensemble_s2d, ensemble_s2d_rgb48, s2d_transform_params
 from hdrtv_tpu.ops.pack import pack_rgb48
 from hdrtv_tpu.ops.resize import downsample_quarter_aa, downsample_quarter_bilinear
 from hdrtv_tpu.runtime import engine as engine_mod
@@ -132,6 +132,12 @@ class HDRTVNetTPU:
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _process_rgb48_jit(self, frame_u8: jax.Array) -> jax.Array:
+        if self.turbo and frame_u8.shape[0] % 8 == 0 and frame_u8.shape[1] % 8 == 0:
+            # Fused path: BGR→RGB flip on uint8, cond from the same frame,
+            # u16 pack inside the tail megakernel (ensemble_s2d_rgb48).
+            rgb = frame_u8[..., ::-1]
+            cond = self._cond_of(rgb[None].astype(jnp.float32) * (1.0 / 255.0))
+            return ensemble_s2d_rgb48(self.params, rgb, cond, self.cfg, policy=self.policy)
         x, cond = self._pre(frame_u8)
         out = self._net(x, cond)
         return pack_rgb48(out[0])

@@ -40,10 +40,37 @@ class TestKernels:
             jnp.asarray(rng.randn(384).astype(f32) * 0.1),
         )
         with pltpu.force_tpu_interpret_mode():
-            fc, agcm = fused_agcm_head(xs, mods, *args, n_first=128)
-        fc_r, agcm_r = fused_agcm_head_ref(xs, mods, *args, n_first=128)
-        np.testing.assert_allclose(np.asarray(fc, f32), np.asarray(fc_r, f32), atol=2e-5)
+            fea, c0, agcm = fused_agcm_head(xs, mods, *args, n_first=128, out_dtype=jnp.float32)
+        fea_r, c0_r, agcm_r = fused_agcm_head_ref(xs, mods, *args, n_first=128)
+        np.testing.assert_allclose(np.asarray(fea, f32), np.asarray(fea_r, f32), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(c0, f32), np.asarray(c0_r, f32), atol=2e-5)
         np.testing.assert_allclose(np.asarray(agcm, f32), np.asarray(agcm_r, f32), atol=2e-5)
+
+    def test_agcm_head_u8_scale(self, rng):
+        """uint8 input with in-kernel /255 matches a pre-scaled f32 input."""
+        from hdrtv_tpu.ops.megakernel import fused_agcm_head
+
+        f32 = np.float32
+        hb, wb = 12, 16
+        xu8 = jnp.asarray((rng.rand(hb, wb, 12) * 255).astype(np.uint8))
+        mods = jnp.asarray(rng.randn(6, 256).astype(f32) * 0.1)
+        args = (
+            jnp.asarray(rng.randn(12, 256).astype(f32) * 0.2),
+            jnp.asarray(rng.randn(256).astype(f32) * 0.1),
+            jnp.asarray(rng.randn(256, 256).astype(f32) * 0.05),
+            jnp.asarray(rng.randn(256).astype(f32) * 0.1),
+            jnp.asarray(rng.randn(256, 12).astype(f32) * 0.1),
+            jnp.asarray(rng.randn(12).astype(f32) * 0.1),
+            jnp.asarray(rng.randn(3, 3, 12, 384).astype(f32) * 0.1),
+            jnp.asarray(rng.randn(384).astype(f32) * 0.1),
+        )
+        with pltpu.force_tpu_interpret_mode():
+            a = fused_agcm_head(xu8, mods, *args, n_first=128, scale=1 / 255.0, out_dtype=jnp.float32)
+            b = fused_agcm_head(
+                xu8.astype(jnp.float32) / 255.0, mods, *args, n_first=128, out_dtype=jnp.float32
+            )
+        for av, bv in zip(a, b):
+            np.testing.assert_allclose(np.asarray(av, f32), np.asarray(bv, f32), atol=2e-5)
 
     def test_cond_chain_parity(self, rng):
         from hdrtv_tpu.ops.megakernel import fused_cond_chain, fused_cond_chain_ref
@@ -83,8 +110,24 @@ class TestKernels:
             ybf = fused_tail(s, cond1, skip, sft, w_hr, b_hr, w_l, b_l, pack=False)
         y16_r = fused_tail_ref(s, cond1, skip, sft, w_hr, b_hr, w_l, b_l, pack=True)
         ybf_r = fused_tail_ref(s, cond1, skip, sft, w_hr, b_hr, w_l, b_l, pack=False)
+        assert y16.shape == (hb, 2, wb, 6)
         assert np.abs(np.asarray(y16, np.int32) - np.asarray(y16_r, np.int32)).max() <= 1
         np.testing.assert_allclose(np.asarray(ybf, f32), np.asarray(ybf_r, f32), atol=2e-5)
+
+    def test_down2_parity(self, rng):
+        from hdrtv_tpu.ops.megakernel import fused_down2, fused_down2_ref
+
+        f32 = np.float32
+        for hb, wb, c, co in ((24, 32, 128, 128), (20, 16, 256, 384)):
+            x = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+            w = jnp.asarray(rng.randn(3, 3, c, co).astype(f32) * 0.05)
+            b = jnp.asarray(rng.randn(co).astype(f32) * 0.1)
+            for act in (None, "relu", "lrelu"):
+                with pltpu.force_tpu_interpret_mode():
+                    y = fused_down2(x, w, b, act=act)
+                y_r = fused_down2_ref(x, w, b, act=act)
+                assert y.shape == (hb // 2, wb // 2, co)
+                np.testing.assert_allclose(np.asarray(y, f32), np.asarray(y_r, f32), atol=3e-5)
 
 
 class TestEnsembleMega:
