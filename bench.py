@@ -39,8 +39,7 @@ def measure_fps(height: int = 1080, width: int = 1920, n: int = 60) -> float:
     from hdrtv_tpu.models.hdrtvnet import ModelConfig
     from hdrtv_tpu.models.import_torch import load_npz
     from hdrtv_tpu.models.layers import BF16
-    from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48, s2d_transform_params
-    from hdrtv_tpu.ops.resize import downsample_quarter_aa
+    from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_flat, s2d_transform_params
 
     here = os.path.dirname(os.path.abspath(__file__))
     params = load_npz(os.path.join(here, "weights", "hr_fp32.npz"))
@@ -48,22 +47,23 @@ def measure_fps(height: int = 1080, width: int = 1920, n: int = 60) -> float:
     cfg = ModelConfig()
 
     @jax.jit
-    def step(p, frame_u8):
-        cond = downsample_quarter_aa(frame_u8[None].astype(jnp.float32) * (1.0 / 255.0))
-        packed = ensemble_s2d_rgb48(p, frame_u8, cond, cfg, policy=BF16)
+    def step(p, frame2d_u8):
+        # Flat byte-row contract: (H, 3W) u8 frame rows → (H, 3W) u16 RGB48
+        # rows — exactly the decoder-buffer and feeder byte layouts.
+        packed = ensemble_s2d_rgb48_flat(p, frame2d_u8, None, cfg, policy=BF16)
         return packed, (packed % 256).astype(jnp.uint8)
 
     frame = jax.device_put(
-        jnp.asarray((np.random.RandomState(0).rand(height, width, 3) * 255).astype(np.uint8))
+        jnp.asarray((np.random.RandomState(0).rand(height, width * 3) * 255).astype(np.uint8))
     )
     packed, frame = step(sp, frame)
-    _ = np.asarray(packed[:2, :2, 0])  # warm + force first execution
+    _ = np.asarray(packed[:2, :2])  # warm + force first execution
 
     t0 = time.perf_counter()
     f = frame
     for _ in range(n):
         packed, f = step(sp, f)
-    _ = np.asarray(packed[:2, :2, 0])  # fetch forces the chain to complete
+    _ = np.asarray(packed[:2, :2])  # fetch forces the chain to complete
     dt = (time.perf_counter() - t0) / n
     return 1.0 / dt
 

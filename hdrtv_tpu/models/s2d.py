@@ -718,28 +718,73 @@ def ensemble_s2d_rgb48(
     *,
     policy: Policy = F32,
 ) -> jax.Array:
-    """uint8 RGB frame → uint16 RGB48 PQ code values, fully fused.
+    """uint8 RGB frame (H,W,3) → uint16 RGB48 PQ code values, fully fused.
 
     The RGB48 pack (clamp·65535+0.5 → u16, the reference delivery contract —
     gui_pipeline_worker_feeders.py:193-235) happens *inside* the tail
-    megakernel; only a cheap uint16 d2s epilogue remains. ``cond`` is the
-    natural ¼-res condition image (f32 [0,1]).
+    megakernel.
+    ``cond`` is the natural ¼-res condition image (f32 [0,1]).
     """
     from hdrtv_tpu.ops.pack import pack_rgb48
 
     h, w, _ = frame_u8.shape
     if h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, h // 2, w // 2, 12), policy):
-        # s2d of an HWC frame needs no W transpose: adjacent column pairs are
-        # already lane-adjacent, so the s2d tensor is a row-deinterleave —
-        # reshape + slice + lane concat, all contiguous copies.
-        xr = frame_u8.reshape(h // 2, 2, w // 2, 6)
-        xs_u8 = jnp.concatenate([xr[:, 0], xr[:, 1]], axis=-1)  # (Hb,Wb,12) u8
-        packed = _ensemble_mega(p, xs_u8, cond, policy=policy, pack=True, scale=1.0 / 255.0)
-        # (Hb,2,Wb,6) u16 — flat layout equals the natural RGB48 frame.
-        return packed.reshape(h, w, 3)
+        return ensemble_s2d_rgb48_flat(
+            p, frame_u8.reshape(h, w * 3), cond, cfg, policy=policy
+        ).reshape(h, w, 3)
     x = frame_u8[None].astype(jnp.float32) * (1.0 / 255.0)
     out = ensemble_s2d(p, x, cond, cfg, policy=policy)
     return pack_rgb48(out[0])
+
+
+def ensemble_s2d_rgb48_flat(
+    p: Params,
+    frame2d_u8: jax.Array,
+    cond: jax.Array | None = None,
+    cfg: ModelConfig = ModelConfig(),
+    *,
+    policy: Policy = F32,
+    bgr: bool = False,
+) -> jax.Array:
+    """Flat byte-row contract: (H, 3W) uint8 rows in → (H, 3W) uint16 out.
+
+    This is the preferred device program boundary: a decoded frame buffer IS
+    an (H, 3W) byte matrix, and the result IS the RGB48LE byte stream the
+    display feeder writes (gui_pipeline_worker_feeders.py:193-235). Keeping
+    3-channel-minor tensors off the jit boundary avoids XLA's lane-padding
+    relayouts (measured ~4 ms/frame at 1080p). ``cond`` defaults to the
+    ¼-res antialiased condition image computed from the same frame; ``bgr``
+    folds the BGR→RGB flip into the head kernel's weights (free).
+
+    s2d of an HWC frame needs no W transpose — adjacent column pairs are
+    already lane-adjacent — so the s2d tensor is a row-deinterleave:
+    reshape + slice + lane concat, all contiguous copies.
+    """
+    from hdrtv_tpu.ops.pack import pack_rgb48
+
+    h, w3 = frame2d_u8.shape
+    w = w3 // 3
+    hb, wb = h // 2, w // 2
+    if cond is None:
+        cframe = frame2d_u8.reshape(h, w, 3)
+        if bgr:
+            cframe = cframe[..., ::-1]
+        from hdrtv_tpu.ops.resize import downsample_quarter_aa
+
+        cond = downsample_quarter_aa(cframe[None].astype(jnp.float32) * (1.0 / 255.0))
+    if h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, hb, wb, 12), policy):
+        xr = frame2d_u8.reshape(hb, 2, wb, 6)
+        xs_u8 = jnp.concatenate([xr[:, 0], xr[:, 1]], axis=-1)  # (Hb,Wb,12) u8
+        packed = _ensemble_mega(
+            p, xs_u8, cond, policy=policy, pack=True, scale=1.0 / 255.0, bgr=bgr
+        )
+        return packed.reshape(h, w3)  # (Hb,2,Wb,6) u16 ≡ flat RGB48 rows
+    frame = frame2d_u8.reshape(h, w, 3)
+    if bgr:
+        frame = frame[..., ::-1]
+    x = frame[None].astype(jnp.float32) * (1.0 / 255.0)
+    out = ensemble_s2d(p, x, cond, cfg, policy=policy)
+    return pack_rgb48(out[0]).reshape(h, w3)
 
 
 # ---------------------------------------------------------------------------
@@ -791,11 +836,19 @@ def _agcm_mods(p: Params, cond_nat: jax.Array, *, policy: Policy) -> jax.Array:
 
 
 def _ensemble_mega(
-    p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy, pack: bool, scale: float = 1.0
+    p: Params,
+    xs: jax.Array,
+    cond_nat: jax.Array,
+    *,
+    policy: Policy,
+    pack: bool,
+    scale: float = 1.0,
+    bgr: bool = False,
 ) -> jax.Array:
     """xs: unbatched s2d L0 frame (Hb,Wb,12), u8 (with ``scale``) or float →
     (Hb,2,Wb,6) u16 (pack — a metadata reshape of the RGB48 frame) or
-    (Hb,Wb,12) compute-dtype."""
+    (Hb,Wb,12) compute-dtype. ``bgr`` permutes the input-consuming weights
+    so a BGR-byte-order frame needs no lane flip (free at trace time)."""
     from hdrtv_tpu.ops.megakernel import fused_agcm_head, fused_cond_chain, fused_tail
 
     def w11(name):
@@ -805,9 +858,16 @@ def _ensemble_mega(
         xs = policy.cast(xs)
     mods = _agcm_mods(p, cond_nat, policy=policy)
     n_first = p["LE.conv_first.bias"].shape[-1]
+    aw1 = p["AGCM.conv_first.weight"][0, 0]
+    if bgr:
+        # Only AGCM.conv_first consumes the source frame; the LE input conv
+        # consumes the (model-space RGB) AGCM output and stays untouched.
+        perm = np.array([(k // 3) * 3 + 2 - (k % 3) for k in range(aw1.shape[0])])
+        aw1 = aw1[perm]
     fea_pre, c0, agcm = fused_agcm_head(
         xs, mods,
-        *w11("AGCM.conv_first"), *w11("AGCM.HRconv"), *w11("AGCM.conv_last"),
+        aw1, p["AGCM.conv_first.bias"],
+        *w11("AGCM.HRconv"), *w11("AGCM.conv_last"),
         p["LE.__in_fused.weight"], p["LE.__in_fused.bias"],
         n_first=n_first, scale=scale, out_dtype=policy.compute_dtype,
     )

@@ -167,7 +167,12 @@ class PipelineRunner:
                     break
                 frame, idx, pts = meta
                 t_submit = time.monotonic()
-                dev_out = self.processor.process_rgb48_device(jnp.asarray(frame))
+                # Ship flat byte rows: same bytes, no 3-channel-minor tensor
+                # at the device boundary (avoids XLA lane-padding relayouts).
+                h = frame.shape[0]
+                dev_out = self.processor.process_rgb48_device(
+                    jnp.asarray(np.ascontiguousarray(frame).reshape(h, -1))
+                )
                 inflight.put((dev_out, pts, t_submit))  # blocks when ring full
                 processed += 1
                 media_seconds = pts

@@ -29,7 +29,11 @@ import numpy as np
 from hdrtv_tpu.models.hdrtvnet import ModelConfig, model_apply
 from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz
 from hdrtv_tpu.models.layers import Policy, policy_for
-from hdrtv_tpu.models.s2d import ensemble_s2d, ensemble_s2d_rgb48, s2d_transform_params
+from hdrtv_tpu.models.s2d import (
+    ensemble_s2d,
+    ensemble_s2d_rgb48_flat,
+    s2d_transform_params,
+)
 from hdrtv_tpu.ops.pack import pack_rgb48
 from hdrtv_tpu.ops.resize import downsample_quarter_aa, downsample_quarter_bilinear
 from hdrtv_tpu.runtime import engine as engine_mod
@@ -132,15 +136,31 @@ class HDRTVNetTPU:
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _process_rgb48_jit(self, frame_u8: jax.Array) -> jax.Array:
-        if self.turbo and frame_u8.shape[0] % 8 == 0 and frame_u8.shape[1] % 8 == 0:
-            # Fused path: BGR→RGB flip on uint8, cond from the same frame,
-            # u16 pack inside the tail megakernel (ensemble_s2d_rgb48).
-            rgb = frame_u8[..., ::-1]
-            cond = self._cond_of(rgb[None].astype(jnp.float32) * (1.0 / 255.0))
-            return ensemble_s2d_rgb48(self.params, rgb, cond, self.cfg, policy=self.policy)
         x, cond = self._pre(frame_u8)
         out = self._net(x, cond)
         return pack_rgb48(out[0])
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _process_rgb48_flat_jit(self, frame2d_u8: jax.Array) -> jax.Array:
+        """Flat byte-row program: (H, 3W) u8 BGR rows → (H, 3W) u16 RGB48.
+
+        The hot path — keeps 3-channel-minor tensors off the jit boundary
+        (XLA lane-padding relayouts cost ~4 ms/frame at 1080p) and folds the
+        BGR→RGB flip into the head kernel weights. The host views the same
+        bytes as (H, W, 3) for free.
+        """
+        h, w3 = frame2d_u8.shape
+        if self.turbo and h % 8 == 0 and (w3 // 3) % 8 == 0:
+            cond = self._cond_of(
+                frame2d_u8.reshape(h, w3 // 3, 3)[None, ..., ::-1].astype(jnp.float32)
+                * (1.0 / 255.0)
+            )
+            return ensemble_s2d_rgb48_flat(
+                self.params, frame2d_u8, cond, self.cfg, policy=self.policy, bgr=True
+            )
+        x, cond = self._pre(frame2d_u8.reshape(h, w3 // 3, 3))
+        out = self._net(x, cond)
+        return pack_rgb48(out[0]).reshape(h, w3)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _process_bgr_u8_jit(self, frame_u8: jax.Array) -> jax.Array:
@@ -182,10 +202,19 @@ class HDRTVNetTPU:
 
     def process_rgb48(self, frame_bgr: np.ndarray) -> np.ndarray:
         """Full frame → uint16 RGB48 PQ code values (HDR delivery path)."""
-        return np.asarray(self._process_rgb48_jit(jnp.asarray(frame_bgr)))
+        h, w, _ = frame_bgr.shape
+        flat = np.ascontiguousarray(frame_bgr).reshape(h, w * 3)  # free view
+        out = np.asarray(self._process_rgb48_flat_jit(jnp.asarray(flat)))
+        return out.reshape(h, w, 3)
 
     def process_rgb48_device(self, frame_u8_dev: jax.Array) -> jax.Array:
-        """Device-resident variant for the pipelined runner (no host sync)."""
+        """Device-resident variant for the pipelined runner (no host sync).
+
+        Accepts (H, 3W) flat byte rows (preferred — what the runner ships)
+        or (H, W, 3); returns the matching shape in uint16.
+        """
+        if frame_u8_dev.ndim == 2:
+            return self._process_rgb48_flat_jit(frame_u8_dev)
         return self._process_rgb48_jit(frame_u8_dev)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)

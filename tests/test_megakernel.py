@@ -161,3 +161,30 @@ class TestEnsembleMega:
         d = np.abs(np.asarray(mega, np.int32) - np.asarray(base, np.int32))
         assert d.max() <= 1, f"u16 maxdiff {d.max()}"
         assert mega.shape == (48, 64, 3) and mega.dtype == jnp.uint16
+
+    def test_flat_bgr_weight_permutation(self, rng):
+        """bgr=True (weights permuted) ≡ explicit lane flip + bgr=False."""
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+        from hdrtv_tpu.models.import_torch import load_npz
+        from hdrtv_tpu.models.layers import F32
+        from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_flat, s2d_transform_params
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        params = load_npz(os.path.join(here, "weights", "hr_fp32.npz"))
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(params).items()}
+        cfg = ModelConfig()
+
+        bgr_frame = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+        rgb_frame = bgr_frame[..., ::-1]
+        os.environ["HDRTV_MEGAKERNEL_INTERPRET"] = "1"
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                a = ensemble_s2d_rgb48_flat(
+                    sp, jnp.asarray(bgr_frame.reshape(48, 192)), None, cfg, policy=F32, bgr=True
+                )
+                b = ensemble_s2d_rgb48_flat(
+                    sp, jnp.asarray(np.ascontiguousarray(rgb_frame).reshape(48, 192)), None, cfg, policy=F32
+                )
+        finally:
+            del os.environ["HDRTV_MEGAKERNEL_INTERPRET"]
+        assert np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32)).max() <= 1
