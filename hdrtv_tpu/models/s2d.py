@@ -503,26 +503,37 @@ def _sft_small_weights(p, sft_name, policy):
     ]
 
 
-def _sft_conv(p, sft_name, conv_name, x, cond, *, policy, relu_fused=False, skip=None):
-    """SFT + 3×3 conv, fused into one Pallas pass when eligible
-    (ops/sft_conv.py); falls back to SFT-then-conv otherwise."""
+def _sft4_bd(p, sft_name):
+    """The four SFT 1×1s as s2d block-diag dense (C,C') matrices + biases."""
+    return [
+        (p[f"{sft_name}.{cv}.weight"][0, 0], p[f"{sft_name}.{cv}.bias"])
+        for cv in ("SFT_scale_conv0", "SFT_scale_conv1", "SFT_shift_conv0", "SFT_shift_conv1")
+    ]
+
+
+def _sft_conv_ok(p, conv_name, x, cond, *, policy) -> bool:
     from hdrtv_tpu.utils.env import env_bool
 
-    w = p[f"{conv_name}.weight"]
-    if (
+    return (
         policy.compute_dtype == jnp.bfloat16
         and env_bool("HDRTV_SFT_CONV", True)
-        and _use_fused_kernel(x, w)
+        and _use_fused_kernel(x, p[f"{conv_name}.weight"])
         and cond.shape[-1] % 8 == 0
-    ):
-        from hdrtv_tpu.ops.sft_conv import fused_sft_conv3
+    )
 
-        return fused_sft_conv3(
+
+def _sft_conv(p, sft_name, conv_name, x, cond, *, policy, relu_fused=False, skip=None):
+    """SFT + 3×3 conv, fused into one Pallas pass when eligible
+    (ops/megakernel.py fused_sft_conv3_v2); SFT-then-conv otherwise."""
+    if _sft_conv_ok(p, conv_name, x, cond, policy=policy):
+        from hdrtv_tpu.ops.megakernel import fused_sft_conv3_v2
+
+        return fused_sft_conv3_v2(
             policy.cast(x[0]),
             policy.cast(cond[0]),
-            policy.cast(w),
+            _sft4_bd(p, sft_name),
+            policy.cast(p[f"{conv_name}.weight"]),
             p[f"{conv_name}.bias"],
-            _sft_small_weights(p, sft_name, policy),
             relu=relu_fused,
             skip=None if skip is None else policy.cast(skip[0]),
         )[None]
@@ -532,6 +543,17 @@ def _sft_conv(p, sft_name, conv_name, x, cond, *, policy, relu_fused=False, skip
 
 def _resblock(p, name, fea, cond, conv3, conv1, *, policy):
     if conv3 is conv_s1:
+        if _sft_conv_ok(p, f"{name}.conv1", fea, cond, policy=policy):
+            from hdrtv_tpu.ops.megakernel import fused_resblock, pick_rows_even
+
+            if pick_rows_even(fea.shape[1]) >= 4:
+                return fused_resblock(
+                    policy.cast(fea[0]), policy.cast(cond[0]),
+                    _sft4_bd(p, f"{name}.sft1"),
+                    policy.cast(p[f"{name}.conv1.weight"]), p[f"{name}.conv1.bias"],
+                    _sft4_bd(p, f"{name}.sft2"),
+                    policy.cast(p[f"{name}.conv2.weight"]), p[f"{name}.conv2.bias"],
+                )[None]
         out = _sft_conv(p, f"{name}.sft1", f"{name}.conv1", fea, cond, policy=policy, relu_fused=True)
         # conv2 + residual add fused into the same pass
         return _sft_conv(p, f"{name}.sft2", f"{name}.conv2", out, cond, policy=policy, skip=fea)
@@ -806,7 +828,9 @@ def _mega_ok(p: Params, xs_shape, policy: Policy) -> bool:
     if len(xs_shape) != 4 or xs_shape[0] != 1 or xs_shape[3] != 12:
         return False
     n, hb, wb, _ = xs_shape
-    if wb % 8 != 0 or hb < 8 or pick_rows(hb) > 32:
+    from hdrtv_tpu.ops.megakernel import pick_rows_even
+
+    if wb % 8 != 0 or hb < 8 or pick_rows(hb) > 32 or not pick_rows_even(hb):
         return False
     needed = ("LE.__in_fused.weight", "AGCM.conv_first.weight", "LE.conv_last.weight")
     return all(k in p for k in needed)

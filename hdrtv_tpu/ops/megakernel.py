@@ -61,22 +61,34 @@ def pick_rows(hb: int, limit: int = 12, minimum: int = 3) -> int:
     return hb
 
 
-def _halo_specs(hb: int, th: int, wb: int, c: int):
-    """Three overlapping row-block views (prev/cur/next) of an (hb,wb,c)
-    array; edge blocks clamp so every fetch is in-bounds (the kernel masks
-    out-of-image halo rows itself)."""
-    n = hb // th
+def pick_rows_even(hb: int, limit: int = 12) -> int:
+    """Largest even divisor of ``hb`` ≤ limit (0 if none) — required by
+    kernels using 2-row halo blocks."""
+    for cand in range(min(limit, hb) // 2 * 2, 1, -2):
+        if hb % cand == 0:
+            return cand
+    return 0
+
+
+def _halo_specs(hb: int, th: int, wb: int, c: int, h: int = 1):
+    """Center row-block plus thin h-row top/bottom halo views of the same
+    (hb,wb,c) array (h must divide th). Total fetch traffic is (th+2h)/th of
+    the array — the halo rows are re-read, nothing else. Edge blocks clamp
+    so every fetch is in-bounds; the kernel masks out-of-image halo rows."""
+    assert th % h == 0
+    nh = hb // h
+    k = th // h
     return [
-        pl.BlockSpec((th, wb, c), lambda i: (jnp.maximum(i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, wb, c), lambda i: (jnp.maximum(i * k - 1, 0), 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((th, wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((th, wb, c), lambda i: (jnp.minimum(i + 1, n - 1), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, wb, c), lambda i: (jnp.minimum(i * k + k, nh - 1), 0, 0), memory_space=pltpu.VMEM),
     ]
 
 
-def _gather_halo(prev, cur, nxt, h: int):
-    """(th+2h, wb, c) rows [r0-h, r0+th+h) from the 3 overlapping blocks."""
-    th = cur.shape[0]
-    return jnp.concatenate([prev[th - h :], cur[:], nxt[:h]], axis=0)
+def _gather_halo(top, cur, bot, h: int):
+    """(th+2h, wb, c) rows [r0-h, r0+th+h): full top/bottom halo blocks
+    around the center block."""
+    return jnp.concatenate([top[:], cur[:], bot[:]], axis=0)
 
 
 def _row_mask(vals, r0, hb: int, wb: int):
@@ -375,7 +387,9 @@ def fused_tail(
     hb, wb, c = s.shape
     cc = cond1.shape[-1]
     cl = w_last.shape[-1]
-    th = pick_rows(hb)
+    th = pick_rows_even(hb)
+    if not th:
+        raise ValueError(f"fused_tail needs an even row divisor of {hb}")
     w9h = w_hr.reshape(9, c, c).astype(s.dtype)
     w9l = w_last.reshape(9, c, cl).astype(s.dtype)
     consts = []
@@ -395,8 +409,8 @@ def fused_tail(
         kernel,
         out_shape=out_shape,
         grid=(hb // th,),
-        in_specs=_halo_specs(hb, th, wb, c)
-        + _halo_specs(hb, th, wb, cc)
+        in_specs=_halo_specs(hb, th, wb, c, h=2)
+        + _halo_specs(hb, th, wb, cc, h=2)
         + [pl.BlockSpec((th, wb, cl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
         + [wspec] * 12,
         out_specs=out_spec,
@@ -459,7 +473,7 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, out_ref, *, th, wbo, c, h
     co = out_ref.shape[-1]
     n2 = 2 * th
 
-    g = jnp.concatenate([xp[n2 - 1 :], xc[:], xn[:1]], axis=0)  # (2th+2, wbo, 2c)
+    g = jnp.concatenate([xp[1:], xc[:], xn[:1]], axis=0)  # (2th+2, wbo, 2c)
     # pad (1,0): only global input row -1 needs zeroing (first tile, dI=0).
     gf = _row_mask(g.reshape((n2 + 2) * wbo, 2 * c), 2 * r0 - 1, 2 * hbo, wbo)
     g = gf.astype(xc.dtype).reshape(n2 + 2, wbo, 2 * c)
@@ -496,10 +510,11 @@ def fused_down2(x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = N
 
     kernel = functools.partial(_down2_kernel, th=th, wbo=wbo, c=c, hbo=hbo, act=act)
     n = hbo // th
+    # center = 2th input rows; halos are 2-row views (one row used each).
     specs = [
-        pl.BlockSpec((2 * th, wbo, 2 * c), lambda i: (jnp.maximum(i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, wbo, 2 * c), lambda i: (jnp.maximum(i * th - 1, 0), 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * th, wbo, 2 * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2 * th, wbo, 2 * c), lambda i: (jnp.minimum(i + 1, n - 1), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, wbo, 2 * c), lambda i: (jnp.minimum((i + 1) * th, hbo - 1), 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -521,3 +536,184 @@ def fused_down2_ref(x, w, b, *, act=None, out_dtype=None):
     )[0] + b.astype(jnp.float32)
     y = _apply_act(y, act)
     return y.astype(out_dtype or x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# 5. SFT + 3×3 conv, and the full SFT resblock (arch_util.py:60-95 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _sft_mix(cond_flat, w0, b0, w1, b1, dt):
+    """scale/shift branch: conv1(lrelu(conv0(cond))) on flat (M, Cc)."""
+    h = jnp.dot(cond_flat.astype(dt), w0[:], preferred_element_type=jnp.float32) + b0[0].astype(jnp.float32)
+    h = _lrelu(h).astype(dt)
+    return jnp.dot(h, w1[:], preferred_element_type=jnp.float32) + b1[0].astype(jnp.float32)
+
+
+def _sft_conv_kernel(
+    xt, xc, xb, ct, cc_, cb, skip_ref,
+    w0, b0, w1, b1, w2, b2, w3, b3, w9, b9,
+    out_ref, *, th, wb, c, cc, hb, fuse_relu, has_skip,
+):
+    i = pl.program_id(0)
+    r0 = i * th
+    rows = th + 2
+    dt = xc.dtype
+
+    x = _gather_halo(xt, xc, xb, 1).reshape(rows * wb, c)
+    cond = _gather_halo(ct, cc_, cb, 1).reshape(rows * wb, cc)
+
+    scale = _sft_mix(cond, w0, b0, w1, b1, dt)
+    shift = _sft_mix(cond, w2, b2, w3, b3, dt)
+    t = x.astype(jnp.float32) * (scale + 1.0) + shift
+    t = _row_mask(t, r0 - 1, hb, wb).astype(dt).reshape(rows, wb, c)
+
+    acc = _taps_conv(t, w9, th, wb, c, out_ref.shape[-1]) + b9[0].astype(jnp.float32)
+    if has_skip:
+        acc = acc + skip_ref[:].reshape(th * wb, -1).astype(jnp.float32)
+    if fuse_relu:
+        acc = jnp.maximum(acc, 0.0)
+    out_ref[:] = acc.reshape(th, wb, -1).astype(out_ref.dtype)
+
+
+def fused_sft_conv3_v2(
+    x: jax.Array, cond: jax.Array, sft4, w: jax.Array, b: jax.Array,
+    *, relu: bool = False, skip: jax.Array | None = None, out_dtype=None,
+):
+    """y = conv3x3(sft(x, cond)) (+skip)(relu) over s2d tensors.
+
+    Successor of ops/sft_conv.py:130 — x and cond arrive as separate halo
+    block views instead of a lane-concatenated stream, killing the concat
+    materialization pass (~0.8 ms/call at L0). ``sft4``: four (w,b) pairs
+    (scale0, scale1, shift0, shift1) — the s2d block-diag dense 1×1 kernels.
+    """
+    hb, wb, c = x.shape
+    cc = cond.shape[-1]
+    co = w.shape[-1]
+    out_dtype = out_dtype or x.dtype
+    th = pick_rows(hb)
+    w9 = w.reshape(9, c, co).astype(x.dtype)
+    consts = []
+    for ws, bs in sft4:
+        consts.append(ws.astype(x.dtype))
+        consts.append(bs.reshape(1, -1).astype(jnp.float32))
+
+    kernel = functools.partial(
+        _sft_conv_kernel, th=th, wb=wb, c=c, cc=cc, hb=hb,
+        fuse_relu=relu, has_skip=skip is not None,
+    )
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = _halo_specs(hb, th, wb, c) + _halo_specs(hb, th, wb, cc)
+    args = [x, x, x, cond, cond, cond]
+    if skip is not None:
+        in_specs.append(pl.BlockSpec((th, wb, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM))
+        args.append(skip)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
+        args.append(jnp.zeros((1, 1), jnp.float32))
+    in_specs += [wspec] * 10
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hb, wb, co), out_dtype),
+        grid=(hb // th,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((th, wb, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args, *consts, w9, b.reshape(1, -1).astype(jnp.float32))
+
+
+def fused_sft_conv3_v2_ref(x, cond, sft4, w, b, *, relu=False, skip=None, out_dtype=None):
+    (w0, b0), (w1, b1), (w2, b2), (w3, b3) = sft4
+    dt = x.dtype
+    cf = cond.astype(dt).astype(jnp.float32)
+
+    def mix(v, ws, bs):
+        h = v @ ws.astype(jnp.float32) + bs.astype(jnp.float32)
+        return h
+
+    h = mix(cf, w0, b0)
+    scale = mix(jnp.where(h >= 0, h, h * 0.1).astype(dt).astype(jnp.float32), w1, b1)
+    g = mix(cf, w2, b2)
+    shift = mix(jnp.where(g >= 0, g, g * 0.1).astype(dt).astype(jnp.float32), w3, b3)
+    t = (x.astype(jnp.float32) * (scale + 1.0) + shift).astype(dt)
+    y = jax.lax.conv_general_dilated(
+        t.astype(jnp.float32)[None], w.astype(jnp.float32), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0] + b.astype(jnp.float32)
+    if skip is not None:
+        y = y + skip.astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(out_dtype or x.dtype)
+
+
+def _resblock_kernel(
+    xt, xc, xb, ct, cc_, cb,
+    s1w0, s1b0, s1w1, s1b1, s1w2, s1b2, s1w3, s1b3, w1_, b1_,
+    s2w0, s2b0, s2w1, s2b1, s2w2, s2b2, s2w3, s2b3, w2_, b2_,
+    out_ref, *, th, wb, c, cc, hb,
+):
+    i = pl.program_id(0)
+    r0 = i * th
+    rows = th + 4
+    dt = xc.dtype
+
+    x = _gather_halo(xt, xc, xb, 2).reshape(rows * wb, c)
+    cond = _gather_halo(ct, cc_, cb, 2).reshape(rows * wb, cc)
+
+    scale = _sft_mix(cond, s1w0, s1b0, s1w1, s1b1, dt)
+    shift = _sft_mix(cond, s1w2, s1b2, s1w3, s1b3, dt)
+    t1 = x.astype(jnp.float32) * (scale + 1.0) + shift
+    t1 = _row_mask(t1, r0 - 2, hb, wb).astype(dt).reshape(rows, wb, c)
+
+    h1 = jnp.maximum(_taps_conv(t1, w1_, th + 2, wb, c, c) + b1_[0].astype(jnp.float32), 0.0)
+
+    cond_in = cond.reshape(rows, wb, cc)[1 : th + 3].reshape((th + 2) * wb, cc)
+    scale2 = _sft_mix(cond_in, s2w0, s2b0, s2w1, s2b1, dt)
+    shift2 = _sft_mix(cond_in, s2w2, s2b2, s2w3, s2b3, dt)
+    t2 = h1 * (scale2 + 1.0) + shift2
+    t2 = _row_mask(t2, r0 - 1, hb, wb).astype(dt).reshape(th + 2, wb, c)
+
+    y = _taps_conv(t2, w2_, th, wb, c, c) + b2_[0].astype(jnp.float32)
+    y = y + x.reshape(rows, wb, c)[2 : th + 2].reshape(th * wb, c).astype(jnp.float32)
+    out_ref[:] = y.reshape(th, wb, c).astype(out_ref.dtype)
+
+
+def fused_resblock(x: jax.Array, cond: jax.Array, sft1, w1, b1, sft2, w2, b2, *, out_dtype=None):
+    """ResBlock_with_SFT (arch_util.py:75-95) as one kernel:
+
+        out = x + conv2( sft2( relu(conv1( sft1(x, cond) )), cond ) )
+
+    Two 3×3 'same' convs chained in-VMEM with a 2-row halo; SFT scale/shift
+    branches recomputed per tile (pointwise, cheap) instead of materialized.
+    """
+    hb, wb, c = x.shape
+    cc = cond.shape[-1]
+    out_dtype = out_dtype or x.dtype
+    th = pick_rows_even(hb)
+    if not th:
+        raise ValueError(f"fused_resblock needs an even row divisor of {hb}")
+    w91 = w1.reshape(9, c, c).astype(x.dtype)
+    w92 = w2.reshape(9, c, c).astype(x.dtype)
+    consts = []
+    for ws, bs in (*sft1, *sft2):
+        consts.append(ws.astype(x.dtype))
+        consts.append(bs.reshape(1, -1).astype(jnp.float32))
+    c1 = consts[:8] + [w91, b1.reshape(1, -1).astype(jnp.float32)]
+    c2 = consts[8:] + [w92, b2.reshape(1, -1).astype(jnp.float32)]
+
+    kernel = functools.partial(_resblock_kernel, th=th, wb=wb, c=c, cc=cc, hb=hb)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hb, wb, c), out_dtype),
+        grid=(hb // th,),
+        in_specs=_halo_specs(hb, th, wb, c, h=2) + _halo_specs(hb, th, wb, cc, h=2) + [wspec] * 20,
+        out_specs=pl.BlockSpec((th, wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, x, x, cond, cond, cond, *c1, *c2)
+
+
+def fused_resblock_ref(x, cond, sft1, w1, b1, sft2, w2, b2, *, out_dtype=None):
+    h = fused_sft_conv3_v2_ref(x, cond, sft1, w1, b1, relu=True)
+    return fused_sft_conv3_v2_ref(h, cond, sft2, w2, b2, skip=x, out_dtype=out_dtype)

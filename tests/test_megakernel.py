@@ -188,3 +188,49 @@ class TestEnsembleMega:
         finally:
             del os.environ["HDRTV_MEGAKERNEL_INTERPRET"]
         assert np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32)).max() <= 1
+
+
+class TestSftKernels:
+    def _sft4(self, rng, cc, c):
+        f32 = np.float32
+        return [
+            (jnp.asarray(rng.randn(cc, cc).astype(f32) * 0.05), jnp.asarray(rng.randn(cc).astype(f32) * 0.1)),
+            (jnp.asarray(rng.randn(cc, c).astype(f32) * 0.05), jnp.asarray(rng.randn(c).astype(f32) * 0.1)),
+            (jnp.asarray(rng.randn(cc, cc).astype(f32) * 0.05), jnp.asarray(rng.randn(cc).astype(f32) * 0.1)),
+            (jnp.asarray(rng.randn(cc, c).astype(f32) * 0.05), jnp.asarray(rng.randn(c).astype(f32) * 0.1)),
+        ]
+
+    def test_sft_conv_v2_parity(self, rng):
+        from hdrtv_tpu.ops.megakernel import fused_sft_conv3_v2, fused_sft_conv3_v2_ref
+
+        f32 = np.float32
+        hb, wb, c, cc = 24, 32, 128, 64
+        x = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        cond = jnp.asarray(rng.rand(hb, wb, cc).astype(f32))
+        skip = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        sft = self._sft4(rng, cc, c)
+        w = jnp.asarray(rng.randn(3, 3, c, c).astype(f32) * 0.05)
+        b = jnp.asarray(rng.randn(c).astype(f32) * 0.1)
+        for relu, sk in ((True, None), (False, skip)):
+            with pltpu.force_tpu_interpret_mode():
+                y = fused_sft_conv3_v2(x, cond, sft, w, b, relu=relu, skip=sk)
+            y_r = fused_sft_conv3_v2_ref(x, cond, sft, w, b, relu=relu, skip=sk)
+            np.testing.assert_allclose(np.asarray(y, f32), np.asarray(y_r, f32), atol=3e-5)
+
+    def test_resblock_parity(self, rng):
+        from hdrtv_tpu.ops.megakernel import fused_resblock, fused_resblock_ref
+
+        f32 = np.float32
+        hb, wb, c, cc = 24, 32, 128, 64
+        x = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        cond = jnp.asarray(rng.rand(hb, wb, cc).astype(f32))
+        sft1 = self._sft4(rng, cc, c)
+        sft2 = self._sft4(rng, cc, c)
+        w1 = jnp.asarray(rng.randn(3, 3, c, c).astype(f32) * 0.05)
+        b1 = jnp.asarray(rng.randn(c).astype(f32) * 0.1)
+        w2 = jnp.asarray(rng.randn(3, 3, c, c).astype(f32) * 0.05)
+        b2 = jnp.asarray(rng.randn(c).astype(f32) * 0.1)
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_resblock(x, cond, sft1, w1, b1, sft2, w2, b2)
+        y_r = fused_resblock_ref(x, cond, sft1, w1, b1, sft2, w2, b2)
+        np.testing.assert_allclose(np.asarray(y, f32), np.asarray(y_r, f32), atol=5e-5)
