@@ -616,11 +616,32 @@ def _le_cond_downs(p: Params, c: jax.Array, *, policy: Policy):
         c2 = conv_s2(p, "LE.CondNet2.0", c, policy=policy, act="lrelu")
         c3 = conv_s2(p, "LE.CondNet3.0", c, policy=policy, act="lrelu")
         c4 = conv_s2(p, "LE.CondNet4.0", c, policy=policy, act="lrelu")
-    c2 = leaky_relu(conv_1x1(p, "LE.CondNet2.2", c2, policy=policy), 0.1)
-    cond2 = conv_1x1(p, "LE.CondNet2.4", c2, policy=policy)
+    def mix_chain(x, steps):
+        """Short 1×1 chains via the fused kernel when eligible."""
+        from hdrtv_tpu.utils.env import env_bool
+
+        w0 = p[f"{steps[0][0]}.weight"]
+        if (
+            policy.compute_dtype == jnp.bfloat16
+            and env_bool("HDRTV_MIX_CHAIN", True)
+            and _use_fused_kernel(x, w0)
+        ):
+            from hdrtv_tpu.ops.megakernel import fused_mix_chain
+
+            return fused_mix_chain(
+                policy.cast(x[0]),
+                [(policy.cast(p[f"{n}.weight"][0, 0]), p[f"{n}.bias"], act) for n, act in steps],
+            )[None]
+        for n, act in steps:
+            x = conv_1x1(p, n, x, policy=policy)
+            if act == "lrelu":
+                x = leaky_relu(x, 0.1)
+        return x
+
+    cond2 = mix_chain(c2, [("LE.CondNet2.2", "lrelu"), ("LE.CondNet2.4", None)])
 
     c3 = conv_s2(p, "LE.CondNet3.2", c3, policy=policy, act="lrelu")
-    cond3 = conv_1x1(p, "LE.CondNet3.4", c3, policy=policy)
+    cond3 = mix_chain(c3, [("LE.CondNet3.4", None)])
 
     c4 = conv_s2(p, "LE.CondNet4.2", c4, policy=policy, act="lrelu")
     cond4 = conv_s2_nat(p, "LE.CondNet4.4", c4, policy=policy)  # natural /8
@@ -795,10 +816,11 @@ def ensemble_s2d_rgb48_flat(
 
         cond = downsample_quarter_aa(cframe[None].astype(jnp.float32) * (1.0 / 255.0))
     if h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, hb, wb, 12), policy):
+        # (Hb,2,Wb,6) row-pair planes — a pure bitcast of the frame rows;
+        # the head kernel lane-concats the parities (s2d needs no transpose).
         xr = frame2d_u8.reshape(hb, 2, wb, 6)
-        xs_u8 = jnp.concatenate([xr[:, 0], xr[:, 1]], axis=-1)  # (Hb,Wb,12) u8
         packed = _ensemble_mega(
-            p, xs_u8, cond, policy=policy, pack=True, scale=1.0 / 255.0, bgr=bgr
+            p, xr, cond, policy=policy, pack=True, scale=1.0 / 255.0, bgr=bgr
         )
         return packed.reshape(h, w3)  # (Hb,2,Wb,6) u16 ≡ flat RGB48 rows
     frame = frame2d_u8.reshape(h, w, 3)

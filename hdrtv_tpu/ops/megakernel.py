@@ -70,6 +70,13 @@ def pick_rows_even(hb: int, limit: int = 12) -> int:
     return 0
 
 
+def _row_limit(wb: int, ref_limit: int, ref_wb: int = 960, minimum: int = 4) -> int:
+    """Scale a per-kernel row limit inversely with width so tile VMEM stays
+    constant across resolutions (the limits are tuned at 1080p: wb=960 —
+    v5e VMEM is 128 MB and 4K tiles at 1080p row counts exceed it)."""
+    return max(minimum, (ref_limit * ref_wb) // wb)
+
+
 def _halo_specs(hb: int, th: int, wb: int, c: int, h: int = 1):
     """Center row-block plus thin h-row top/bottom halo views of the same
     (hb,wb,c) array (h must divide th). Total fetch traffic is (th+2h)/th of
@@ -89,6 +96,16 @@ def _gather_halo(top, cur, bot, h: int):
     """(th+2h, wb, c) rows [r0-h, r0+th+h): full top/bottom halo blocks
     around the center block."""
     return jnp.concatenate([top[:], cur[:], bot[:]], axis=0)
+
+
+def _halo_specs4(hb: int, th: int, wb: int, half: int):
+    """Halo specs over a (hb, 2, wb, half) row-pair-plane array (the raw
+    frame bitcast) — leading-dim blocks, same clamping as _halo_specs."""
+    return [
+        pl.BlockSpec((1, 2, wb, half), lambda i: (jnp.maximum(i * th - 1, 0), 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((th, 2, wb, half), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, wb, half), lambda i: (jnp.minimum(i * th + th, hb - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
 
 
 def _row_mask(vals, r0, hb: int, wb: int):
@@ -158,7 +175,12 @@ def _agcm_head_kernel(
     r0 = i * th
     rows = th + 2
 
-    x = _gather_halo(xp, xc, xn, 1).reshape(rows * wb, cin)
+    x = _gather_halo(xp, xc, xn, 1)
+    if x.ndim == 4:
+        # (rows, 2, wb, cin/2) row-pair planes (the raw frame bitcast —
+        # s2d is a lane concat of the two row parities, models/s2d.py:43).
+        x = jnp.concatenate([x[:, 0], x[:, 1]], axis=-1)
+    x = x.reshape(rows * wb, cin)
     if x.dtype == jnp.uint8:
         x = x.astype(jnp.int32)  # Mosaic has no u8→f32 cast; hop via i32
     x = x.astype(jnp.float32)
@@ -191,14 +213,23 @@ def fused_agcm_head(
 ):
     """s2d frame (Hb,Wb,12) → (fea0, c0, agcm_out).
 
-    ``xs`` may be uint8 (pass ``scale=1/255``). ``mods``: (6, 4·nf) fp32 —
-    AGCM scale/shift vectors (first, HR, last), tiled over the 4 s2d
-    sub-positions (conv_last rows use the first 12 lanes). ``w_in``:
-    (3,3,12,Cf+Cc) fused conv_first‖cond_first.0; relu/lrelu split at Cf.
+    ``xs`` may be uint8 (pass ``scale=1/255``), either (Hb,Wb,12) s2d layout
+    or (Hb,2,Wb,6) row-pair planes (a pure bitcast of the raw (H,3W) frame;
+    the kernel lane-concats the parities — s2d needs no W transpose).
+    ``mods``: (6, 4·nf) fp32 — AGCM scale/shift vectors (first, HR, last),
+    tiled over the 4 s2d sub-positions (conv_last rows use the first 12
+    lanes). ``w_in``: (3,3,12,Cf+Cc) fused conv_first‖cond_first.0;
+    relu/lrelu split at Cf.
     """
-    hb, wb, cin = xs.shape
+    if xs.ndim == 4:
+        hb, _, wb, half = xs.shape
+        cin = 2 * half
+        halo = _halo_specs4(hb, pick_rows(hb, limit=_row_limit(wb, 12)), wb, half)
+    else:
+        hb, wb, cin = xs.shape
+        halo = None
     co = w_in.shape[-1]
-    th = pick_rows(hb)
+    th = pick_rows(hb, limit=_row_limit(wb, 12))
     wcat = w_in.reshape(9 * cin, co).astype(out_dtype)
 
     kernel = functools.partial(
@@ -214,7 +245,7 @@ def fused_agcm_head(
             jax.ShapeDtypeStruct((hb, wb, cin), out_dtype),
         ),
         grid=(hb // th,),
-        in_specs=_halo_specs(hb, th, wb, cin) + [wspec] * 9,
+        in_specs=(halo if halo is not None else _halo_specs(hb, th, wb, cin)) + [wspec] * 9,
         out_specs=(
             pl.BlockSpec((th, wb, n_first), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((th, wb, co - n_first), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -285,7 +316,7 @@ def fused_cond_chain(c0: jax.Array, weights, *, out_dtype=None):
     """
     hb, wb, c = c0.shape
     out_dtype = out_dtype or c0.dtype
-    th = pick_rows(hb)
+    th = pick_rows(hb, limit=_row_limit(wb, 12))
     flat = []
     for w, b in weights:
         flat.append(w.astype(c0.dtype))
@@ -387,7 +418,7 @@ def fused_tail(
     hb, wb, c = s.shape
     cc = cond1.shape[-1]
     cl = w_last.shape[-1]
-    th = pick_rows_even(hb)
+    th = pick_rows_even(hb, limit=_row_limit(wb, 12))
     if not th:
         raise ValueError(f"fused_tail needs an even row divisor of {hb}")
     w9h = w_hr.reshape(9, c, c).astype(s.dtype)
@@ -502,7 +533,7 @@ def fused_down2(x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = N
     co = w.shape[-1]
     hbo, wbo = hb // 2, wb // 2
     out_dtype = out_dtype or x.dtype
-    th = pick_rows(hbo, limit=8)
+    th = pick_rows(hbo, limit=_row_limit(wbo, 8, ref_wb=480, minimum=3))
     xpair = x.reshape(hb, wbo, 2 * c)  # free bitcast: adjacent W pairs → lanes
 
     wcat = jnp.concatenate([w[:, 1], w[:, 2]], axis=1).astype(x.dtype)  # (3, 2C, Co)
@@ -591,7 +622,7 @@ def fused_sft_conv3_v2(
     cc = cond.shape[-1]
     co = w.shape[-1]
     out_dtype = out_dtype or x.dtype
-    th = pick_rows(hb)
+    th = pick_rows(hb, limit=_row_limit(wb, 12))
     w9 = w.reshape(9, c, co).astype(x.dtype)
     consts = []
     for ws, bs in sft4:
@@ -690,7 +721,7 @@ def fused_resblock(x: jax.Array, cond: jax.Array, sft1, w1, b1, sft2, w2, b2, *,
     hb, wb, c = x.shape
     cc = cond.shape[-1]
     out_dtype = out_dtype or x.dtype
-    th = pick_rows_even(hb)
+    th = pick_rows_even(hb, limit=_row_limit(wb, 12))
     if not th:
         raise ValueError(f"fused_resblock needs an even row divisor of {hb}")
     w91 = w1.reshape(9, c, c).astype(x.dtype)
@@ -717,3 +748,57 @@ def fused_resblock(x: jax.Array, cond: jax.Array, sft1, w1, b1, sft2, w2, b2, *,
 def fused_resblock_ref(x, cond, sft1, w1, b1, sft2, w2, b2, *, out_dtype=None):
     h = fused_sft_conv3_v2_ref(x, cond, sft1, w1, b1, relu=True)
     return fused_sft_conv3_v2_ref(h, cond, sft2, w2, b2, skip=x, out_dtype=out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# 6. Generic pointwise 1×1 chain (the small CondNet tails at L1/L2)
+# ---------------------------------------------------------------------------
+
+
+def _mix_chain_kernel(x_ref, *refs, acts):
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+    th, wb, c = x_ref.shape
+    v = x_ref[:].reshape(th * wb, c)
+    for k, act in enumerate(acts):
+        w, b = wrefs[2 * k], wrefs[2 * k + 1]
+        v = jnp.dot(v.astype(w.dtype), w[:], preferred_element_type=jnp.float32) + b[0].astype(jnp.float32)
+        v = _apply_act(v, act)
+    out_ref[:] = v.reshape(th, wb, -1).astype(out_ref.dtype)
+
+
+def fused_mix_chain(x: jax.Array, steps, *, out_dtype=None):
+    """Chain of 1×1 convs (+activations) in one HBM pass.
+
+    ``steps``: list of (w (C,C'), b (C',), act ∈ {None,'relu','lrelu'}).
+    Used for the short CondNet tails (HDRUNet3T1_arch.py:123-131) that XLA
+    otherwise runs as separate matmul round-trips.
+    """
+    hb, wb, c = x.shape
+    out_dtype = out_dtype or x.dtype
+    th = pick_rows(hb, limit=_row_limit(wb, 12))
+    acts = tuple(act for _, _, act in steps)
+    flat = []
+    for w, b, _ in steps:
+        flat.append(w.astype(x.dtype))
+        flat.append(b.reshape(1, -1).astype(jnp.float32))
+    co = steps[-1][0].shape[1]
+    kernel = functools.partial(_mix_chain_kernel, acts=acts)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hb, wb, co), out_dtype),
+        grid=(hb // th,),
+        in_specs=[pl.BlockSpec((th, wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+        + [wspec] * (2 * len(steps)),
+        out_specs=pl.BlockSpec((th, wb, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, *flat)
+
+
+def fused_mix_chain_ref(x, steps, *, out_dtype=None):
+    v = x.astype(jnp.float32)
+    for w, b, act in steps:
+        v = v @ w.astype(jnp.float32) + b.astype(jnp.float32)
+        v = _apply_act(v, act)
+    return v.astype(out_dtype or x.dtype)
