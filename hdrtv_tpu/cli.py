@@ -32,7 +32,7 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
 
 
 def _make_processor(args):
-    from hdrtv_tpu.config import PRECISIONS, select_model_path
+    from hdrtv_tpu.config import PRECISIONS, processing_dims, select_model_path
     from hdrtv_tpu.runtime.processor import HDRTVNetTPU
 
     model_path = args.model
@@ -42,11 +42,16 @@ def _make_processor(args):
         else:
             model_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "weights", "hr_fp32.npz")
     precision_token = PRECISIONS[args.precision].precision if args.precision in PRECISIONS else args.precision
+    # The resolution preset governs *processing*: frames letterbox on device
+    # to these dims (gui_scaling.py:228 applied per frame in the reference
+    # worker, gui_pipeline_worker_frame_processing.py:168-331).
+    proc_res = processing_dims(args.resolution) if getattr(args, "resolution", None) else None
     return HDRTVNetTPU(
         model_path,
         precision=precision_token,
         use_hg=args.use_hg or None,
         hg_path=args.hg_weights,
+        proc_resolution=proc_res,
     )
 
 

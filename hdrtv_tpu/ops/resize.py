@@ -139,3 +139,37 @@ def resize_bicubic_aa(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return _apply_separable(
         x, resample_matrix(h, out_h, h / out_h), resample_matrix(w, out_w, w / out_w)
     )
+
+
+def letterbox_plan(h: int, w: int, out_h: int, out_w: int):
+    """Aspect-preserving fit: (new_h, new_w, pad_top, pad_left, scale) —
+    gui_scaling.py:228 geometry (centered black padding)."""
+    scale = min(out_w / max(w, 1), out_h / max(h, 1))
+    new_w = max(1, int(round(w * scale)))
+    new_h = max(1, int(round(h * scale)))
+    return new_h, new_w, (out_h - new_h) // 2, (out_w - new_w) // 2, scale
+
+
+def letterbox_rgb(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """(N,H,W,C) float → (N,out_h,out_w,C): aspect-preserving resize with
+    centered zero padding. INTER_AREA down / bicubic up, matching the
+    reference per-frame letterbox (gui_scaling.py:228-245)."""
+    _, h, w, _ = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    new_h, new_w, top, left, scale = letterbox_plan(h, w, out_h, out_w)
+    if scale < 1.0:
+        y = resize_area(x, new_h, new_w)
+    else:
+        wh = resample_matrix(h, new_h, h / new_h, antialias=False)
+        ww = resample_matrix(w, new_w, w / new_w, antialias=False)
+        y = _apply_separable(x, wh, ww)
+    return jnp.pad(y, ((0, 0), (top, out_h - new_h - top), (left, out_w - new_w - left), (0, 0)))
+
+
+def letterbox_u8(frame: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """(H,W,3) uint8 → (out_h,out_w,3) uint8 letterbox (device-side)."""
+    if frame.shape[:2] == (out_h, out_w):
+        return frame
+    y = letterbox_rgb(frame[None].astype(jnp.float32), out_h, out_w)[0]
+    return jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)

@@ -35,7 +35,8 @@ from hdrtv_tpu.utils.env import env_int
 class RuntimeMetrics:
     fps: float = 0.0
     fps_1pct_low: float = 0.0
-    model_ms: float = 0.0
+    model_ms: float = 0.0  # marginal device service time per frame
+    ring_ms: float = 0.0  # submit→fetched latency incl. queue residency
     frames: int = 0
     dropped: int = 0
     realtime_factor: float = 0.0
@@ -105,6 +106,7 @@ class PipelineRunner:
         realtime: bool = True,
         ring: int | None = None,
         max_frames: int | None = None,
+        processor_factory=None,
     ):
         self.source = source
         self.processor = processor
@@ -112,20 +114,104 @@ class PipelineRunner:
         self.realtime = realtime
         self.ring = ring or env_int("HDRTVNET_VIDEO_PLAYBACK_BUFFER_FRAMES", 3, lo=1, hi=24)
         self.max_frames = max_frames
+        self.processor_factory = processor_factory
         self.clock = PresentationClock(getattr(source, "fps", 30.0))
         self.metrics = RuntimeMetrics()
         self._stamps: list[float] = []
         self._stop = threading.Event()
+        # Control surface (reference worker gates: pause/seek/hot-swap —
+        # gui_pipeline_worker.py:159-561, seek gate :788-824).
+        self._commands: queue.Queue = queue.Queue()
+        self._paused = threading.Event()
+        self._generation = 0  # bumps on seek/swap; stale in-flight frames drop
+        self._last_frame = None  # most recent source frame (paused redraw)
+        self.flushed = 0
 
     def stop(self):
         self._stop.set()
 
-    def run(self) -> RuntimeMetrics:
+    # ------------------------------------------------------------------
+    # Control requests (thread-safe; applied at the next loop iteration)
+    # ------------------------------------------------------------------
+
+    def pause(self):
+        """Gate the loop; in-flight frames still drain to the sink."""
+        self._commands.put(("pause", None))
+
+    def resume(self):
+        self._commands.put(("resume", None))
+
+    def request_seek(self, frame_idx: int):
+        """source.seek + generation flush + presentation clock reset
+        (gui_pipeline_worker.py:788-824 semantics)."""
+        self._commands.put(("seek", int(frame_idx)))
+
+    def request_precision_change(self, precision: str):
+        """Hot-swap the processor to a new precision mid-run. Needs a
+        ``processor_factory(precision=..., proc_resolution=...)``; the warm
+        XLA cache plays the prebuilt-engine role. While paused, the last
+        frame is re-rendered with the new engine (paused hot-swap redraw)."""
+        self._commands.put(("precision", str(precision)))
+
+    def request_resolution_change(self, proc_resolution: tuple[int, int]):
+        """Hot-swap the processing resolution (device letterbox target)."""
+        self._commands.put(("resolution", tuple(proc_resolution)))
+
+    def _apply_commands(self, inflight) -> None:
+        while True:
+            try:
+                cmd, arg = self._commands.get_nowait()
+            except queue.Empty:
+                return
+            if cmd == "pause":
+                self._paused.set()
+            elif cmd == "resume":
+                self._paused.clear()
+                if self.realtime:
+                    self.clock.start()
+            elif cmd == "seek":
+                self._generation += 1
+                self.source.seek(arg)
+                if self.realtime:
+                    self.clock.start()
+                if self._paused.is_set():
+                    # Paused-seek redraw (gui_timeline paused-seek queueing).
+                    meta = self.source.read_with_meta()
+                    if meta is not None:
+                        self._last_frame = meta
+                        self._submit(meta, inflight)
+            elif cmd in ("precision", "resolution"):
+                self._generation += 1
+                if cmd == "precision" and self.processor_factory is not None:
+                    self.processor = self.processor_factory(precision=arg)
+                elif cmd == "resolution":
+                    if self.processor_factory is not None:
+                        self.processor = self.processor_factory(proc_resolution=arg)
+                    elif hasattr(self.processor, "with_proc_resolution"):
+                        self.processor = self.processor.with_proc_resolution(arg)
+                # Paused hot-swap redraw: re-render the held frame so the
+                # display reflects the new engine immediately.
+                if self._paused.is_set() and self._last_frame is not None:
+                    self._submit(self._last_frame, inflight)
+
+    def _submit(self, meta, inflight) -> None:
         import jax.numpy as jnp
 
+        frame, idx, pts = meta
+        t_submit = time.monotonic()
+        # Ship flat byte rows: same bytes, no 3-channel-minor tensor at the
+        # device boundary (avoids XLA lane-padding relayouts).
+        h = frame.shape[0]
+        dev_out = self.processor.process_rgb48_device(
+            jnp.asarray(np.ascontiguousarray(frame).reshape(h, -1))
+        )
+        inflight.put((dev_out, pts, t_submit, self._generation))
+
+    def run(self) -> RuntimeMetrics:
         inflight: queue.Queue = queue.Queue(maxsize=self.ring)
         feeder_done = threading.Event()
         model_ms: list[float] = []
+        ring_ms: list[float] = []
 
         def feeder():
             """Fetch completed device frames and hand them to the sink.
@@ -133,13 +219,28 @@ class PipelineRunner:
             The np.asarray here is the only host↔device fence in the steady
             state — the reference's feeder-thread/ready-event pattern
             (gui_pipeline_worker_feeders.py:313-496)."""
+            prev_done = None
             while True:
                 item = inflight.get()
                 if item is None:
                     break
-                dev_out, pts, t_submit = item
+                dev_out, pts, t_submit, gen = item
                 host = np.asarray(dev_out)
-                model_ms.append((time.monotonic() - t_submit) * 1e3)
+                t_done = time.monotonic()
+                if gen != self._generation:
+                    # Stale frame from before a seek/hot-swap: the reference's
+                    # drop-until-watermark flush (gui_pipeline_worker.py:808).
+                    self.flushed += 1
+                    continue
+                # Ring latency includes queue residency; model time is the
+                # marginal device service time — the interval this frame kept
+                # the (saturated) device busy. Stable as ring depth varies,
+                # matching the reference's CUDA-event model timing role
+                # (gui_pipeline_worker_frame_processing.py:158-166).
+                ring_ms.append((t_done - t_submit) * 1e3)
+                start = t_submit if prev_done is None else max(prev_done, t_submit)
+                model_ms.append((t_done - start) * 1e3)
+                prev_done = t_done
                 self.sink.show(host, pts)
                 self._stamps.append(time.monotonic())
             feeder_done.set()
@@ -154,6 +255,10 @@ class PipelineRunner:
             self.clock.start()
         try:
             while not self._stop.is_set():
+                self._apply_commands(inflight)
+                if self._paused.is_set():
+                    time.sleep(0.005)  # pause gate; commands still apply
+                    continue
                 if self.max_frames is not None and processed >= self.max_frames:
                     break
                 if self.realtime:
@@ -165,17 +270,10 @@ class PipelineRunner:
                 meta = self.source.read_with_meta()
                 if meta is None:
                     break
-                frame, idx, pts = meta
-                t_submit = time.monotonic()
-                # Ship flat byte rows: same bytes, no 3-channel-minor tensor
-                # at the device boundary (avoids XLA lane-padding relayouts).
-                h = frame.shape[0]
-                dev_out = self.processor.process_rgb48_device(
-                    jnp.asarray(np.ascontiguousarray(frame).reshape(h, -1))
-                )
-                inflight.put((dev_out, pts, t_submit))  # blocks when ring full
+                self._last_frame = meta
+                self._submit(meta, inflight)  # blocks when ring full
                 processed += 1
-                media_seconds = pts
+                media_seconds = meta[2]
         finally:
             inflight.put(None)
             feeder_done.wait(timeout=10.0)
@@ -187,6 +285,7 @@ class PipelineRunner:
         self.metrics.fps = trimmed_mean_fps(self._stamps)
         self.metrics.fps_1pct_low = one_percent_low_fps(self._stamps)
         self.metrics.model_ms = float(np.mean(model_ms)) if model_ms else 0.0
+        self.metrics.ring_ms = float(np.mean(ring_ms)) if ring_ms else 0.0
         if wall > 0 and processed:
             self.metrics.realtime_factor = (processed / getattr(self.source, "fps", 30.0)) / wall
         return self.metrics

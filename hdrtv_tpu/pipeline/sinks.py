@@ -63,10 +63,20 @@ class MpvPipeSink:
     :671-831).
     """
 
-    def __init__(self, width: int, height: int, fps: float, *, extra_args: tuple = ()):
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        fps: float,
+        *,
+        extra_args: tuple = (),
+        drop_to_latest: bool = False,
+    ):
         if shutil.which("mpv") is None:
             raise RuntimeError("mpv not found on PATH")
         self.width, self.height, self.fps = width, height, fps
+        self.drop_to_latest = drop_to_latest
+        self.dropped = 0
         self._dir = tempfile.mkdtemp(prefix="hdrtv_mpv_")
         self.fifo = os.path.join(self._dir, "video.fifo")
         os.mkfifo(self.fifo)
@@ -111,7 +121,23 @@ class MpvPipeSink:
     def show(self, rgb48: np.ndarray, pts: float | None = None) -> None:
         if self._stop.is_set():
             return
-        self._queue.put(np.ascontiguousarray(rgb48).tobytes())
+        buf = np.ascontiguousarray(rgb48).tobytes()
+        if self.drop_to_latest:
+            # Live mode: a slow display must not stall the pipeline — drop
+            # the oldest queued frame instead (drop-to-latest feeder policy,
+            # gui_pipeline_worker_feeders.py:73-104).
+            while True:
+                try:
+                    self._queue.put_nowait(buf)
+                    break
+                except queue.Full:
+                    try:
+                        self._queue.get_nowait()
+                        self.dropped += 1
+                    except queue.Empty:
+                        pass
+        else:
+            self._queue.put(buf)  # file-paced playback: backpressure is correct
         self.frames += 1
 
     def close(self) -> None:

@@ -126,13 +126,29 @@ class EngineRegistry:
         rec = self.lookup(key)
         return bool(rec and rec.model_hash == model_hash)
 
+    _CACHE_ENTRY = None  # compiled lazily (regex)
+
+    @staticmethod
+    def _is_cache_artifact(name: str) -> bool:
+        """Only files this cache plausibly created: the metadata index and
+        XLA persistent-cache entries (``jit_*`` / long hash names). A user
+        pointing HDRTVNET_ENGINE_CACHE_DIR at a shared directory must not
+        lose unrelated files to ``engines clear``."""
+        import re
+
+        if name in ("engines.json", "engines.json.tmp"):
+            return True
+        if name.startswith("jit_") or name.startswith("pjit_"):
+            return True
+        return bool(re.fullmatch(r"[0-9a-f_\-]{32,}(\.[a-z0-9]+)?", name))
+
     def clear(self) -> int:
         """Drop metadata and cached executables (engine cache clear tool,
-        gui_playback_runtime.py:2115)."""
+        gui_playback_runtime.py:2115). Non-cache files are left alone."""
         count = 0
         for name in os.listdir(self.root):
             path = os.path.join(self.root, name)
-            if os.path.isfile(path):
+            if os.path.isfile(path) and self._is_cache_artifact(name):
                 os.remove(path)
                 count += 1
         return count

@@ -61,10 +61,15 @@ class HDRTVNetTPU:
         fast_zero_condition: bool | None = None,
         persistent_cache: bool = True,
         turbo: bool | None = None,
+        proc_resolution: tuple[int, int] | None = None,
         cfg_overrides: dict[str, Any] | None = None,
     ):
         self.model_path = model_path
         self.precision = precision
+        # Processing resolution (W, H): frames are letterboxed on device to
+        # this size before inference — the per-frame letterbox the reference
+        # applies in its worker (gui_scaling.py:228, frame_processing:168).
+        self.proc_resolution = tuple(proc_resolution) if proc_resolution else None
         self.policy: Policy = policy_for(precision)
         if fast_condition_resize is None:
             fast_condition_resize = env_bool("HDRTVNET_FAST_CONDITION_RESIZE", False)
@@ -120,8 +125,20 @@ class HDRTVNetTPU:
             return downsample_quarter_bilinear(x)
         return downsample_quarter_aa(x)
 
+    def _letterbox(self, frame_u8: jax.Array) -> jax.Array:
+        """Device-side letterbox to the processing resolution (if set)."""
+        if self.proc_resolution is None:
+            return frame_u8
+        pw, ph = self.proc_resolution
+        if frame_u8.shape[:2] == (ph, pw):
+            return frame_u8
+        from hdrtv_tpu.ops.resize import letterbox_u8
+
+        return letterbox_u8(frame_u8, ph, pw)
+
     def _pre(self, frame_u8: jax.Array) -> tuple[jax.Array, jax.Array]:
         """uint8 HWC BGR → ([0,1] RGB NHWC, ¼-res cond)."""
+        frame_u8 = self._letterbox(frame_u8)
         x = frame_u8[None, ..., ::-1].astype(jnp.float32) * (1.0 / 255.0)
         return x, self._cond_of(x)
 
@@ -150,6 +167,13 @@ class HDRTVNetTPU:
         bytes as (H, W, 3) for free.
         """
         h, w3 = frame2d_u8.shape
+        if self.proc_resolution is not None and (h, w3 // 3) != (
+            self.proc_resolution[1], self.proc_resolution[0]
+        ):
+            frame2d_u8 = self._letterbox(frame2d_u8.reshape(h, w3 // 3, 3)).reshape(
+                self.proc_resolution[1], self.proc_resolution[0] * 3
+            )
+            h, w3 = frame2d_u8.shape
         if self.turbo and h % 8 == 0 and (w3 // 3) % 8 == 0:
             cond = self._cond_of(
                 frame2d_u8.reshape(h, w3 // 3, 3)[None, ..., ::-1].astype(jnp.float32)
@@ -201,11 +225,14 @@ class HDRTVNetTPU:
         return np.asarray(self._process_bgr_u8_jit(jnp.asarray(frame_bgr)))
 
     def process_rgb48(self, frame_bgr: np.ndarray) -> np.ndarray:
-        """Full frame → uint16 RGB48 PQ code values (HDR delivery path)."""
+        """Full frame → uint16 RGB48 PQ code values (HDR delivery path).
+
+        With ``proc_resolution`` set, the frame is letterboxed on device and
+        the output is at the processing resolution (reference behavior)."""
         h, w, _ = frame_bgr.shape
         flat = np.ascontiguousarray(frame_bgr).reshape(h, w * 3)  # free view
         out = np.asarray(self._process_rgb48_flat_jit(jnp.asarray(flat)))
-        return out.reshape(h, w, 3)
+        return out.reshape(out.shape[0], out.shape[1] // 3, 3)
 
     def process_rgb48_device(self, frame_u8_dev: jax.Array) -> jax.Array:
         """Device-resident variant for the pipelined runner (no host sync).
@@ -301,6 +328,20 @@ class HDRTVNetTPU:
             )
         self._timings[key] = dt
         return dt
+
+    def with_proc_resolution(self, proc_resolution: tuple[int, int] | None) -> "HDRTVNetTPU":
+        """Shallow clone with a different processing resolution.
+
+        Shares device params; jit traces are keyed by object identity, so the
+        clone re-traces (warm via the persistent cache) — the hot-swap path
+        the reference drives through its compile cache (gui_pipeline_worker
+        resolution gate)."""
+        import copy
+
+        clone = copy.copy(self)
+        clone.proc_resolution = tuple(proc_resolution) if proc_resolution else None
+        clone._timings = {}
+        return clone
 
     def end_profiling(self):  # reference API parity (hdrtvnet_torch.py:2471)
         return None

