@@ -24,21 +24,49 @@ import numpy as np
 
 
 class HDRGroundTruthReader:
-    """Random-access GT frame reader returning [0,1] RGB float frames."""
+    """Random-access GT frame reader returning [0,1] RGB float frames.
 
-    def __init__(self, path: str):
+    With FFmpeg present, frames decode *exactly* as rgb48le (u16 precision,
+    gui_hdr_io.py:205-487 via bench/hdr_io.py); otherwise cv2 decodes —
+    which flattens 10-bit sources to 8-bit — and ``decode_method`` records
+    the degradation so benchmark sessions are honest about GT precision.
+    """
+
+    def __init__(self, path: str, *, exact: bool | None = None):
         import cv2
 
+        from hdrtv_tpu.bench import hdr_io
+
         self._cv2 = cv2
+        self._hdr_io = hdr_io
         self.path = path
+        self.exact = hdr_io.ffmpeg_available() if exact is None else exact
+        self.decode_method = "ffmpeg-rgb48le-exact" if self.exact else "cv2-8bit"
         self.cap = cv2.VideoCapture(path)
         if not self.cap.isOpened():
             raise IOError(f"cannot open GT video: {path}")
         self.fps = float(self.cap.get(cv2.CAP_PROP_FPS) or 0.0) or 30.0
         self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
         self._pos = 0
+        self._exact_cache: dict[int, np.ndarray] = {}
+
+    def prefetch_exact(self, indices) -> None:
+        """Batched exact decode of upcoming frames (one FFmpeg pass —
+        gui_hdr_io.py:416 select=eq(n,..) batching)."""
+        if not self.exact:
+            return
+        missing = [i for i in indices if i not in self._exact_cache]
+        if missing:
+            self._exact_cache.update(self._hdr_io.read_frames_exact(self.path, missing))
 
     def read_unit_rgb(self, frame_idx: int) -> np.ndarray | None:
+        if self.exact:
+            if frame_idx not in self._exact_cache:
+                self.prefetch_exact([frame_idx])
+            u16 = self._exact_cache.get(frame_idx)
+            if u16 is not None:
+                return u16.astype(np.float32) / 65535.0
+            return None
         cv2 = self._cv2
         if frame_idx != self._pos:
             self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)

@@ -1,0 +1,185 @@
+"""Exact HDR frame I/O — gui_hdr_io.py:205-487 equivalent.
+
+Ground-truth HDR sources are 10-bit (PQ/BT.2020); decoding them through
+OpenCV flattens to 8-bit and quietly quantizes every metric computed against
+them. This module decodes frames *exactly* through FFmpeg:
+
+- ``read_frames_exact``: one pass with ``select='eq(n,a)+eq(n,b)+…'``
+  emitting rawvideo rgb48le — the reference's batched exact decode
+  (gui_hdr_io.py:416-487).
+- ``read_frame_fast``: fast input seek (``-ss`` before ``-i``) then decode
+  forward with a *PTS guard*: ``showinfo`` lines on stderr are matched
+  against the requested frame's timestamp so a keyframe-snapped seek can
+  never silently return the wrong frame (gui_hdr_io.py:205-415).
+- 16-bit TIFF/PNG writers for benchmark artifacts (gui_hdr_io.py:507-577).
+
+When FFmpeg is absent (this CI image has none) callers fall back to the cv2
+reader in bench/gt_sync.py and record the degraded decode method in their
+session metadata.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import subprocess
+
+import numpy as np
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def probe_video(path: str) -> dict:
+    """Width/height/fps/frames via ffprobe, falling back to cv2."""
+    if shutil.which("ffprobe"):
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "v:0",
+                "-show_entries", "stream=width,height,r_frame_rate,nb_frames",
+                "-of", "csv=p=0", path,
+            ],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        w, h, rate, nb = (out.split(",") + ["", ""])[:4]
+        num, _, den = rate.partition("/")
+        fps = float(num) / float(den or 1) if num else 30.0
+        return {
+            "width": int(w), "height": int(h), "fps": fps,
+            "frames": int(nb) if nb.isdigit() else None,
+        }
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        return {
+            "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            "fps": float(cap.get(cv2.CAP_PROP_FPS) or 30.0),
+            "frames": int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0) or None,
+        }
+    finally:
+        cap.release()
+
+
+def build_exact_decode_cmd(path: str, indices: list[int]) -> list[str]:
+    """FFmpeg command decoding exactly the given frame numbers as rgb48le.
+
+    ``select=eq(n,a)+eq(n,b)`` + ``-vsync 0`` emits only the selected frames
+    in index order — the batched exact path (gui_hdr_io.py:416)."""
+    sel = "+".join(f"eq(n\\,{int(i)})" for i in sorted(set(indices)))
+    return [
+        "ffmpeg", "-v", "error", "-nostdin",
+        "-i", path,
+        "-vf", f"select='{sel}'",
+        "-vsync", "0",
+        "-frames:v", str(len(set(indices))),
+        "-f", "rawvideo", "-pix_fmt", "rgb48le", "-",
+    ]
+
+
+def build_fast_decode_cmd(path: str, frame_idx: int, fps: float, *, preroll: int = 8) -> list[str]:
+    """Fast input seek ``preroll`` frames early, then decode forward with
+    showinfo on stderr for PTS verification (gui_hdr_io.py:205-415)."""
+    t0 = max(0.0, (frame_idx - preroll) / max(fps, 1e-6))
+    return [
+        "ffmpeg", "-v", "info", "-nostdin",
+        "-ss", f"{t0:.6f}",
+        "-i", path,
+        "-vf", "showinfo",
+        "-frames:v", str(2 * preroll + 2),
+        "-f", "rawvideo", "-pix_fmt", "rgb48le", "-",
+    ]
+
+
+_SHOWINFO_RE = re.compile(r"n:\s*(\d+).*?pts_time:([0-9.]+)")
+
+
+def parse_showinfo(stderr_text: str) -> list[tuple[int, float]]:
+    """(output_index, pts_time) per decoded frame from showinfo stderr."""
+    out = []
+    for line in stderr_text.splitlines():
+        if "showinfo" not in line:
+            continue
+        m = _SHOWINFO_RE.search(line)
+        if m:
+            out.append((int(m.group(1)), float(m.group(2))))
+    return out
+
+
+def match_pts_frame(infos: list[tuple[int, float]], target_time: float, fps: float) -> int | None:
+    """Output index whose pts_time matches the target within half a frame —
+    the PTS guard that rejects keyframe-snapped misseeks."""
+    tol = 0.5 / max(fps, 1e-6)
+    best, best_err = None, tol
+    for n, pts in infos:
+        err = abs(pts - target_time)
+        if err <= best_err:
+            best, best_err = n, err
+    return best
+
+
+def read_frames_exact(path: str, indices: list[int], *, timeout: float = 600.0) -> dict[int, np.ndarray]:
+    """Decode exact frame numbers to u16 RGB arrays (one FFmpeg pass)."""
+    info = probe_video(path)
+    w, h = info["width"], info["height"]
+    uniq = sorted(set(int(i) for i in indices))
+    proc = subprocess.run(
+        build_exact_decode_cmd(path, uniq), capture_output=True, timeout=timeout
+    )
+    frame_bytes = w * h * 6
+    data = proc.stdout
+    out: dict[int, np.ndarray] = {}
+    for k, idx in enumerate(uniq):
+        chunk = data[k * frame_bytes : (k + 1) * frame_bytes]
+        if len(chunk) < frame_bytes:
+            break
+        out[idx] = np.frombuffer(chunk, np.uint16).reshape(h, w, 3).copy()
+    return out
+
+
+def read_frame_fast(path: str, frame_idx: int, *, timeout: float = 120.0) -> np.ndarray | None:
+    """Fast-seek decode of one frame with PTS verification; None if the
+    guard cannot confirm the requested frame."""
+    info = probe_video(path)
+    w, h, fps = info["width"], info["height"], info["fps"]
+    proc = subprocess.run(
+        build_fast_decode_cmd(path, frame_idx, fps), capture_output=True, timeout=timeout
+    )
+    infos = parse_showinfo(proc.stderr.decode(errors="replace"))
+    pick = match_pts_frame(infos, frame_idx / max(fps, 1e-6), fps)
+    if pick is None:
+        return None
+    frame_bytes = w * h * 6
+    chunk = proc.stdout[pick * frame_bytes : (pick + 1) * frame_bytes]
+    if len(chunk) < frame_bytes:
+        return None
+    return np.frombuffer(chunk, np.uint16).reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# 16-bit artifact writers (gui_hdr_io.py:507-577)
+# ---------------------------------------------------------------------------
+
+
+def write_tiff16(path: str, rgb_u16: np.ndarray) -> None:
+    import cv2
+
+    cv2.imwrite(path, rgb_u16[..., ::-1])  # cv2 writes BGR order
+
+
+def write_png16(path: str, rgb_u16: np.ndarray) -> None:
+    import cv2
+
+    cv2.imwrite(path, rgb_u16[..., ::-1])
+
+
+def write_png8(path: str, rgb_u8: np.ndarray) -> None:
+    import cv2
+
+    cv2.imwrite(path, rgb_u8[..., ::-1])
+
+
+def float01_to_u16(x: np.ndarray) -> np.ndarray:
+    return (np.clip(x, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16)

@@ -83,6 +83,8 @@ class FrameResult:
     delta_e_itp: float
     psnr_gn: float
     delta_e_itp_gn: float
+    gt_alignment_offset_frames: int = 0
+    gt_alignment_score: float = 0.0
 
 
 def evaluate_pair(
@@ -110,6 +112,34 @@ def evaluate_pair(
     return {k: float(v) for k, v in m.items()}
 
 
+def _alignment_score(sdr_rgb01: np.ndarray, gt_rgb01: np.ndarray) -> float:
+    """Content-similarity score between an SDR frame and a GT candidate
+    (normalized luminance-signature correlation — gui_hdr_gt_fast_path.py)."""
+    from hdrtv_tpu.bench.gt_sync import _signature
+
+    a = _signature(sdr_rgb01)
+    b = _signature(gt_rgb01)
+    hh = min(a.shape[0], b.shape[0])
+    ww = min(a.shape[1], b.shape[1])
+    return float((a[:hh, :ww] * b[:hh, :ww]).sum())
+
+
+def post_verify_alignment(
+    sdr_rgb01: np.ndarray, gt_read, gt_idx: int, *, window: int = 2
+) -> tuple[int, float]:
+    """Local ±window alignment re-search around the mapped GT frame
+    (gui_benchmark.py:2320-2439): returns (best_offset, best_score)."""
+    best_off, best_score = 0, -2.0
+    for off in range(-window, window + 1):
+        cand = gt_read(gt_idx + off)
+        if cand is None:
+            continue
+        score = _alignment_score(sdr_rgb01, cand)
+        if score > best_score:
+            best_off, best_score = off, score
+    return best_off, best_score
+
+
 def run_quality_benchmark(
     cfg: QualityRunConfig,
     processor,
@@ -119,13 +149,23 @@ def run_quality_benchmark(
     *,
     source_name: str = "source",
     gt_frame_map=None,
+    post_verify: bool = True,
+    verify_window: int = 2,
+    save_artifacts: bool = True,
 ) -> dict:
     """Run the benchmark; returns the session summary dict.
 
-    ``gt_reader(frame_idx) -> [0,1] RGB HWC float`` supplies ground-truth HDR
-    frames; ``gt_frame_map(sdr_idx) -> gt_idx`` handles frame-rate-aware
-    mapping (gui_media_probe.py:1137).
+    ``gt_reader`` is either a callable ``(frame_idx) -> [0,1] RGB HWC float``
+    or an ``HDRGroundTruthReader``; ``gt_frame_map(sdr_idx) -> gt_idx``
+    handles frame-rate-aware mapping (gui_media_probe.py:1137).
+
+    ``post_verify`` re-searches GT alignment ±``verify_window`` frames per
+    row and recomputes metrics at the best offset (gui_benchmark.py
+    :2320-2439); ``save_artifacts`` writes per-frame ``sdr.png`` /
+    ``hdr_gt.tiff`` / ``hdr_convert.tiff`` (:2128-2309).
     """
+    from hdrtv_tpu.bench import hdr_io
+
     ts = time.strftime("%Y%m%d_%H%M%S")
     session_dir = os.path.join(
         out_root,
@@ -133,6 +173,13 @@ def run_quality_benchmark(
         f"{ts}__{cfg.precision_key.replace(' ', '_')}__{cfg.resolution_key}__n{cfg.frame_count}",
     )
     os.makedirs(session_dir, exist_ok=True)
+
+    if callable(gt_reader):
+        gt_read = gt_reader
+        gt_decode = getattr(gt_reader, "decode_method", "caller")
+    else:
+        gt_read = gt_reader.read_unit_rgb
+        gt_decode = getattr(gt_reader, "decode_method", "unknown")
 
     frame_ids = select_distinct_frames(sdr_source, cfg.frame_count)
     results: list[FrameResult] = []
@@ -142,8 +189,15 @@ def run_quality_benchmark(
         if meta is None:
             continue
         frame_bgr = meta[0]
+        sdr_rgb01 = frame_bgr[..., ::-1].astype(np.float32) / 255.0
         gt_idx = gt_frame_map(fidx) if gt_frame_map else fidx
-        gt = gt_reader(gt_idx)
+
+        offset, score = 0, 0.0
+        if post_verify:
+            offset, score = post_verify_alignment(
+                sdr_rgb01, gt_read, gt_idx, window=verify_window
+            )
+        gt = gt_read(gt_idx + offset)
         if gt is None:
             continue
         out_rgb48 = processor.process_rgb48(frame_bgr)
@@ -152,20 +206,31 @@ def run_quality_benchmark(
         results.append(
             FrameResult(
                 frame=fidx,
-                gt_frame=gt_idx,
+                gt_frame=gt_idx + offset,
                 psnr=round(m["psnr"], 4),
                 ssim=round(m["ssim"], 5),
                 delta_e_itp=round(m["delta_e_itp"], 4),
                 psnr_gn=round(m["psnr_gn"], 4),
                 delta_e_itp_gn=round(m["delta_e_itp_gn"], 4),
+                gt_alignment_offset_frames=offset,
+                gt_alignment_score=round(score, 5),
             )
         )
+        if save_artifacts:
+            fdir = os.path.join(session_dir, "frames", f"{fidx:06d}")
+            os.makedirs(fdir, exist_ok=True)
+            hdr_io.write_png8(os.path.join(fdir, "sdr.png"), frame_bgr[..., ::-1])
+            hdr_io.write_tiff16(os.path.join(fdir, "hdr_gt.tiff"), hdr_io.float01_to_u16(gt))
+            hdr_io.write_tiff16(os.path.join(fdir, "hdr_convert.tiff"), out_rgb48)
 
     summary = {
         "source": source_name,
         "precision": cfg.precision_key,
         "resolution": cfg.resolution_key,
         "use_hg": cfg.use_hg,
+        "frame_selection": "luminance-variance+midtone greedy distinct (gui_benchmark.py:746 role)",
+        "gt_decode": gt_decode,
+        "post_verify": {"enabled": post_verify, "window_frames": verify_window},
         "frames": [dataclasses.asdict(r) for r in results],
         "mean_psnr": round(float(np.mean([r.psnr for r in results])), 4) if results else None,
         "mean_ssim": round(float(np.mean([r.ssim for r in results])), 5) if results else None,
@@ -175,8 +240,14 @@ def run_quality_benchmark(
         json.dump(summary, f, indent=2)
     with open(os.path.join(session_dir, "results.csv"), "w", newline="") as f:
         wr = csv.writer(f)
-        wr.writerow(["frame", "gt_frame", "psnr", "ssim", "delta_e_itp", "psnr_gn", "delta_e_itp_gn"])
+        wr.writerow([
+            "frame", "gt_frame", "psnr", "ssim", "delta_e_itp", "psnr_gn",
+            "delta_e_itp_gn", "gt_alignment_offset_frames", "gt_alignment_score",
+        ])
         for r in results:
-            wr.writerow([r.frame, r.gt_frame, r.psnr, r.ssim, r.delta_e_itp, r.psnr_gn, r.delta_e_itp_gn])
+            wr.writerow([
+                r.frame, r.gt_frame, r.psnr, r.ssim, r.delta_e_itp, r.psnr_gn,
+                r.delta_e_itp_gn, r.gt_alignment_offset_frames, r.gt_alignment_score,
+            ])
     summary["session_dir"] = session_dir
     return summary

@@ -140,3 +140,95 @@ class TestGTSync:
         calls_first = Reader.calls
         find_sync_offset(*args, window_frames=3, cache_path=cache, cache_key="k")
         assert Reader.calls == calls_first  # cache hit, no re-read
+
+
+class TestHdrIO:
+    def test_exact_decode_cmd_and_showinfo_parse(self):
+        from hdrtv_tpu.bench.hdr_io import (
+            build_exact_decode_cmd, match_pts_frame, parse_showinfo,
+        )
+
+        cmd = build_exact_decode_cmd("gt.mkv", [7, 3, 7])
+        assert "rgb48le" in cmd and "-vsync" in cmd
+        sel = cmd[cmd.index("-vf") + 1]
+        assert sel == "select='eq(n\\,3)+eq(n\\,7)'"  # sorted, deduped
+
+        stderr = (
+            "[Parsed_showinfo_0 @ 0x1] n:   0 pts:  12000 pts_time:0.4 duration:...\n"
+            "[Parsed_showinfo_0 @ 0x1] n:   1 pts:  12500 pts_time:0.433333 x\n"
+            "[Parsed_showinfo_0 @ 0x1] n:   2 pts:  13000 pts_time:0.466667 x\n"
+            "unrelated line\n"
+        )
+        infos = parse_showinfo(stderr)
+        assert infos == [(0, 0.4), (1, 0.433333), (2, 0.466667)]
+        # frame 13 at 30fps → t=0.4333…: PTS guard picks output index 1
+        assert match_pts_frame(infos, 13 / 30.0, 30.0) == 1
+        # a time far from any decoded pts is rejected (keyframe mis-seek)
+        assert match_pts_frame(infos, 5.0, 30.0) is None
+
+    def test_artifact_writers_roundtrip(self, tmp_path):
+        import cv2
+        from hdrtv_tpu.bench.hdr_io import float01_to_u16, write_tiff16
+
+        rgb = (np.random.RandomState(0).rand(16, 16, 3)).astype(np.float32)
+        u16 = float01_to_u16(rgb)
+        path = str(tmp_path / "x.tiff")
+        write_tiff16(path, u16)
+        back = cv2.imread(path, cv2.IMREAD_UNCHANGED)[..., ::-1]
+        assert back.dtype == np.uint16
+        np.testing.assert_array_equal(back, u16)
+
+
+class TestQualityPostVerify:
+    def test_post_verify_recovers_offset_and_writes_artifacts(self, tmp_path):
+        """A GT stream shifted by +1 frame is re-aligned by the ±N search,
+        and per-frame artifacts land in the session dir (gui_benchmark.py
+        :2128-2439 roles)."""
+        from hdrtv_tpu.bench.quality import QualityRunConfig, run_quality_benchmark
+
+        def frame_for(i):  # distinct deterministic content per index
+            return (np.random.RandomState(1000 + i).rand(48, 64, 3) * 255).astype(np.uint8)
+
+        class _Src:
+            fps = 30.0
+
+            def __init__(self):
+                self._idx = 0
+
+            def read_with_meta(self):
+                if self._idx >= 120:
+                    return None
+                i = self._idx
+                self._idx += 1
+                return frame_for(i), i, i / 30.0
+
+            def seek(self, i):
+                self._idx = int(i)
+
+        src = _Src()
+
+        def gt_read(idx):
+            # GT stream lags by one frame: mapped idx i is actually at i+1.
+            if not (0 <= idx + 1 < 130):
+                return None
+            return frame_for(idx + 1)[..., ::-1].astype(np.float32) / 255.0
+
+        class _Identity:
+            def process_rgb48(self, frame_bgr):
+                return (frame_bgr[..., ::-1].astype(np.uint16)) * 257
+
+        cfg = QualityRunConfig(frame_count=3)
+        summary = run_quality_benchmark(
+            cfg, _Identity(), src, gt_read, str(tmp_path),
+            source_name="synthetic", post_verify=True, verify_window=2,
+        )
+        assert summary["frames"], "no rows produced"
+        for row in summary["frames"]:
+            assert row["gt_alignment_offset_frames"] == -1  # recovered shift
+            assert row["psnr"] > 45  # aligned pair ⇒ near-identical
+        assert summary["post_verify"]["enabled"]
+        assert "frame_selection" in summary and "gt_decode" in summary
+        fdirs = os.listdir(os.path.join(summary["session_dir"], "frames"))
+        assert len(fdirs) == len(summary["frames"])
+        one = os.path.join(summary["session_dir"], "frames", fdirs[0])
+        assert sorted(os.listdir(one)) == ["hdr_convert.tiff", "hdr_gt.tiff", "sdr.png"]
