@@ -232,6 +232,40 @@ def cmd_engines(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Generate a mixed-quant layout from the stability probe
+    (scripts/quantize/quantize_int8_mixed.py role)."""
+    from hdrtv_tpu.models.hdrtvnet import ModelConfig
+    from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz
+    from hdrtv_tpu.quant.mixed import generate_mixed_layout
+
+    if args.model.endswith(".npz"):
+        params = load_npz(args.model)
+        cfg = ModelConfig(use_hg=args.use_hg)
+    else:
+        params, cfg = load_checkpoint(args.model, use_hg=args.use_hg)
+    if args.probe_video:
+        from hdrtv_tpu.pipeline.source import VideoSource
+
+        frames = []
+        with VideoSource(args.probe_video) as src:
+            step = max(1, (src.frame_count or 300) // args.probe_frames)
+            for i in range(args.probe_frames):
+                src.seek(i * step)
+                meta = src.read_with_meta()
+                if meta is None:
+                    break
+                frames.append(meta[0][..., ::-1].astype(np.float32) / 255.0)
+    else:
+        frames = [
+            np.random.RandomState(i).rand(144, 192, 3).astype(np.float32)
+            for i in range(args.probe_frames)
+        ]
+    chosen = generate_mixed_layout(params, frames, cfg, count=args.count, out_path=args.out)
+    print(f"wrote {args.out}: {len(chosen)} W8A8 layers")
+    return 0
+
+
 def cmd_quantize(args) -> int:
     from hdrtv_tpu.models.hdrtvnet import ModelConfig
     from hdrtv_tpu.models.import_torch import load_checkpoint, load_npz, save_npz
@@ -466,8 +500,19 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--use-hg", action="store_true")
     z.add_argument("--calib-video", default=None)
     z.add_argument("--calib-frames", type=int, default=16)
-    z.add_argument("--calib-method", default="max", choices=["max", "percentile"])
+    z.add_argument("--calib-method", default="max", choices=["max", "percentile", "kl"])
     z.set_defaults(fn=cmd_quantize)
+
+    lo = sub.add_parser(
+        "layout", help="generate a mixed W8A8 layout via per-layer sensitivity probe"
+    )
+    lo.add_argument("--model", required=True)
+    lo.add_argument("--out", required=True)
+    lo.add_argument("--count", type=int, default=29, help="W8A8 layer budget (reference no-HG recipe: 29)")
+    lo.add_argument("--use-hg", action="store_true")
+    lo.add_argument("--probe-video", default=None)
+    lo.add_argument("--probe-frames", type=int, default=4)
+    lo.set_defaults(fn=cmd_layout)
 
     s = sub.add_parser("sweep", help="precision sweep with ΔEITP quality bench")
     s.add_argument("--model", required=True, help="fp32 reference checkpoint")

@@ -72,6 +72,27 @@ for label, name in [
     hg_model, nohg_model = _int8("hg", name)
     _add(label, "int8-mixed" if "Mixed" in label else "int8-full", hg_model, nohg_model)
 
+# FP8 presets: the reference ships 12 FP8 source checkpoints carrying FP32
+# tensors + the matching INT8 composition; ModelOpt emits FP8 Q/DQ at engine
+# build (gui_config.py:94-160, fp8_source_note). On TPU the importer
+# reproduces the FP8 numerics at load (float8_e4m3 weight roundtrip) and
+# computes in bf16.
+for label, name in [
+    ("FP8 Mixed (PTQ)", "mixed_ptq"),
+    ("FP8 Mixed (QAT)", "mixed_qat"),
+    ("FP8 Mixed (QAT) (Film)", "mixed_qat_film"),
+    ("FP8 Full (PTQ)", "full_ptq"),
+    ("FP8 Full (QAT)", "full_qat"),
+    ("FP8 Full (QAT) (Film)", "full_qat_film"),
+]:
+    _add(
+        label,
+        "fp8-mixed" if "Mixed" in label else "fp8-full",
+        _weight(f"original/tensorrt_fp8/hr_hg/HR_HG_original_fp8_{name}.pt"),
+        _weight(f"original/tensorrt_fp8/hr/HR_original_fp8_{name}.pt"),
+        fp8=True,
+    )
+
 DEFAULT_PRECISION_KEY = "INT8 Mixed (QAT)"
 DEFAULT_RESOLUTION_KEY = "1080p"
 DEFAULT_USE_HG = False

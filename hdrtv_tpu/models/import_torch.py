@@ -50,6 +50,9 @@ _META_KEYS = (
     "tensorrt_source_checkpoint",
     "tensorrt_source_schema",
     "tensorrt_source_signature",
+    "fp8_source_schema",
+    "fp8_source_note",
+    "calibration_method",
 )
 
 
@@ -75,6 +78,11 @@ def load_torch_file(path: str) -> tuple[dict[str, np.ndarray], dict[str, Any]]:
         for k in _META_KEYS:
             if k in obj:
                 meta[k] = obj[k]
+        # Quantized-layer *names* only (the qparams tensors stay behind):
+        # the FP8 sources carry the matching INT8 composition whose layer
+        # set defines where ModelOpt emits FP8 Q/DQ at build time.
+        if isinstance(obj.get("weight_qparams"), dict):
+            meta["quantized_layers"] = [str(k) for k in obj["weight_qparams"]]
     else:
         state = obj
     out = {}
@@ -213,12 +221,42 @@ def fold_hg_batchnorm(state: dict[str, np.ndarray], prefix: str = "hg.", eps: fl
 # ---------------------------------------------------------------------------
 
 
+def fp8_e4m3_roundtrip(w: np.ndarray) -> np.ndarray:
+    """ModelOpt-style FP8 weight quantization emulated in numerics:
+    per-tensor amax/448 scaling into float8_e4m3 and back. The reference's
+    FP8 path stores FP32 sources and lets ModelOpt emit FP8 Q/DQ during the
+    TensorRT build (fp8_source_note in the shipped checkpoints); on TPU we
+    reproduce those numerics at load and compute in bf16."""
+    import ml_dtypes
+
+    amax = float(np.abs(w).max())
+    if amax <= 0.0:
+        return np.asarray(w, np.float32)
+    scale = amax / 448.0  # e4m3 max normal
+    q = (np.asarray(w, np.float32) / scale).astype(ml_dtypes.float8_e4m3fn)
+    return q.astype(np.float32) * scale
+
+
+def emulate_fp8_weights(state: dict[str, np.ndarray], layers) -> int:
+    """Roundtrip the quantized layers' conv/linear weights through e4m3.
+    Returns the number of layers emulated (mutates ``state``)."""
+    n = 0
+    for layer in layers:
+        for cand in (f"{layer}.weight", f"base.{layer}.weight", f"hg.{layer}.weight"):
+            if cand in state:
+                state[cand] = fp8_e4m3_roundtrip(state[cand])
+                n += 1
+                break
+    return n
+
+
 def load_checkpoint(
     path: str,
     *,
     hg_path: str | None = None,
     use_hg: bool | None = None,
     fold_bn: bool = True,
+    fp8_emulate: bool | None = None,
     **cfg_overrides,
 ) -> tuple[dict[str, np.ndarray], ModelConfig]:
     """Load an HR (and optional HG) reference checkpoint into (params, config).
@@ -226,6 +264,11 @@ def load_checkpoint(
     Composite layout: HR keys are prefixed ``base.`` and HG keys ``hg.``
     when ``use_hg`` — matching HG_Composite's module tree so the same flat
     names appear in both frameworks.
+
+    FP8 source checkpoints (``fp8_source_schema`` containers, 12 shipped in
+    src/models/weights/original/tensorrt_fp8/) are recognized automatically:
+    the quantized layers' weights roundtrip through float8_e4m3 numerics
+    (``fp8_emulate=False`` loads the plain FP32 tensors instead).
     """
     raw, meta = load_torch_file(path)
     arch = dict(meta.get("architecture") or {})
@@ -251,6 +294,11 @@ def load_checkpoint(
             state = fold_hg_batchnorm(state, prefix="hg.")
     else:
         state = {k[len("base."):] if k.startswith("base.") else k: v for k, v in raw.items() if not k.startswith("hg.")}
+
+    if fp8_emulate is None:
+        fp8_emulate = "fp8_source_schema" in meta
+    if fp8_emulate and meta.get("quantized_layers"):
+        emulate_fp8_weights(state, meta["quantized_layers"])
 
     return convert_state(state), cfg
 

@@ -142,6 +142,19 @@ def _maybe_fake_quant_act(p: Params, name: str, x: jax.Array, policy: Policy) ->
     return (q * s).astype(policy.compute_dtype)
 
 
+def _maybe_gated_quant(p: Params, name: str, x: jax.Array, policy: Policy) -> jax.Array:
+    """Value-switchable activation fake-quant for sensitivity probing.
+
+    When ``{name}.x_on`` is present (a 0/1 scalar), the layer's activation
+    fake-quant toggles *by value* instead of by pytree structure — so one
+    jitted program probes every layer in turn without 100+ retraces
+    (quant/mixed.py per-layer stability probe)."""
+    if f"{name}.x_on" not in p:
+        return x
+    xq = _maybe_fake_quant_act(p, name, x, policy)
+    return jnp.where(p[f"{name}.x_on"] > 0, xq, x)
+
+
 def conv2d(
     p: Params,
     name: str,
@@ -161,6 +174,7 @@ def conv2d(
     else:
         w = policy.cast(p[f"{name}.weight"])
         x = policy.cast(x)
+        x = _maybe_gated_quant(p, name, x, policy)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:
@@ -190,6 +204,7 @@ def linear(p: Params, name: str, x: jax.Array, *, policy: Policy = F32) -> jax.A
     else:
         w = policy.cast(p[f"{name}.weight"])
         x = policy.cast(x)
+        x = _maybe_gated_quant(p, name, x, policy)
     y = jnp.dot(x, w, precision=policy.precision, preferred_element_type=policy.compute_dtype)
     b = p.get(f"{name}.bias")
     if b is not None:
