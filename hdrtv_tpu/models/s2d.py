@@ -438,69 +438,14 @@ def conv_nat(p, name, x, *, pad=1, policy):
 # ---------------------------------------------------------------------------
 
 
-def _fused_ok(*tensors, policy: Policy | None = None) -> bool:
-    """Use the Pallas tile-map path: TPU, batch 1, row-divisible tiles.
-
-    bf16 only: Mosaic lowers fp32 matmuls through bf16 MXU passes, so the
-    strict-fp32 policy keeps the XLA path (HIGHEST precision).
-
-    Opt-in (HDRTV_TILEWISE=1): the pointwise fusions measured ≈neutral on
-    wall time while adding several Mosaic modules to the already slow,
-    memory-limited remote compile — off by default.
-    """
-    from hdrtv_tpu.utils.env import env_bool
-
-    if not env_bool("HDRTV_TILEWISE", False):
-        return False
-    if env_bool("HDRTV_DISABLE_PALLAS", False):
-        return False
-    if policy is not None and policy.compute_dtype != jnp.bfloat16:
-        return False
-    # Row tiling is unconstrained (only the last two block dims have TPU
-    # tile-shape rules); lane dims must be 8-aligned.
-    return (
-        jax.default_backend() == "tpu"
-        and all(t.shape[0] == 1 and t.shape[-1] % 8 == 0 for t in tensors)
-        and tensors[0].shape[2] % 8 == 0
-    )
-
-
 def _w11(p, name, policy):
     return policy.cast(p[f"{name}.weight"][0, 0]), policy.cast(p[f"{name}.bias"])
 
 
-def _w11_small(p, name, policy):
-    """Recover the original (Ci,Co) 1×1 kernel from its 4-way block-diag
-    s2d expansion (the top-left block; bias is tiled ×4 → first Co)."""
-    w = p[f"{name}.weight"][0, 0]
-    ci, co = w.shape[0] // 4, w.shape[1] // 4
-    return policy.cast(w[:ci, :co]), policy.cast(p[f"{name}.bias"][:co])
-
-
 def _sft(p, name, fea, cond, conv, *, policy):
-    if conv is conv_1x1 and _fused_ok(fea, cond, policy=policy):
-        from hdrtv_tpu.ops.tilewise import fused_sft
-
-        wsc0, bsc0 = _w11_small(p, f"{name}.SFT_scale_conv0", policy)
-        wsc1, bsc1 = _w11_small(p, f"{name}.SFT_scale_conv1", policy)
-        wsh0, bsh0 = _w11_small(p, f"{name}.SFT_shift_conv0", policy)
-        wsh1, bsh1 = _w11_small(p, f"{name}.SFT_shift_conv1", policy)
-        return fused_sft(
-            policy.cast(fea[0]), policy.cast(cond[0]),
-            wsc0, bsc0, wsc1, bsc1, wsh0, bsh0, wsh1, bsh1,
-        )[None]
     scale = conv(p, f"{name}.SFT_scale_conv1", leaky_relu(conv(p, f"{name}.SFT_scale_conv0", cond, policy=policy), 0.1), policy=policy)
     shift = conv(p, f"{name}.SFT_shift_conv1", leaky_relu(conv(p, f"{name}.SFT_shift_conv0", cond, policy=policy), 0.1), policy=policy)
     return fea * (scale + 1.0) + shift
-
-
-def _sft_small_weights(p, sft_name, policy):
-    return [
-        _w11_small(p, f"{sft_name}.SFT_scale_conv0", policy),
-        _w11_small(p, f"{sft_name}.SFT_scale_conv1", policy),
-        _w11_small(p, f"{sft_name}.SFT_shift_conv0", policy),
-        _w11_small(p, f"{sft_name}.SFT_shift_conv1", policy),
-    ]
 
 
 def _sft4_bd(p, sft_name):
@@ -581,22 +526,6 @@ def agcm_s2d(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy) -
 
     def mod(out, scale, shift):
         return out * _tile4(scale) + _tile4(shift) + out
-
-    if _fused_ok(xs, policy=policy):
-        from hdrtv_tpu.ops.tilewise import fused_agcm_body
-
-        def mods_for(tag):
-            s = jnp.tile(lin(f"AGCM.cond_scale_{tag}"), (1, 4))[0]
-            sh = jnp.tile(lin(f"AGCM.cond_shift_{tag}"), (1, 4))[0]
-            return jnp.stack((s, sh)).astype(jnp.float32)
-
-        w1, b1 = _w11_small(p, "AGCM.conv_first", policy)
-        w2, b2 = _w11_small(p, "AGCM.HRconv", policy)
-        w3, b3 = _w11_small(p, "AGCM.conv_last", policy)
-        return fused_agcm_body(
-            policy.cast(xs[0]), w1, b1, w2, b2, w3, b3,
-            (mods_for("first"), mods_for("HR"), mods_for("last")),
-        )[None]
 
     out = conv_1x1(p, "AGCM.conv_first", xs, policy=policy)
     out = relu(mod(out, lin("AGCM.cond_scale_first"), lin("AGCM.cond_shift_first")))
@@ -700,27 +629,11 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
         c = leaky_relu(y[..., n_first:], 0.1)
     else:
         c = leaky_relu(conv_s1(p, "LE.cond_first.0", conds, policy=policy), 0.1)
-    if _fused_ok(c, policy=policy):
-        from hdrtv_tpu.ops.tilewise import fused_pointwise_chain
-
-        c = fused_pointwise_chain(
-            policy.cast(c[0]),
-            [(*_w11_small(p, "LE.cond_first.2", policy), "lrelu"), (*_w11_small(p, "LE.cond_first.4", policy), "lrelu")],
-        )[None]
-        cond1 = fused_pointwise_chain(
-            policy.cast(c[0]),
-            [
-                (*_w11_small(p, "LE.CondNet1.0", policy), "lrelu"),
-                (*_w11_small(p, "LE.CondNet1.2", policy), "lrelu"),
-                (*_w11_small(p, "LE.CondNet1.4", policy), None),
-            ],
-        )[None]
-    else:
-        c = leaky_relu(conv_1x1(p, "LE.cond_first.2", c, policy=policy), 0.1)
-        c = leaky_relu(conv_1x1(p, "LE.cond_first.4", c, policy=policy), 0.1)
-        c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.0", c, policy=policy), 0.1)
-        c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.2", c1, policy=policy), 0.1)
-        cond1 = conv_1x1(p, "LE.CondNet1.4", c1, policy=policy)
+    c = leaky_relu(conv_1x1(p, "LE.cond_first.2", c, policy=policy), 0.1)
+    c = leaky_relu(conv_1x1(p, "LE.cond_first.4", c, policy=policy), 0.1)
+    c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.0", c, policy=policy), 0.1)
+    c1 = leaky_relu(conv_1x1(p, "LE.CondNet1.2", c1, policy=policy), 0.1)
+    cond1 = conv_1x1(p, "LE.CondNet1.4", c1, policy=policy)
 
     cond2, cond3, cond4 = _le_cond_downs(p, c, policy=policy)
 

@@ -176,128 +176,6 @@ def fused_block_conv3(
     )(*args)
 
 
-def _conv3s2_kernel(x_hbm, w_ref, b_ref, out_ref, x_tile, sem, *, th, wbo, c, co, hbo, fuse_relu):
-    """Stride-2 (1,0)-padded 3×3 conv: out rows [r0, r0+th) ← in rows
-    [2r0-1, 2r0+2th]. Even/odd row/col factoring avoids strided VMEM reads."""
-    i = pl.program_id(0)
-    r0 = i * th
-    wb = wbo * 2
-    n_rows = 2 * th + 2
-
-    @pl.when(i == 0)
-    def _():
-        x_tile[0, :, :] = jnp.zeros((wb, c), x_tile.dtype)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        x_tile[n_rows - 1, :, :] = jnp.zeros((wb, c), x_tile.dtype)
-
-    n_tiles = hbo // th
-    if n_tiles == 1:
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, 2 * th), :, :], x_tile.at[pl.ds(1, 2 * th), :, :], sem
-        )
-        cp.start()
-        cp.wait()
-    else:
-        is_top = r0 == 0
-        is_bottom = r0 + th == hbo
-
-        @pl.when(jnp.logical_and(jnp.logical_not(is_top), jnp.logical_not(is_bottom)))
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(2 * r0 - 1, 2 * th + 2), :, :], x_tile.at[pl.ds(0, 2 * th + 2), :, :], sem
-            )
-            cp.start()
-            cp.wait()
-
-        @pl.when(is_top)
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, 2 * th + 1), :, :], x_tile.at[pl.ds(1, 2 * th + 1), :, :], sem
-            )
-            cp.start()
-            cp.wait()
-
-        @pl.when(is_bottom)
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(2 * r0 - 1, 2 * th + 1), :, :], x_tile.at[pl.ds(0, 2 * th + 1), :, :], sem
-            )
-            cp.start()
-            cp.wait()
-
-    # tile rows: local g = global − (2r0 − 1); output row j needs 2j+dI.
-    pairs = x_tile[:].reshape(th + 1, 2, wb, c)
-
-    def rows_for(dI):
-        if dI == 0:
-            return pairs[0:th, 0]
-        if dI == 1:
-            return pairs[0:th, 1]
-        return pairs[1 : th + 1, 0]
-
-    acc = jnp.zeros((th * wbo, co), jnp.float32)
-    for dI in range(3):
-        rows = rows_for(dI)  # (th, wb, c)
-        cols = rows.reshape(th, wbo, 2, c)
-        for dJ in range(3):
-            if dJ == 0:
-                v = jnp.pad(cols[:, : wbo - 1, 1, :], ((0, 0), (1, 0), (0, 0)))
-            elif dJ == 1:
-                v = cols[:, :, 0, :]
-            else:
-                v = cols[:, :, 1, :]
-            acc = acc + jnp.dot(
-                v.reshape(th * wbo, c), w_ref[dI * 3 + dJ], preferred_element_type=jnp.float32
-            )
-    acc = acc + b_ref[0].astype(jnp.float32)
-    if fuse_relu:
-        acc = jnp.maximum(acc, 0.0)
-    out_ref[:] = acc.reshape(th, wbo, co).astype(out_ref.dtype)
-
-
-def fused_block_conv3_s2(
-    x: jax.Array, w: jax.Array, b: jax.Array, *, relu: bool = False, out_dtype=None
-) -> jax.Array:
-    """Stride-2 3×3 conv with (1,0) padding over (Hb, Wb, C) → (Hb/2, Wb/2, Co)."""
-    hb, wb, c = x.shape
-    co = w.shape[-1]
-    hbo, wbo = hb // 2, wb // 2
-    out_dtype = out_dtype or x.dtype
-    th = _pick_th(hbo, wbo * 2, max(c, co))
-    w9 = w.reshape(9, c, co).astype(x.dtype)
-    b2 = b.reshape(1, co).astype(jnp.float32)
-
-    kernel = functools.partial(_conv3s2_kernel, th=th, wbo=wbo, c=c, co=co, hbo=hbo, fuse_relu=relu)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((hbo, wbo, co), out_dtype),
-        grid=(hbo // th,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((th, wbo, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2 * th + 2, wb, c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, w9, b2)
-
-
-def fused_block_conv3_s2_ref(x, w, b, *, relu=False, out_dtype=None):
-    y = jax.lax.conv_general_dilated(
-        x[None].astype(jnp.float32), w.astype(jnp.float32), (2, 2), [(1, 0), (1, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[0] + b.astype(jnp.float32)
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    return y.astype(out_dtype or x.dtype)
-
-
 def fused_block_conv3_ref(x, w, b, *, relu=False, skip=None, out_dtype=None):
     """lax reference implementation (used on CPU and as the parity oracle)."""
     y = jax.lax.conv_general_dilated(

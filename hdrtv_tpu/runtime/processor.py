@@ -61,6 +61,7 @@ class HDRTVNetTPU:
         fast_zero_condition: bool | None = None,
         persistent_cache: bool = True,
         turbo: bool | None = None,
+        predequantize: bool | None = None,
         proc_resolution: tuple[int, int] | None = None,
         cfg_overrides: dict[str, Any] | None = None,
     ):
@@ -89,6 +90,20 @@ class HDRTVNetTPU:
                 model_path, hg_path=hg_path, use_hg=use_hg, **(cfg_overrides or {})
             )
         self.cfg = cfg
+        # Pre-dequantize (reference mode, hdrtvnet_torch.py:444-512): int8
+        # weights expand to float once at load — full-speed execution of the
+        # QAT weights. Default on for int8 checkpoints (the reference's AMD
+        # auto→on policy); HDRTVNET_PREDEQUANTIZE=0 keeps the eager W8A8
+        # fake-quant path for bit-faithful validation.
+        has_int8 = any(k.endswith(".weight_int8") for k in params)
+        if predequantize is None:
+            predequantize = env_bool("HDRTVNET_PREDEQUANTIZE", True)
+        self.predequantized = bool(predequantize and has_int8)
+        if self.predequantized:
+            from hdrtv_tpu.quant.int8 import predequantize_params
+
+            params = predequantize_params(params)
+            has_int8 = False
         # Turbo = exact space-to-depth execution (models/s2d.py): ~128-lane
         # channel occupancy instead of 32 — the TPU-native fast path. Only the
         # release arch is transformed; other archs fall back to normal mode.
@@ -100,7 +115,7 @@ class HDRTVNetTPU:
             and cfg.classifier == "color_condition"
             and cfg.le_arch == "sft"
             and not cfg.post_correction
-            and not any(k.endswith(".weight_int8") for k in params)
+            and not has_int8
         )
         self._nat_params = None
         if self.turbo:
