@@ -410,7 +410,8 @@ def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = N
 
         if pick_rows(hb // 2, limit=8) <= 16:
             return fused_down2(
-                policy.cast(x[0]), policy.cast(w), p[f"{name}.bias"], act=act
+                policy.cast(x[0]), policy.cast(w), p[f"{name}.bias"], act=act,
+                qargs=_qargs_for(p, name),
             )[None]
     y = _conv(p, name, x, stride=2, padding=[(1, 0), (1, 0)], policy=policy)
     if act == "relu":
@@ -481,6 +482,7 @@ def _sft_conv(p, sft_name, conv_name, x, cond, *, policy, relu_fused=False, skip
             p[f"{conv_name}.bias"],
             relu=relu_fused,
             skip=None if skip is None else policy.cast(skip[0]),
+            qargs=_qargs_for(p, conv_name),
         )[None]
     out = _sft(p, sft_name, x, cond, conv_1x1, policy=policy)
     return conv_s1(p, conv_name, out, policy=policy, relu_fused=relu_fused, skip=skip)
@@ -492,12 +494,17 @@ def _resblock(p, name, fea, cond, conv3, conv1, *, policy):
             from hdrtv_tpu.ops.megakernel import fused_resblock, pick_rows_even
 
             if pick_rows_even(fea.shape[1]) >= 4:
+                q1 = _qargs_for(p, f"{name}.conv1")
+                q2 = _qargs_for(p, f"{name}.conv2")
+                both = q1 is not None and q2 is not None
                 return fused_resblock(
                     policy.cast(fea[0]), policy.cast(cond[0]),
                     _sft4_bd(p, f"{name}.sft1"),
                     policy.cast(p[f"{name}.conv1.weight"]), p[f"{name}.conv1.bias"],
                     _sft4_bd(p, f"{name}.sft2"),
                     policy.cast(p[f"{name}.conv2.weight"]), p[f"{name}.conv2.bias"],
+                    qargs1=q1 if both else None,
+                    qargs2=q2 if both else None,
                 )[None]
         out = _sft_conv(p, f"{name}.sft1", f"{name}.conv1", fea, cond, policy=policy, relu_fused=True)
         # conv2 + residual add fused into the same pass
@@ -855,4 +862,63 @@ def _ensemble_mega(
         p["LE.HR_conv2.weight"], p["LE.HR_conv2.bias"],
         p["LE.conv_last.weight"], p["LE.conv_last.bias"],
         pack=pack,
+        qargs_hr=_qargs_for(p, "LE.HR_conv2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native int8 (W8A8) execution — s2d-transformed int8 weights for the
+# megakernels' MXU int8 path (W8A8Conv2d semantics, hdrtvnet_torch.py:296-365)
+# ---------------------------------------------------------------------------
+
+
+def attach_native_int8(sp: dict, raw: dict) -> dict:
+    """Attach s2d-transformed int8 weights + scales for quantized layers.
+
+    ``sp`` is the float (pre-dequantized) s2d param tree; ``raw`` the
+    original converted checkpoint carrying ``.weight_int8``/``.w_scale``/
+    ``.x_scale``(/``.x_zero``). The s2d weight transforms are zero-insertion/
+    permutation only, so applying them to the int8 codes is exact; per-out-
+    channel scales tile like biases. Only 3×3 layers whose s2d channels are
+    128-multiples attach (the megakernels' int8 eligibility); everything
+    else keeps the pre-dequantized float path.
+    """
+    out = dict(sp)
+    native = []
+    for layer, role in _le_layer_roles().items():
+        qk = f"{layer}.weight_int8"
+        if qk not in raw or f"{layer}.x_scale" not in raw:
+            continue
+        if role not in (_S1, _S2):
+            continue
+        wq = np.asarray(raw[qk])
+        wsc = np.asarray(raw.get(f"{layer}.w_scale", raw.get(f"{layer}.scale")), np.float32)
+        tq = w_s2d_s1(wq) if role == _S1 else w_s2d_s2(wq)
+        if tq.shape[2] % 128 or tq.shape[3] % 128:
+            continue
+        out[f"{layer}.qweight"] = tq
+        out[f"{layer}.qw_scale"] = b_s2d(wsc)
+        out[f"{layer}.qx_scale"] = np.float32(raw[f"{layer}.x_scale"])
+        if f"{layer}.x_zero" in raw:
+            out[f"{layer}.qx_zero"] = np.float32(raw[f"{layer}.x_zero"])
+        native.append(layer)
+    # The fused CondNet down conv would mix three different activation
+    # scales; when its components run native int8, drop the consolidation so
+    # each branch quantizes with its own calibration.
+    if all(f"LE.CondNet{i}.0.qweight" in out for i in (2, 3, 4)):
+        out.pop("LE.__cond_down.weight", None)
+        out.pop("LE.__cond_down.bias", None)
+    return out
+
+
+def _qargs_for(p: Params, layer: str) -> dict | None:
+    if f"{layer}.qweight" not in p:
+        return None
+    qa = {
+        "w_int8": p[f"{layer}.qweight"],
+        "w_scale": p[f"{layer}.qw_scale"],
+        "x_scale": p[f"{layer}.qx_scale"],
+    }
+    if f"{layer}.qx_zero" in p:
+        qa["x_zero"] = p[f"{layer}.qx_zero"]
+    return qa

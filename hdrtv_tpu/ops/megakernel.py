@@ -363,8 +363,12 @@ def fused_cond_chain_ref(c0, weights, *, out_dtype=None):
 def _tail_kernel(
     sp, sc, sn, cp, cc_, cn, skip_ref,
     w0, b0, w1, b1, w2, b2, w3, b3, w9h, bh, w9l, bl,
-    out_ref, *, th, wb, c, cc, cl, hb, pack,
+    *refs, th, wb, c, cc, cl, hb, pack, quant, has_z,
 ):
+    if quant:
+        ysh, sh_, zh_, out_ref = refs
+    else:
+        out_ref = refs[0]
     i = pl.program_id(0)
     r0 = i * th
     rows = th + 4
@@ -380,9 +384,12 @@ def _tail_kernel(
     g = _lrelu(mix(cond, w2, b2)).astype(sc.dtype)
     shift = mix(g, w3, b3)
     t = s.astype(jnp.float32) * (scale + 1.0) + shift
-    t = _row_mask(t, r0 - 2, hb, wb).astype(sc.dtype).reshape(rows, wb, c)
 
-    hacc = _taps_conv(t, w9h, th + 2, wb, c, c) + bh[0].astype(jnp.float32)
+    if quant:
+        hacc = _taps_conv_q(t, w9h, ysh, sh_, zh_ if has_z else None, r0 - 2, wb, c, c, hb) + bh[0].astype(jnp.float32)
+    else:
+        tm = _row_mask(t, r0 - 2, hb, wb).astype(sc.dtype).reshape(rows, wb, c)
+        hacc = _taps_conv(tm, w9h, th + 2, wb, c, c) + bh[0].astype(jnp.float32)
     hval = jnp.maximum(hacc, 0.0)
     hval = _row_mask(hval, r0 - 1, hb, wb).astype(sc.dtype).reshape(th + 2, wb, c)
 
@@ -402,7 +409,7 @@ def _tail_kernel(
 def fused_tail(
     s: jax.Array, cond1: jax.Array, skip: jax.Array,
     sft_small, w_hr, b_hr, w_last, b_last,
-    *, pack: bool = True, out_dtype=None,
+    *, pack: bool = True, out_dtype=None, qargs_hr: dict | None = None,
 ):
     """LE output slice over s2d tensors:
 
@@ -421,14 +428,26 @@ def fused_tail(
     th = pick_rows_even(hb, limit=_row_limit(wb, 12))
     if not th:
         raise ValueError(f"fused_tail needs an even row divisor of {hb}")
-    w9h = w_hr.reshape(9, c, c).astype(s.dtype)
+    quant = qargs_hr is not None
+    extra = []
+    if quant:
+        w9h, ysh, sh_, zh_, has_z, bch = _pack_qargs(qargs_hr, c)
+        bh_in = (b_hr.astype(jnp.float32) + bch).reshape(1, -1)
+        extra = [ysh, sh_, zh_]
+    else:
+        has_z = False
+        w9h = w_hr.reshape(9, c, c).astype(s.dtype)
+        bh_in = b_hr.reshape(1, -1).astype(jnp.float32)
     w9l = w_last.reshape(9, c, cl).astype(s.dtype)
     consts = []
     for w, b in sft_small:
         consts.append(w.astype(s.dtype))
         consts.append(b.reshape(1, -1).astype(jnp.float32))
 
-    kernel = functools.partial(_tail_kernel, th=th, wb=wb, c=c, cc=cc, cl=cl, hb=hb, pack=pack)
+    kernel = functools.partial(
+        _tail_kernel, th=th, wb=wb, c=c, cc=cc, cl=cl, hb=hb, pack=pack,
+        quant=quant, has_z=has_z,
+    )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     if pack:
         out_shape = jax.ShapeDtypeStruct((hb, 2, wb, cl // 2), jnp.uint16)
@@ -443,14 +462,15 @@ def fused_tail(
         in_specs=_halo_specs(hb, th, wb, c, h=2)
         + _halo_specs(hb, th, wb, cc, h=2)
         + [pl.BlockSpec((th, wb, cl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-        + [wspec] * 12,
+        + [wspec] * (12 + len(extra)),
         out_specs=out_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         s, s, s, cond1, cond1, cond1, skip,
         *consts,
-        w9h, b_hr.reshape(1, -1).astype(jnp.float32),
+        w9h, bh_in,
         w9l, b_last.reshape(1, -1).astype(jnp.float32),
+        *extra,
     )
 
 
@@ -490,7 +510,7 @@ def fused_tail_ref(s, cond1, skip, sft_small, w_hr, b_hr, w_last, b_last, *, pac
 # ---------------------------------------------------------------------------
 
 
-def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, out_ref, *, th, wbo, c, hbo, act):
+def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wbo, c, hbo, act, quant, has_z):
     """Out rows [r0, r0+th) ← paired input rows [2r0-1, 2r0+2th+1).
 
     Input is column-paired: (hb, wb/2, 2C), lane d = (col parity)·C + ch.
@@ -498,7 +518,14 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, out_ref, *, th, wbo, c, h
     2p+dJ-1 → dJ∈{1,2} hit paired col p (both halves — one K=2C matmul);
     dJ=0 hits paired col p-1's upper half (a sublane shift + K=C matmul).
     Row taps dI read even-position rows of a leading-split reshape.
+
+    With ``quant``, weights are int8 (yscale/s/z refs follow) and the dots
+    run on the MXU's int8 path with int32 accumulation.
     """
+    if quant:
+        yscale_ref, s_ref, z_ref, out_ref = refs
+    else:
+        out_ref = refs[0]
     i = pl.program_id(0)
     r0 = i * th
     co = out_ref.shape[-1]
@@ -507,27 +534,46 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, out_ref, *, th, wbo, c, h
     g = jnp.concatenate([xp[1:], xc[:], xn[:1]], axis=0)  # (2th+2, wbo, 2c)
     # pad (1,0): only global input row -1 needs zeroing (first tile, dI=0).
     gf = _row_mask(g.reshape((n2 + 2) * wbo, 2 * c), 2 * r0 - 1, 2 * hbo, wbo)
-    g = gf.astype(xc.dtype).reshape(n2 + 2, wbo, 2 * c)
 
-    acc = jnp.zeros((th * wbo, co), jnp.float32)
+    if quant:
+        q, qpad = _quantize_act(gf.astype(jnp.float32), s_ref, z_ref if has_z else None, wbo)
+        g = q.reshape(n2 + 2, wbo, 2 * c)
+        acc = jnp.zeros((th * wbo, co), jnp.int32)
+        pad_val = qpad.astype(jnp.int8)
+        acc_t = jnp.int32
+    else:
+        g = gf.astype(xc.dtype).reshape(n2 + 2, wbo, 2 * c)
+        acc = jnp.zeros((th * wbo, co), jnp.float32)
+        pad_val = 0
+        acc_t = jnp.float32
+
     for dI in range(3):
         rows = g[dI : dI + n2].reshape(th, 2, wbo, 2 * c)[:, 0]  # (th, wbo, 2c)
         acc = acc + jnp.dot(
-            rows.reshape(th * wbo, 2 * c), wcat_ref[dI], preferred_element_type=jnp.float32
+            rows.reshape(th * wbo, 2 * c), wcat_ref[dI], preferred_element_type=acc_t
         )
-        sh = jnp.pad(rows[:, : wbo - 1, :], ((0, 0), (1, 0), (0, 0)))
+        sh = jnp.pad(rows[:, : wbo - 1, :], ((0, 0), (1, 0), (0, 0)), constant_values=pad_val)
         acc = acc + jnp.dot(
-            sh[..., c:].reshape(th * wbo, c), wr_ref[dI], preferred_element_type=jnp.float32
+            sh[..., c:].reshape(th * wbo, c), wr_ref[dI], preferred_element_type=acc_t
         )
+    if quant:
+        acc = acc.astype(jnp.float32) * yscale_ref[0].astype(jnp.float32)
     acc = _apply_act(acc + b_ref[0].astype(jnp.float32), act)
     out_ref[:] = acc.reshape(th, wbo, co).astype(out_ref.dtype)
 
 
-def fused_down2(x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = None, out_dtype=None):
+def fused_down2(
+    x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = None,
+    out_dtype=None, qargs: dict | None = None,
+):
     """Stride-2 3×3 block conv, (1,0) pad: (Hb,Wb,C) → (Hb/2,Wb/2,Co).
 
     ``w``: (3,3,C,Co) — the s2d-transformed stride-2 weight (w_s2d_s2).
     ``act``: None | 'relu' | 'lrelu' fused epilogue.
+    ``qargs``: native-int8 W8A8 execution — dict with ``w_int8`` (3,3,C,Co),
+    ``w_scale`` (Co,), ``x_scale`` (float), optional ``x_zero``; dots run
+    int8×int8→int32 on the MXU with the affine zero-point correction folded
+    into the bias.
     """
     hb, wb, c = x.shape
     co = w.shape[-1]
@@ -536,10 +582,36 @@ def fused_down2(x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = N
     th = pick_rows(hbo, limit=_row_limit(wbo, 8, ref_wb=480, minimum=3))
     xpair = x.reshape(hb, wbo, 2 * c)  # free bitcast: adjacent W pairs → lanes
 
-    wcat = jnp.concatenate([w[:, 1], w[:, 2]], axis=1).astype(x.dtype)  # (3, 2C, Co)
-    wr = w[:, 0].astype(x.dtype)  # (3, C, Co)
+    quant = qargs is not None
+    extra = []
+    if quant:
+        wq = qargs["w_int8"]
+        ws = jnp.asarray(qargs["w_scale"], jnp.float32)
+        xs_s = jnp.asarray(qargs["x_scale"], jnp.float32)
+        xz = qargs.get("x_zero")
+        has_z = xz is not None
+        wcat = jnp.concatenate([wq[:, 1], wq[:, 2]], axis=1)  # int8 (3,2C,Co)
+        wr = wq[:, 0]
+        yscale = (xs_s * ws).reshape(1, co)
+        bq = b.astype(jnp.float32)
+        if has_z:
+            wsum = (wq.astype(jnp.float32) * ws).sum(axis=(0, 1, 2))
+            bq = bq + (jnp.asarray(xz, jnp.float32) + 128.0 * xs_s) * wsum
+        b_in = bq.reshape(1, -1)
+        extra = [
+            yscale,
+            xs_s.reshape(1, 1),
+            (jnp.asarray(xz, jnp.float32) if has_z else jnp.float32(0.0)).reshape(1, 1),
+        ]
+    else:
+        has_z = False
+        wcat = jnp.concatenate([w[:, 1], w[:, 2]], axis=1).astype(x.dtype)  # (3, 2C, Co)
+        wr = w[:, 0].astype(x.dtype)
+        b_in = b.reshape(1, -1).astype(jnp.float32)
 
-    kernel = functools.partial(_down2_kernel, th=th, wbo=wbo, c=c, hbo=hbo, act=act)
+    kernel = functools.partial(
+        _down2_kernel, th=th, wbo=wbo, c=c, hbo=hbo, act=act, quant=quant, has_z=has_z
+    )
     n = hbo // th
     # center = 2th input rows; halos are 2-row views (one row used each).
     specs = [
@@ -549,7 +621,7 @@ def fused_down2(x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = N
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-    ]
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((hbo, wbo, co), out_dtype),
@@ -557,7 +629,7 @@ def fused_down2(x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = N
         in_specs=specs,
         out_specs=pl.BlockSpec((th, wbo, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(xpair, xpair, xpair, wcat, wr, b.reshape(1, -1).astype(jnp.float32))
+    )(xpair, xpair, xpair, wcat, wr, b_in, *extra)
 
 
 def fused_down2_ref(x, w, b, *, act=None, out_dtype=None):
@@ -584,8 +656,12 @@ def _sft_mix(cond_flat, w0, b0, w1, b1, dt):
 def _sft_conv_kernel(
     xt, xc, xb, ct, cc_, cb, skip_ref,
     w0, b0, w1, b1, w2, b2, w3, b3, w9, b9,
-    out_ref, *, th, wb, c, cc, hb, fuse_relu, has_skip,
+    *refs, th, wb, c, cc, hb, fuse_relu, has_skip, quant, has_z,
 ):
+    if quant:
+        yscale, s_ref, z_ref, out_ref = refs
+    else:
+        out_ref = refs[0]
     i = pl.program_id(0)
     r0 = i * th
     rows = th + 2
@@ -597,9 +673,14 @@ def _sft_conv_kernel(
     scale = _sft_mix(cond, w0, b0, w1, b1, dt)
     shift = _sft_mix(cond, w2, b2, w3, b3, dt)
     t = x.astype(jnp.float32) * (scale + 1.0) + shift
-    t = _row_mask(t, r0 - 1, hb, wb).astype(dt).reshape(rows, wb, c)
 
-    acc = _taps_conv(t, w9, th, wb, c, out_ref.shape[-1]) + b9[0].astype(jnp.float32)
+    if quant:
+        acc = _taps_conv_q(
+            t, w9, yscale, s_ref, z_ref if has_z else None, r0 - 1, wb, c, out_ref.shape[-1], hb
+        ) + b9[0].astype(jnp.float32)
+    else:
+        t = _row_mask(t, r0 - 1, hb, wb).astype(dt).reshape(rows, wb, c)
+        acc = _taps_conv(t, w9, th, wb, c, out_ref.shape[-1]) + b9[0].astype(jnp.float32)
     if has_skip:
         acc = acc + skip_ref[:].reshape(th * wb, -1).astype(jnp.float32)
     if fuse_relu:
@@ -610,6 +691,7 @@ def _sft_conv_kernel(
 def fused_sft_conv3_v2(
     x: jax.Array, cond: jax.Array, sft4, w: jax.Array, b: jax.Array,
     *, relu: bool = False, skip: jax.Array | None = None, out_dtype=None,
+    qargs: dict | None = None,
 ):
     """y = conv3x3(sft(x, cond)) (+skip)(relu) over s2d tensors.
 
@@ -617,21 +699,32 @@ def fused_sft_conv3_v2(
     block views instead of a lane-concatenated stream, killing the concat
     materialization pass (~0.8 ms/call at L0). ``sft4``: four (w,b) pairs
     (scale0, scale1, shift0, shift1) — the s2d block-diag dense 1×1 kernels.
+    ``qargs`` switches the conv to native int8 W8A8 (see _taps_conv_q).
     """
     hb, wb, c = x.shape
     cc = cond.shape[-1]
     co = w.shape[-1]
     out_dtype = out_dtype or x.dtype
     th = pick_rows(hb, limit=_row_limit(wb, 12))
-    w9 = w.reshape(9, c, co).astype(x.dtype)
     consts = []
     for ws, bs in sft4:
         consts.append(ws.astype(x.dtype))
         consts.append(bs.reshape(1, -1).astype(jnp.float32))
 
+    quant = qargs is not None
+    extra = []
+    if quant:
+        w9, yscale, s_q, z_q, has_z, b_corr = _pack_qargs(qargs, co)
+        b_in = (b.astype(jnp.float32) + b_corr).reshape(1, -1)
+        extra = [yscale, s_q, z_q]
+    else:
+        has_z = False
+        w9 = w.reshape(9, c, co).astype(x.dtype)
+        b_in = b.reshape(1, -1).astype(jnp.float32)
+
     kernel = functools.partial(
         _sft_conv_kernel, th=th, wb=wb, c=c, cc=cc, hb=hb,
-        fuse_relu=relu, has_skip=skip is not None,
+        fuse_relu=relu, has_skip=skip is not None, quant=quant, has_z=has_z,
     )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = _halo_specs(hb, th, wb, c) + _halo_specs(hb, th, wb, cc)
@@ -642,7 +735,7 @@ def fused_sft_conv3_v2(
     else:
         in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
         args.append(jnp.zeros((1, 1), jnp.float32))
-    in_specs += [wspec] * 10
+    in_specs += [wspec] * (10 + len(extra))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((hb, wb, co), out_dtype),
@@ -650,7 +743,7 @@ def fused_sft_conv3_v2(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((th, wb, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(*args, *consts, w9, b.reshape(1, -1).astype(jnp.float32))
+    )(*args, *consts, w9, b_in, *extra)
 
 
 def fused_sft_conv3_v2_ref(x, cond, sft4, w, b, *, relu=False, skip=None, out_dtype=None):
@@ -682,8 +775,12 @@ def _resblock_kernel(
     xt, xc, xb, ct, cc_, cb,
     s1w0, s1b0, s1w1, s1b1, s1w2, s1b2, s1w3, s1b3, w1_, b1_,
     s2w0, s2b0, s2w1, s2b1, s2w2, s2b2, s2w3, s2b3, w2_, b2_,
-    out_ref, *, th, wb, c, cc, hb,
+    *refs, th, wb, c, cc, hb, quant, has_z1, has_z2,
 ):
+    if quant:
+        ys1, s1_, z1_, ys2, s2_, z2_, out_ref = refs
+    else:
+        out_ref = refs[0]
     i = pl.program_id(0)
     r0 = i * th
     rows = th + 4
@@ -695,28 +792,43 @@ def _resblock_kernel(
     scale = _sft_mix(cond, s1w0, s1b0, s1w1, s1b1, dt)
     shift = _sft_mix(cond, s1w2, s1b2, s1w3, s1b3, dt)
     t1 = x.astype(jnp.float32) * (scale + 1.0) + shift
-    t1 = _row_mask(t1, r0 - 2, hb, wb).astype(dt).reshape(rows, wb, c)
 
-    h1 = jnp.maximum(_taps_conv(t1, w1_, th + 2, wb, c, c) + b1_[0].astype(jnp.float32), 0.0)
+    if quant:
+        h1 = jnp.maximum(
+            _taps_conv_q(t1, w1_, ys1, s1_, z1_ if has_z1 else None, r0 - 2, wb, c, c, hb)
+            + b1_[0].astype(jnp.float32),
+            0.0,
+        )
+    else:
+        t1m = _row_mask(t1, r0 - 2, hb, wb).astype(dt).reshape(rows, wb, c)
+        h1 = jnp.maximum(_taps_conv(t1m, w1_, th + 2, wb, c, c) + b1_[0].astype(jnp.float32), 0.0)
 
     cond_in = cond.reshape(rows, wb, cc)[1 : th + 3].reshape((th + 2) * wb, cc)
     scale2 = _sft_mix(cond_in, s2w0, s2b0, s2w1, s2b1, dt)
     shift2 = _sft_mix(cond_in, s2w2, s2b2, s2w3, s2b3, dt)
     t2 = h1 * (scale2 + 1.0) + shift2
-    t2 = _row_mask(t2, r0 - 1, hb, wb).astype(dt).reshape(th + 2, wb, c)
 
-    y = _taps_conv(t2, w2_, th, wb, c, c) + b2_[0].astype(jnp.float32)
+    if quant:
+        y = _taps_conv_q(t2, w2_, ys2, s2_, z2_ if has_z2 else None, r0 - 1, wb, c, c, hb) + b2_[0].astype(jnp.float32)
+    else:
+        t2m = _row_mask(t2, r0 - 1, hb, wb).astype(dt).reshape(th + 2, wb, c)
+        y = _taps_conv(t2m, w2_, th, wb, c, c) + b2_[0].astype(jnp.float32)
     y = y + x.reshape(rows, wb, c)[2 : th + 2].reshape(th * wb, c).astype(jnp.float32)
     out_ref[:] = y.reshape(th, wb, c).astype(out_ref.dtype)
 
 
-def fused_resblock(x: jax.Array, cond: jax.Array, sft1, w1, b1, sft2, w2, b2, *, out_dtype=None):
+def fused_resblock(
+    x: jax.Array, cond: jax.Array, sft1, w1, b1, sft2, w2, b2,
+    *, out_dtype=None, qargs1: dict | None = None, qargs2: dict | None = None,
+):
     """ResBlock_with_SFT (arch_util.py:75-95) as one kernel:
 
         out = x + conv2( sft2( relu(conv1( sft1(x, cond) )), cond ) )
 
     Two 3×3 'same' convs chained in-VMEM with a 2-row halo; SFT scale/shift
     branches recomputed per tile (pointwise, cheap) instead of materialized.
+    ``qargs1``/``qargs2`` switch the convs to native int8 W8A8 (both or
+    neither — one program per quant configuration).
     """
     hb, wb, c = x.shape
     cc = cond.shape[-1]
@@ -724,25 +836,42 @@ def fused_resblock(x: jax.Array, cond: jax.Array, sft1, w1, b1, sft2, w2, b2, *,
     th = pick_rows_even(hb, limit=_row_limit(wb, 12))
     if not th:
         raise ValueError(f"fused_resblock needs an even row divisor of {hb}")
-    w91 = w1.reshape(9, c, c).astype(x.dtype)
-    w92 = w2.reshape(9, c, c).astype(x.dtype)
+    quant = qargs1 is not None and qargs2 is not None
+    extra = []
+    if quant:
+        w91, ys1, s1_, z1_, has_z1, bc1 = _pack_qargs(qargs1, c)
+        w92, ys2, s2_, z2_, has_z2, bc2 = _pack_qargs(qargs2, c)
+        b1_in = (b1.astype(jnp.float32) + bc1).reshape(1, -1)
+        b2_in = (b2.astype(jnp.float32) + bc2).reshape(1, -1)
+        extra = [ys1, s1_, z1_, ys2, s2_, z2_]
+    else:
+        has_z1 = has_z2 = False
+        w91 = w1.reshape(9, c, c).astype(x.dtype)
+        w92 = w2.reshape(9, c, c).astype(x.dtype)
+        b1_in = b1.reshape(1, -1).astype(jnp.float32)
+        b2_in = b2.reshape(1, -1).astype(jnp.float32)
     consts = []
     for ws, bs in (*sft1, *sft2):
         consts.append(ws.astype(x.dtype))
         consts.append(bs.reshape(1, -1).astype(jnp.float32))
-    c1 = consts[:8] + [w91, b1.reshape(1, -1).astype(jnp.float32)]
-    c2 = consts[8:] + [w92, b2.reshape(1, -1).astype(jnp.float32)]
+    c1 = consts[:8] + [w91, b1_in]
+    c2 = consts[8:] + [w92, b2_in]
 
-    kernel = functools.partial(_resblock_kernel, th=th, wb=wb, c=c, cc=cc, hb=hb)
+    kernel = functools.partial(
+        _resblock_kernel, th=th, wb=wb, c=c, cc=cc, hb=hb,
+        quant=quant, has_z1=has_z1, has_z2=has_z2,
+    )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((hb, wb, c), out_dtype),
         grid=(hb // th,),
-        in_specs=_halo_specs(hb, th, wb, c, h=2) + _halo_specs(hb, th, wb, cc, h=2) + [wspec] * 20,
+        in_specs=_halo_specs(hb, th, wb, c, h=2)
+        + _halo_specs(hb, th, wb, cc, h=2)
+        + [wspec] * (20 + len(extra)),
         out_specs=pl.BlockSpec((th, wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, x, x, cond, cond, cond, *c1, *c2)
+    )(x, x, x, cond, cond, cond, *c1, *c2, *extra)
 
 
 def fused_resblock_ref(x, cond, sft1, w1, b1, sft2, w2, b2, *, out_dtype=None):
@@ -802,3 +931,88 @@ def fused_mix_chain_ref(x, steps, *, out_dtype=None):
         v = v @ w.astype(jnp.float32) + b.astype(jnp.float32)
         v = _apply_act(v, act)
     return v.astype(out_dtype or x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# 7. Native int8 (W8A8) conv support — MXU int8×int8→int32 dots
+# ---------------------------------------------------------------------------
+#
+# The QAT checkpoints quantize conv inputs with a per-tensor scale (and zero
+# point when asymmetric) and weights per-out-channel (W8A8Conv2d semantics,
+# hdrtvnet_torch.py:296-365). In-kernel:
+#
+#   u  = clamp(round((t - z)/s), 0, 255)            (asym; sym: ±128 direct)
+#   q  = u - 128  (int8, MXU-signed)
+#   y  = (Σ_taps q @ w_q) · (s·w_scale) + b'        (int32 accumulation)
+#
+# where b' folds the affine constant (z + 128·s)·Σw into the bias at load
+# (models/s2d.py attach_native_int8). Halo rows are zeroed *before*
+# quantization and W-edge pads use the quantized-zero code, so padding
+# contributes the same affine form as real zeros (within s/2 — the eager
+# path pads exact zeros after fake-quant; sub-quantum border difference).
+
+
+def _quantize_act(t_f32, s: float | jax.Array, z, wb: int):
+    """Flat activations → (int8 codes, pad code). s/z are (1,1) refs/scalars."""
+    sf = s[0, 0].astype(jnp.float32) if hasattr(s, "shape") and getattr(s, "ndim", 0) == 2 else jnp.float32(s)
+    if z is None:
+        q = jnp.clip(jnp.round(t_f32 / sf), -128.0, 127.0)
+        return q.astype(jnp.int8), jnp.int32(0)
+    zf = z[0, 0].astype(jnp.float32) if hasattr(z, "shape") and getattr(z, "ndim", 0) == 2 else jnp.float32(z)
+    u = jnp.clip(jnp.round((t_f32 - zf) / sf), 0.0, 255.0)
+    upad = jnp.clip(jnp.round(-zf / sf), 0.0, 255.0)
+    return (u - 128.0).astype(jnp.int8), (upad - 128.0).astype(jnp.int32)
+
+
+def _tap_views_q(q, qpad, th: int, wb: int):
+    """Shifted int8 tap views with quantized-zero W-edge padding."""
+    views = []
+    for dI in range(3):
+        for dJ in (-1, 0, 1):
+            r = q[dI : dI + th]
+            if dJ == 1:
+                r = jnp.pad(r[:, 1:, :], ((0, 0), (0, 1), (0, 0)), constant_values=qpad.astype(jnp.int8))
+            elif dJ == -1:
+                r = jnp.pad(r[:, : wb - 1, :], ((0, 0), (1, 0), (0, 0)), constant_values=qpad.astype(jnp.int8))
+            views.append(r)
+    return views
+
+
+def _taps_conv_q(t_f32, w9q_ref, yscale_ref, s_ref, z_ref, mask_r0, wb: int, c: int, co: int, hb: int):
+    """Quantized 3×3 'same' conv: t (rows·wb, c) flat f32 (unmasked) →
+    ((rows-2)·wb, co) f32 = int32 tap accumulation rescaled per out channel.
+
+    Rows outside the image (global index from ``mask_r0``) are zeroed before
+    quantization so they carry the quantized-zero code — the same affine
+    contribution as the eager path's zero pad; W-edge tap pads use the same
+    code. 9 int8 MXU dots accumulated in int32."""
+    rows = t_f32.shape[0] // wb
+    th = rows - 2
+    t = _row_mask(t_f32, mask_r0, hb, wb)
+    q, qpad = _quantize_act(t, s_ref, z_ref, wb)
+    q = q.reshape(rows, wb, c)
+    acc = jnp.zeros((th * wb, co), jnp.int32)
+    for i, r in enumerate(_tap_views_q(q, qpad, th, wb)):
+        acc = acc + jnp.dot(
+            r.reshape(th * wb, c), w9q_ref[i], preferred_element_type=jnp.int32
+        )
+    return acc.astype(jnp.float32) * yscale_ref[0].astype(jnp.float32)
+
+
+def _pack_qargs(qargs, dtype_co: int):
+    """(w9q int8 (9,C,Co), yscale (1,Co), s (1,1), z (1,1), has_z, b_corr)."""
+    wq = qargs["w_int8"]
+    ws = jnp.asarray(qargs["w_scale"], jnp.float32)
+    s = jnp.asarray(qargs["x_scale"], jnp.float32)
+    xz = qargs.get("x_zero")
+    has_z = xz is not None
+    co = wq.shape[-1]
+    w9q = wq.reshape(9, wq.shape[-2], co)
+    yscale = (s * ws).reshape(1, co)
+    b_corr = jnp.zeros((co,), jnp.float32)
+    if has_z:
+        zf = jnp.asarray(xz, jnp.float32)
+        wsum = (wq.astype(jnp.float32) * ws).sum(axis=(0, 1, 2))
+        b_corr = (zf + 128.0 * s) * wsum
+    z = (jnp.asarray(xz, jnp.float32) if has_z else jnp.float32(0.0)).reshape(1, 1)
+    return w9q, yscale, s.reshape(1, 1), z, has_z, b_corr

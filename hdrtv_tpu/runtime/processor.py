@@ -96,6 +96,7 @@ class HDRTVNetTPU:
         # auto→on policy); HDRTVNET_PREDEQUANTIZE=0 keeps the eager W8A8
         # fake-quant path for bit-faithful validation.
         has_int8 = any(k.endswith(".weight_int8") for k in params)
+        raw_int8 = params if has_int8 else None
         if predequantize is None:
             predequantize = env_bool("HDRTVNET_PREDEQUANTIZE", True)
         self.predequantized = bool(predequantize and has_int8)
@@ -118,11 +119,20 @@ class HDRTVNetTPU:
             and not has_int8
         )
         self._nat_params = None
+        self.native_int8 = False
         if self.turbo:
             # Keep the natural-layout params too: odd-sized frames fall back
             # to the untransformed model (safe path).
             self._nat_params = jax.device_put({k: jnp.asarray(v) for k, v in params.items()})
             params = s2d_transform_params(params, cfg)
+            if self.predequantized and raw_int8 is not None and env_bool("HDRTVNET_NATIVE_INT8", True):
+                # Native W8A8: s2d-transformed int8 weights ride the MXU's
+                # int8 path in the megakernels; layers the kernels can't
+                # quantize keep the pre-dequantized float weights.
+                from hdrtv_tpu.models.s2d import attach_native_int8
+
+                params = attach_native_int8(params, raw_int8)
+                self.native_int8 = any(k.endswith(".qweight") for k in params)
         self.params = jax.device_put({k: jnp.asarray(v) for k, v in params.items()})
         self.model_hash = engine_mod.model_fingerprint(params)
         self.registry = engine_mod.EngineRegistry() if persistent_cache else None
