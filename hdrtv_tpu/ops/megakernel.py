@@ -510,10 +510,15 @@ def fused_tail_ref(s, cond1, skip, sft_small, w_hr, b_hr, w_last, b_last, *, pac
 # ---------------------------------------------------------------------------
 
 
-def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wbo, c, hbo, act, quant, has_z):
-    """Out rows [r0, r0+th) ← paired input rows [2r0-1, 2r0+2th+1).
+def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act, quant, has_z):
+    """Out rows [r0, r0+th) ← natural input rows [2r0-1, 2r0+2th+1).
 
-    Input is column-paired: (hb, wb/2, 2C), lane d = (col parity)·C + ch.
+    Blocks arrive in the producer's natural (hb, wb, C) layout — pairing
+    adjacent W columns into lanes (wb/2, 2C) happens *inside* the kernel as
+    a VMEM reshape, so XLA never materializes the 132-265 MB retiling copy
+    the old host-side ``x.reshape(hb, wb/2, 2C)`` required (round-2 profile:
+    reshape.110/.118 were the largest movement ops in the frame program).
+
     For output col p and natural tap dJ∈{0,1,2} (pad (1,0)): input col
     2p+dJ-1 → dJ∈{1,2} hit paired col p (both halves — one K=2C matmul);
     dJ=0 hits paired col p-1's upper half (a sublane shift + K=C matmul).
@@ -530,13 +535,14 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wbo, c, hbo, a
     r0 = i * th
     co = out_ref.shape[-1]
     n2 = 2 * th
+    wbo = wb // 2
 
-    g = jnp.concatenate([xp[1:], xc[:], xn[:1]], axis=0)  # (2th+2, wbo, 2c)
+    g = jnp.concatenate([xp[1:], xc[:], xn[:1]], axis=0)  # (2th+2, wb, c)
     # pad (1,0): only global input row -1 needs zeroing (first tile, dI=0).
-    gf = _row_mask(g.reshape((n2 + 2) * wbo, 2 * c), 2 * r0 - 1, 2 * hbo, wbo)
+    gf = _row_mask(g.reshape((n2 + 2) * wb, c), 2 * r0 - 1, hb, wb)
 
     if quant:
-        q, qpad = _quantize_act(gf.astype(jnp.float32), s_ref, z_ref if has_z else None, wbo)
+        q, qpad = _quantize_act(gf.astype(jnp.float32), s_ref, z_ref if has_z else None, wb)
         g = q.reshape(n2 + 2, wbo, 2 * c)
         acc = jnp.zeros((th * wbo, co), jnp.int32)
         pad_val = qpad.astype(jnp.int8)
@@ -580,7 +586,6 @@ def fused_down2(
     hbo, wbo = hb // 2, wb // 2
     out_dtype = out_dtype or x.dtype
     th = pick_rows(hbo, limit=_row_limit(wbo, 8, ref_wb=480, minimum=3))
-    xpair = x.reshape(hb, wbo, 2 * c)  # free bitcast: adjacent W pairs → lanes
 
     quant = qargs is not None
     extra = []
@@ -610,14 +615,14 @@ def fused_down2(
         b_in = b.reshape(1, -1).astype(jnp.float32)
 
     kernel = functools.partial(
-        _down2_kernel, th=th, wbo=wbo, c=c, hbo=hbo, act=act, quant=quant, has_z=has_z
+        _down2_kernel, th=th, wb=wb, c=c, hb=hb, act=act, quant=quant, has_z=has_z
     )
     n = hbo // th
     # center = 2th input rows; halos are 2-row views (one row used each).
     specs = [
-        pl.BlockSpec((2, wbo, 2 * c), lambda i: (jnp.maximum(i * th - 1, 0), 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2 * th, wbo, 2 * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, wbo, 2 * c), lambda i: (jnp.minimum((i + 1) * th, hbo - 1), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, wb, c), lambda i: (jnp.maximum(i * th - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * th, wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, wb, c), lambda i: (jnp.minimum((i + 1) * th, hbo - 1), 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -629,7 +634,7 @@ def fused_down2(
         in_specs=specs,
         out_specs=pl.BlockSpec((th, wbo, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(xpair, xpair, xpair, wcat, wr, b_in, *extra)
+    )(x, x, x, wcat, wr, b_in, *extra)
 
 
 def fused_down2_ref(x, w, b, *, act=None, out_dtype=None):

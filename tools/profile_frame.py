@@ -20,6 +20,11 @@ import os
 import re
 import sys
 
+# Run as `python tools/profile_frame.py` from anywhere: the repo root (one
+# level up) must be importable, but PYTHONPATH can break axon plugin
+# discovery on this runner — so append at runtime instead.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def capture(log_dir: str, height: int, width: int, n: int) -> None:
     import jax
