@@ -70,6 +70,37 @@ class TestMesh:
         )
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=0)
 
+    def test_rgb48_program_shards_spatially(self, tiny_params_cfg, cpu_devices):
+        """The FULL rgb48 frame program (u8 frame → u16 RGB48 PQ codes,
+        cond resize + model + pack) must partition under GSPMD spatial
+        W-sharding and reproduce the single-device codes (≤1 LSB: fp
+        reassociation at the u16 rounding boundary)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48, s2d_transform_params
+        from hdrtv_tpu.parallel.mesh import make_mesh, replicate_params
+
+        params, cfg = tiny_params_cfg
+        host = {k: np.asarray(v) for k, v in params.items()}
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(host).items()}
+        mesh = make_mesh(8)
+        rng = np.random.RandomState(2)
+        frame = jnp.asarray((rng.rand(32, 64, 3) * 255).astype(np.uint8))
+        cond = jnp.asarray(rng.rand(1, 8, 16, 3).astype(np.float32))
+
+        ref = np.asarray(ensemble_s2d_rgb48(sp, frame, cond, cfg))
+        assert ref.dtype == np.uint16
+
+        fsh = NamedSharding(mesh, P(None, "spatial", None))
+        out = np.asarray(
+            jax.jit(
+                lambda p, f, c: ensemble_s2d_rgb48(p, f, c, cfg), out_shardings=fsh
+            )(replicate_params(sp, mesh), jax.device_put(frame, fsh), cond)
+        )
+        assert out.shape == ref.shape and out.dtype == np.uint16
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1
+
     def test_dryrun_multichip_entry(self, cpu_devices):
         import __graft_entry__ as ge
 
