@@ -7,6 +7,7 @@ Subcommands:
   quality   model quality benchmark vs HDR ground truth (bench/quality.py)
   engines   engine cache tooling: list / clear / warm (runtime/engine.py)
   quantize  PTQ quantization: full/mixed W8A8 portable checkpoints
+  live      live capture (x11/v4l2/synthetic) → realtime HDR display
   info      model/checkpoint inspection
 
 Flags mirror the reference CLI surface (``--video --precision --resolution
@@ -448,6 +449,39 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_live(args) -> int:
+    """Live capture → SDR→HDR → display (WindowCaptureSource mode analog,
+    reference window_capture_source.py:1132 + live-feeder drop-to-latest)."""
+    from hdrtv_tpu.config import processing_dims
+    from hdrtv_tpu.pipeline.capture import make_grabber
+    from hdrtv_tpu.pipeline.live import LiveSource
+    from hdrtv_tpu.pipeline.runner import PipelineRunner
+    from hdrtv_tpu.pipeline.sinks import make_sink
+
+    try:
+        grabber = make_grabber(args.capture)
+    except (RuntimeError, ValueError) as exc:
+        print(f"capture source unavailable: {exc}")
+        return 2
+    proc = _make_processor(args)
+    w, h = processing_dims(args.resolution)
+    src = LiveSource(grabber, process_fps=args.fps)
+    sink = make_sink(args.display, w, h, src.display_fps, path=args.output, live=True)
+    print(f"compiling {w}x{h} ({args.precision})...", flush=True)
+    dt = proc.warmup_compile(w, h)
+    print(f"engine ready in {dt:.1f}s; capturing (observe {src.observe_fps:.0f} fps, "
+          f"process {src.fps:.0f} fps)", flush=True)
+    runner = PipelineRunner(src, proc, sink, realtime=True, max_frames=args.frames)
+    m = runner.run()
+    src.close()
+    sink.close()
+    print(
+        f"frames={m.frames} observed={src.frames_observed} dropped={m.dropped} "
+        f"fps={m.fps:.2f} model={m.model_ms:.2f}ms"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hdrtv_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -462,6 +496,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--log-session", default=None, help="write a Log Session dir (summary/json/csv)")
     c.add_argument("--hdr-input", default="reject", choices=["reject", "bypass"])
     c.set_defaults(fn=cmd_convert)
+
+    lv = sub.add_parser("live", help="live capture → HDR display (x11/v4l2/synthetic)")
+    _add_model_args(lv)
+    lv.add_argument("--capture", default=None,
+                    help="grabber spec: x11[:title] | v4l2[:/dev/videoN] | synthetic | auto")
+    lv.add_argument("--fps", type=float, default=24.0, help="process FPS budget")
+    lv.add_argument("--display", default="mpv", choices=["mpv", "file", "null"])
+    lv.add_argument("--output", default=None)
+    lv.add_argument("--frames", type=int, default=None)
+    lv.set_defaults(fn=cmd_live)
 
     b = sub.add_parser("bench", help="playback performance benchmark")
     _add_model_args(b)

@@ -159,12 +159,17 @@ class MpvPipeSink:
         shutil.rmtree(self._dir, ignore_errors=True)
 
 
-def make_sink(kind: str, width: int, height: int, fps: float, path: str | None = None):
-    """Sink factory with the reference's fallback ladder: mpv → file → null."""
+def make_sink(
+    kind: str, width: int, height: int, fps: float, path: str | None = None, *, live: bool = False
+):
+    """Sink factory with the reference's fallback ladder: mpv → file → null.
+
+    ``live=True`` selects the live-feeder delivery policy (drop-to-latest
+    instead of backpressure — gui_pipeline_worker_feeders.py:73-104)."""
     kind = (kind or "null").lower()
     if kind == "mpv":
         try:
-            return MpvPipeSink(width, height, fps)
+            return MpvPipeSink(width, height, fps, drop_to_latest=live)
         except Exception:
             kind = "null"
     if kind == "file":

@@ -23,6 +23,7 @@ class TestParser:
             ["quantize", "--model", "m.npz", "--out", "o.npz"],
             ["info", "--model", "m.npz"],
             ["export", "--video", "v.mp4"],
+            ["live", "--capture", "synthetic", "--display", "null"],
         ]:
             args = p.parse_args(argv)
             assert callable(args.fn)
@@ -79,6 +80,22 @@ class TestCommands:
         ])
         assert rc == 0
         assert "frames=2" in capsys.readouterr().out
+
+    def test_live_synthetic_null_sink(self, capsys):
+        rc = main([
+            "live", "--model", WEIGHTS, "--capture", "synthetic", "--display", "null",
+            "--resolution", "540p", "--fps", "60", "--frames", "2",
+        ])
+        assert rc == 0
+        assert "frames=2" in capsys.readouterr().out
+
+    def test_live_bad_capture_spec(self, capsys):
+        rc = main([
+            "live", "--model", WEIGHTS, "--capture", "v4l2:/dev/video99",
+            "--display", "null", "--resolution", "540p", "--frames", "1",
+        ])
+        assert rc == 2
+        assert "unavailable" in capsys.readouterr().out
 
     def test_engines_list_and_warm_smoke(self, capsys, tmp_path, monkeypatch):
         monkeypatch.setenv("HDRTVNET_ENGINE_CACHE_DIR", str(tmp_path))
