@@ -116,3 +116,130 @@ def should_bypass_processing(info: MediaInfo) -> bool:
     """HDR input → bypass the SDR→HDR model (HDR-input bypass path,
     gui_pipeline_worker frame_processing HDR-input handling)."""
     return bool(info.is_hdr)
+
+
+def probe_audio_streams(path: str) -> list[dict]:
+    """Detected audio streams with metadata — the track-selection source for
+    audio attach (gui_media_probe.py:249-291 field contract: ordinal, index,
+    language, title, codec, channels, default)."""
+    if not shutil.which("ffprobe"):
+        return []
+    try:
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "a",
+                "-show_entries",
+                "stream=index,codec_name,channels:stream_tags=language,title:stream_disposition=default",
+                "-of", "json", path,
+            ],
+            capture_output=True, check=True, timeout=15,
+        )
+        streams = json.loads(out.stdout or "{}").get("streams") or []
+    except (subprocess.SubprocessError, ValueError, json.JSONDecodeError):
+        return []
+    result = []
+    for i, s in enumerate(streams):
+        tags = s.get("tags") or {}
+        disp = s.get("disposition") or {}
+        try:
+            channels = int(s.get("channels"))
+        except (TypeError, ValueError):
+            channels = None
+        result.append(
+            {
+                "ordinal": i,
+                "index": s.get("index", i),
+                "language": str(tags.get("language") or "und").strip().lower(),
+                "title": str(tags.get("title") or "").strip(),
+                "codec": str(s.get("codec_name") or "audio").strip().lower(),
+                "channels": channels,
+                "default": bool(disp.get("default", 0)),
+            }
+        )
+    return result
+
+
+# GT timing-compat thresholds (gui_media_probe.py module constants).
+_GT_EXACT_FRAME_TOLERANCE = 2
+_GT_SYNC_TOLERANCE_S = 2.0
+_FPS_TOLERANCE = 0.25
+_DURATION_TOLERANCE_S = 0.25
+
+
+def duration_delta_s(src: MediaInfo, gt: MediaInfo) -> float:
+    """Best-effort |duration difference| from duration or frame counts
+    (gui_media_probe.py:81-100 `_metadata_duration_delta_s`)."""
+    src_d = src.frame_count / src.fps if src.frame_count > 0 and src.fps > 0 else 0.0
+    gt_d = gt.frame_count / gt.fps if gt.frame_count > 0 and gt.fps > 0 else 0.0
+    if src_d > 0 and gt_d > 0:
+        return abs(src_d - gt_d)
+    if src.frame_count > 0 and gt.frame_count > 0:
+        fps = src.fps if src.fps > 0 else gt.fps
+        if fps > 0:
+            return abs(src.frame_count - gt.frame_count) / fps
+    return 0.0
+
+
+def validate_timing_compatibility(
+    src: MediaInfo | None,
+    gt: MediaInfo | None,
+    *,
+    source_label: str = "source",
+    gt_label: str = "GT",
+    enforce_sync_tolerance: bool = True,
+) -> tuple[bool, str | None, list[str]]:
+    """SDR/GT pair timing-compat gate (gui_media_probe.py:103-176 semantics):
+
+    - FPS must match within 0.25.
+    - Frame counts within 2 frames, else duration delta within the sync
+      tolerance (2 s) → note "overlap sync"; beyond it, fail — or, with
+      ``enforce_sync_tolerance=False``, note "content sync" and proceed
+      (the content-similarity search takes over).
+    Returns (ok, error, notes).
+    """
+    if src is None or gt is None:
+        return False, "Could not read video metadata.", []
+    if src.fps > 0 and gt.fps > 0 and abs(src.fps - gt.fps) > _FPS_TOLERANCE:
+        return False, f"FPS mismatch: {source_label} {src.fps:.3f} vs {gt_label} {gt.fps:.3f}.", []
+
+    notes: list[str] = []
+    delta = duration_delta_s(src, gt)
+    if (
+        src.frame_count > 0
+        and gt.frame_count > 0
+        and abs(src.frame_count - gt.frame_count) > _GT_EXACT_FRAME_TOLERANCE
+    ):
+        if delta <= 0.0 or delta > _GT_SYNC_TOLERANCE_S:
+            if not enforce_sync_tolerance and delta > 0.0:
+                notes.append(f"length differs by {delta:.2f}s; using content sync")
+            elif not enforce_sync_tolerance:
+                notes.append(
+                    f"frame count differs ({source_label} {src.frame_count} vs "
+                    f"{gt_label} {gt.frame_count}); using content sync"
+                )
+            else:
+                return (
+                    False,
+                    f"Frame-count mismatch: {source_label} {src.frame_count} vs "
+                    f"{gt_label} {gt.frame_count}.",
+                    [],
+                )
+        else:
+            notes.append(f"length differs by {delta:.2f}s; using overlap sync")
+
+    src_d = src.frame_count / src.fps if src.frame_count > 0 and src.fps > 0 else 0.0
+    gt_d = gt.frame_count / gt.fps if gt.frame_count > 0 and gt.fps > 0 else 0.0
+    if src_d > 0 and gt_d > 0 and abs(src_d - gt_d) > _DURATION_TOLERANCE_S:
+        if delta > _GT_SYNC_TOLERANCE_S:
+            if enforce_sync_tolerance:
+                return (
+                    False,
+                    f"Duration mismatch: {source_label} {src_d:.2f}s vs {gt_label} {gt_d:.2f}s.",
+                    [],
+                )
+            note = f"length differs by {delta:.2f}s; using content sync"
+        else:
+            note = f"length differs by {delta:.2f}s; using overlap sync"
+        if note not in notes:
+            notes.append(note)
+    return True, None, notes
