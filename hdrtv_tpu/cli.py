@@ -482,6 +482,31 @@ def cmd_live(args) -> int:
     return 0
 
 
+def cmd_mine_hard_frames(args) -> int:
+    from hdrtv_tpu.data.curate import mine_hard_frames
+
+    manifest = mine_hard_frames(
+        args.sdr_dir, args.hdr_dir, args.out,
+        top=args.top, max_repeat=args.max_repeat, max_long_edge=args.max_long_edge,
+    )
+    print(json.dumps({k: v for k, v in manifest.items() if k != "replay"}, indent=2))
+    return 0
+
+
+def cmd_teacher_pairs(args) -> int:
+    from hdrtv_tpu.data.curate import make_teacher_pairs
+
+    proc = _make_processor(args)
+    manifest = make_teacher_pairs(
+        args.video, proc, args.out,
+        num_frames=args.num_frames, start_frame=args.start_frame,
+        end_frame=args.end_frame, max_long_edge=args.max_long_edge,
+        frames=[int(x) for x in args.frames.split(",")] if args.frames else None,
+    )
+    print(json.dumps({"video": manifest["video"], "count": manifest["count"]}, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hdrtv_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -591,6 +616,31 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--temporal", action="store_true", help="run the temporal stability probe")
     v.add_argument("--out", default=None, help="write ×8 diff contact sheets + report.json")
     v.set_defaults(fn=cmd_validate)
+
+    mh = sub.add_parser(
+        "mine-hard-frames",
+        help="rank SDR/HDR image pairs by int8-hardness (bright/flat/clipped) for QAT replay",
+    )
+    mh.add_argument("--sdr-dir", required=True)
+    mh.add_argument("--hdr-dir", required=True)
+    mh.add_argument("--out", required=True)
+    mh.add_argument("--top", type=int, default=256)
+    mh.add_argument("--max-repeat", type=int, default=4)
+    mh.add_argument("--max-long-edge", type=int, default=384)
+    mh.set_defaults(fn=cmd_mine_hard_frames)
+
+    tp = sub.add_parser(
+        "teacher-pairs", help="generate SDR/fp32-teacher PNG pairs from movie frames (Film QAT)"
+    )
+    _add_model_args(tp)
+    tp.add_argument("--video", required=True)
+    tp.add_argument("--out", required=True)
+    tp.add_argument("--num-frames", type=int, default=160)
+    tp.add_argument("--start-frame", type=int, default=0)
+    tp.add_argument("--end-frame", type=int, default=0)
+    tp.add_argument("--frames", default=None, help="explicit comma-separated frame indices")
+    tp.add_argument("--max-long-edge", type=int, default=0)
+    tp.set_defaults(fn=cmd_teacher_pairs)
 
     i = sub.add_parser("info", help="checkpoint inspection")
     i.add_argument("--model", required=True)
