@@ -514,7 +514,7 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("convert", help="play/convert video")
     _add_model_args(c)
     c.add_argument("--video", default=None)
-    c.add_argument("--display", default="null", choices=["mpv", "file", "null"])
+    c.add_argument("--display", default="null", choices=["mpv", "side-by-side", "file", "null"])
     c.add_argument("--output", default=None)
     c.add_argument("--frames", type=int, default=None)
     c.add_argument("--no-realtime", action="store_true")
@@ -527,7 +527,7 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--capture", default=None,
                     help="grabber spec: x11[:title] | v4l2[:/dev/videoN] | synthetic | auto")
     lv.add_argument("--fps", type=float, default=24.0, help="process FPS budget")
-    lv.add_argument("--display", default="mpv", choices=["mpv", "file", "null"])
+    lv.add_argument("--display", default="mpv", choices=["mpv", "side-by-side", "file", "null"])
     lv.add_argument("--output", default=None)
     lv.add_argument("--frames", type=int, default=None)
     lv.set_defaults(fn=cmd_live)

@@ -205,7 +205,9 @@ class PipelineRunner:
         dev_out = self.processor.process_rgb48_device(
             jnp.asarray(np.ascontiguousarray(frame).reshape(h, -1))
         )
-        inflight.put((dev_out, pts, t_submit, self._generation))
+        # Side-by-side sinks also want the source frame (SDR pane).
+        sdr = frame if hasattr(self.sink, "show_sdr") else None
+        inflight.put((dev_out, pts, t_submit, self._generation, sdr))
 
     def run(self) -> RuntimeMetrics:
         inflight: queue.Queue = queue.Queue(maxsize=self.ring)
@@ -224,7 +226,7 @@ class PipelineRunner:
                 item = inflight.get()
                 if item is None:
                     break
-                dev_out, pts, t_submit, gen = item
+                dev_out, pts, t_submit, gen, sdr = item
                 host = np.asarray(dev_out)
                 t_done = time.monotonic()
                 if gen != self._generation:
@@ -241,6 +243,8 @@ class PipelineRunner:
                 start = t_submit if prev_done is None else max(prev_done, t_submit)
                 model_ms.append((t_done - start) * 1e3)
                 prev_done = t_done
+                if sdr is not None:
+                    self.sink.show_sdr(sdr, pts)
                 self.sink.show(host, pts)
                 self._stamps.append(time.monotonic())
             feeder_done.set()

@@ -1,0 +1,138 @@
+"""Display scaling policy — upscale kernel/antiring/sharpen selection.
+
+The reference picks the mpv scale kernel, antiring strength and CAS
+sharpening per (processing → output) resolution pair and upscaler choice
+(gui_scaling.py:69-157), letterboxes frames to the processing resolution
+(:228) and fits outputs into bounding boxes (:47-60). Those decisions are
+pure functions, reproduced here and consumed by the mpv sinks; the GLSL
+shader chain (FSR/SSimSuperRes) maps to mpv ``--glsl-shaders`` when shader
+files are present locally (no network downloads here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BEST_MPV_SCALE = "ewa_lanczossharp"
+UPSCALER_CHOICES = ("ewa_lanczossharp", "fsr", "ssim_superres")
+DEFAULT_UPSCALER = "fsr"
+
+
+def fit_with_aspect(src_w: int, src_h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Fit into a bounding box preserving aspect; never upscale; even dims
+    (gui_scaling.py:47-60)."""
+    src_w, src_h = max(1, int(src_w)), max(1, int(src_h))
+    scale = min(max(1, int(max_w)) / src_w, max(1, int(max_h)) / src_h, 1.0)
+    out_w = max(2, int(round(src_w * scale)))
+    out_h = max(2, int(round(src_h * scale)))
+    return max(2, out_w - out_w % 2), max(2, out_h - out_h % 2)
+
+
+def is_upscale_required(proc_w: int, proc_h: int, target_w: int, target_h: int) -> bool:
+    """True when the processing frame grows on the target (gui_scaling.py:150)."""
+    return proc_w > 0 and proc_h > 0 and target_w > proc_w and target_h > proc_h
+
+
+def normalize_upscale_choice(choice: str | None) -> str:
+    c = str(choice or "").strip().lower()
+    if "fsr" in c:
+        return "fsr"
+    if "ssim" in c:
+        return "ssim_superres"
+    return BEST_MPV_SCALE
+
+
+def select_scale_kernel(
+    proc_w: int, proc_h: int, out_w: int, out_h: int, upscale_choice: str | None = None
+) -> str:
+    """mpv scale kernel: bicubic when no upscale, else the chosen upscaler
+    (gui_scaling.py:69-80)."""
+    if not is_upscale_required(proc_w, proc_h, out_w, out_h):
+        return "bicubic"
+    return normalize_upscale_choice(upscale_choice) if upscale_choice else BEST_MPV_SCALE
+
+
+def select_scale_antiring(
+    proc_w: int, proc_h: int, out_w: int, out_h: int, scale_kernel: str | None = None
+) -> float:
+    """Antiring strength by processing resolution and kernel
+    (gui_scaling.py:83-111 exact tiers)."""
+    if not is_upscale_required(proc_w, proc_h, out_w, out_h):
+        return 0.0
+    k = str(scale_kernel or "").strip().lower()
+    if k == "fsr":
+        max_ratio = max(out_w / max(1, proc_w), out_h / max(1, proc_h))
+        if max_ratio > 2.01:
+            return 0.16 if (proc_h <= 720 or proc_w <= 1280) else 0.10
+        return 0.0
+    if "ssim" in k:
+        return 0.0
+    if proc_h <= 540 or proc_w <= 960:
+        base = 0.30
+    elif proc_h <= 720 or proc_w <= 1280:
+        base = 0.22
+    else:
+        base = 0.10
+    if "lanczossharp" in k or k == "ewa_lanczos":
+        return max(0.0, base - 0.05)
+    return base
+
+
+def select_cas_strength(
+    proc_w: int, proc_h: int, out_w: int, out_h: int,
+    *, using_fsr: bool = False, scale_kernel: str | None = None,
+) -> float:
+    """CAS sharpening strength for HDR upscale (gui_scaling.py:113-138)."""
+    if not is_upscale_required(proc_w, proc_h, out_w, out_h):
+        return 0.0
+    if using_fsr:
+        return 0.0
+    k = str(scale_kernel or "").strip().lower()
+    if "ssim" in k:
+        return 0.0
+    if proc_h <= 540 or proc_w <= 960:
+        base = 0.22
+    elif proc_h <= 720 or proc_w <= 1280:
+        base = 0.20
+    else:
+        base = 0.16
+    if "lanczossharp" in k or k == "ewa_lanczos":
+        return base + 0.02
+    return base
+
+
+def mpv_scale_args(
+    proc_w: int, proc_h: int, out_w: int, out_h: int, upscale_choice: str | None = None
+) -> list[str]:
+    """The mpv flag set implementing the policy above. FSR/SSimSuperRes are
+    shader-based in the reference; without the GLSL files the EWA kernel is
+    the honest substitute, so shader choices fall back to it here."""
+    kernel = select_scale_kernel(proc_w, proc_h, out_w, out_h, upscale_choice)
+    if kernel in ("fsr", "ssim_superres"):
+        mpv_kernel = BEST_MPV_SCALE  # shader absent → best built-in kernel
+    else:
+        mpv_kernel = kernel
+    antiring = select_scale_antiring(proc_w, proc_h, out_w, out_h, kernel)
+    args = [f"--scale={mpv_kernel}"]
+    if antiring > 0:
+        args.append(f"--scale-antiring={antiring:.2f}")
+    return args
+
+
+def letterbox_bgr(frame: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Host-side aspect-preserving resize + black pad to exact output size
+    (gui_scaling.py:228 `_letterbox_bgr`; the device-side equivalent lives in
+    ops/resize.py and is used on the hot path)."""
+    import cv2
+
+    h, w = frame.shape[:2]
+    if w == out_w and h == out_h:
+        return frame
+    scale = min(out_w / max(w, 1), out_h / max(h, 1))
+    new_w, new_h = max(1, int(round(w * scale))), max(1, int(round(h * scale)))
+    interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_CUBIC
+    resized = cv2.resize(frame, (new_w, new_h), interpolation=interp)
+    canvas = np.zeros((out_h, out_w, 3), dtype=frame.dtype)
+    x, y = (out_w - new_w) // 2, (out_h - new_h) // 2
+    canvas[y : y + new_h, x : x + new_w] = resized
+    return canvas

@@ -53,15 +53,54 @@ class FileSink:
         self._f.close()
 
 
+def _quality_args() -> list[str]:
+    """Display-quality mpv options (env-configurable, the reference's
+    deband/dither/tscale set — gui_mpv_widget.py:80-230 defaults)."""
+    from hdrtv_tpu.utils.env import env_bool, env_int
+
+    args = []
+    if env_bool("HDRTVNET_MPV_DEBAND", True):
+        args.append("--deband=yes")
+    dither = env_int("HDRTVNET_MPV_DITHER_DEPTH", 10, lo=0, hi=16)
+    if dither:
+        args.append(f"--dither-depth={dither}")
+    if env_bool("HDRTVNET_MPV_INTERPOLATION", False):
+        args += ["--interpolation=yes", "--tscale=oversample"]
+    return args
+
+
+def _drop_dither(args: list[str]) -> list[str]:
+    return [a for a in args if not a.startswith("--dither")]
+
+
+def _drop_display_quality(args: list[str]) -> list[str]:
+    return [
+        a for a in args
+        if not a.startswith(("--dither", "--deband", "--interpolation", "--tscale"))
+    ]
+
+
+def _untimed_fallback(args: list[str]) -> list[str]:
+    return _drop_display_quality(args) + ["--untimed", "--video-sync=desync"]
+
+
 class MpvPipeSink:
     """External mpv fed raw RGB48 through a FIFO with the HDR tag contract.
 
     mpv args mirror the reference HDR pane: rawvideo demuxer,
     ``--vf=format=colorlevels=full:primaries=bt.2020:gamma=pq``
-    (gui_mpv_widget.py:996-1014). A writer thread decouples the 12 MB/frame
-    pipe writes from the compute loop (named-pipe writer thread,
-    :671-831).
+    (gui_mpv_widget.py:996-1014), plus the scale-kernel/antiring policy when
+    an output size is given (gui_scaling.py:69-111 via pipeline/scaling.py).
+    A writer thread decouples the 12 MB/frame pipe writes from the compute
+    loop (named-pipe writer thread, :671-831).
+
+    Startup uses the reference's fallback ladder (gui_mpv_widget.py:1027-1099):
+    full quality options → without dither → without deband/dither → untimed
+    desync — each retried when mpv exits during startup.
     """
+
+    _RAW_FORMAT = "rgb48le"
+    _VF = "format=colorlevels=full:primaries=bt.2020:gamma=pq"
 
     def __init__(
         self,
@@ -71,39 +110,95 @@ class MpvPipeSink:
         *,
         extra_args: tuple = (),
         drop_to_latest: bool = False,
+        out_size: tuple[int, int] | None = None,
+        upscaler: str | None = None,
     ):
         if shutil.which("mpv") is None:
             raise RuntimeError("mpv not found on PATH")
         self.width, self.height, self.fps = width, height, fps
         self.drop_to_latest = drop_to_latest
         self.dropped = 0
+        self.startup_notes: list[str] = []
         self._dir = tempfile.mkdtemp(prefix="hdrtv_mpv_")
         self.fifo = os.path.join(self._dir, "video.fifo")
         os.mkfifo(self.fifo)
-        self.proc = subprocess.Popen(
-            [
-                "mpv",
-                "--no-config",
-                "--demuxer=rawvideo",
-                f"--demuxer-rawvideo-w={width}",
-                f"--demuxer-rawvideo-h={height}",
-                f"--demuxer-rawvideo-fps={fps}",
-                "--demuxer-rawvideo-mp-format=rgb48le",
-                "--vf=format=colorlevels=full:primaries=bt.2020:gamma=pq",
-                "--keep-open=no",
-                *extra_args,
-                self.fifo,
-            ],
-            stdin=subprocess.DEVNULL,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        self._fifo_fd = open(self.fifo, "wb")
+
+        scale_args: list[str] = []
+        if out_size is not None:
+            from hdrtv_tpu.pipeline.scaling import mpv_scale_args
+
+            scale_args = mpv_scale_args(width, height, out_size[0], out_size[1], upscaler)
+        base = [
+            "--no-config",
+            "--demuxer=rawvideo",
+            f"--demuxer-rawvideo-w={width}",
+            f"--demuxer-rawvideo-h={height}",
+            f"--demuxer-rawvideo-fps={fps}",
+            f"--demuxer-rawvideo-mp-format={self._RAW_FORMAT}",
+            f"--vf={self._VF}",
+            "--keep-open=no",
+            *scale_args,
+            *extra_args,
+        ]
+        quality = _quality_args()
+        ladders = [
+            (quality, None),
+            (_drop_dither(quality), "mpv dither unavailable; continuing without display dither"),
+            (_drop_display_quality(quality), "mpv deband/dither unavailable; continuing without display quality filters"),
+            (_untimed_fallback(quality), "mpv vsync/display-quality startup fallback active; using low-latency untimed display"),
+        ]
+        last_exc: Exception | None = None
+        self.proc = None
+        self._fifo_fd = None
+        for opts, note in ladders:
+            try:
+                self.proc = self._spawn(base + opts)
+                self._fifo_fd = self._open_fifo()
+                if note:
+                    self.startup_notes.append(note)
+                break
+            except RuntimeError as exc:
+                last_exc = exc
+                self.proc = None
+        if self.proc is None or self._fifo_fd is None:
+            shutil.rmtree(self._dir, ignore_errors=True)
+            raise RuntimeError(f"mpv startup failed: {last_exc}")
+
         self._queue: queue.Queue = queue.Queue(maxsize=3)
         self._stop = threading.Event()
         self._writer = threading.Thread(target=self._write_loop, daemon=True, name="mpv-pipe-writer")
         self._writer.start()
         self.frames = 0
+
+    def _spawn(self, args: list[str]) -> subprocess.Popen:
+        return subprocess.Popen(
+            ["mpv", *args, self.fifo],
+            stdin=subprocess.DEVNULL,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _open_fifo(self, timeout: float = 10.0):
+        """Open the FIFO write end without hanging if mpv dies on startup:
+        non-blocking attempts until the reader appears, watching the
+        process."""
+        import errno
+        import time
+
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self.proc.poll() is not None:
+                raise RuntimeError(f"mpv exited during startup (rc={self.proc.returncode})")
+            try:
+                fd = os.open(self.fifo, os.O_WRONLY | os.O_NONBLOCK)
+                os.set_blocking(fd, True)
+                return os.fdopen(fd, "wb")
+            except OSError as exc:
+                if exc.errno != errno.ENXIO:
+                    raise RuntimeError(str(exc)) from exc
+                time.sleep(0.02)
+        self.proc.terminate()
+        raise RuntimeError("mpv never opened the video pipe")
 
     def _write_loop(self):
         while not self._stop.is_set():
@@ -159,6 +254,45 @@ class MpvPipeSink:
         shutil.rmtree(self._dir, ignore_errors=True)
 
 
+class SdrMpvPipeSink(MpvPipeSink):
+    """SDR comparison pane: raw rgb24 tagged bt.709/bt.1886
+    (gui_mpv_widget.py:364-366, 1008-1014 SDR pane flag set)."""
+
+    _RAW_FORMAT = "rgb24"
+    _VF = "format=colorlevels=full:primaries=bt.709:gamma=bt.1886"
+
+
+class SideBySideSink:
+    """HDR pane + SDR source pane fed in lockstep — the reference's
+    side-by-side tab (gui_windowing.py SDR/HDR panes; both panes receive
+    their streams from the same worker loop).
+
+    ``show`` takes the processed RGB48 frame; ``show_sdr`` takes the source
+    BGR frame (the runner routes it when the sink exposes this method).
+    """
+
+    def __init__(self, width: int, height: int, fps: float, **kw):
+        self.hdr = MpvPipeSink(width, height, fps, **kw)
+        try:
+            self.sdr = SdrMpvPipeSink(width, height, fps, **kw)
+        except Exception:
+            self.hdr.close()
+            raise
+        self.frames = 0
+
+    def show(self, rgb48: np.ndarray, pts: float | None = None) -> None:
+        self.hdr.show(rgb48, pts)
+        self.frames += 1
+
+    def show_sdr(self, frame_bgr: np.ndarray, pts: float | None = None) -> None:
+        # The SDR pane displays the *source*: BGR→RGB byte flip only.
+        self.sdr.show(np.ascontiguousarray(frame_bgr[..., ::-1]), pts)
+
+    def close(self) -> None:
+        self.hdr.close()
+        self.sdr.close()
+
+
 def make_sink(
     kind: str, width: int, height: int, fps: float, path: str | None = None, *, live: bool = False
 ):
@@ -167,9 +301,10 @@ def make_sink(
     ``live=True`` selects the live-feeder delivery policy (drop-to-latest
     instead of backpressure — gui_pipeline_worker_feeders.py:73-104)."""
     kind = (kind or "null").lower()
-    if kind == "mpv":
+    if kind in ("mpv", "side-by-side"):
+        cls = SideBySideSink if kind == "side-by-side" else MpvPipeSink
         try:
-            return MpvPipeSink(width, height, fps, drop_to_latest=live)
+            return cls(width, height, fps, drop_to_latest=live)
         except Exception:
             kind = "null"
     if kind == "file":

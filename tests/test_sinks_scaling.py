@@ -1,0 +1,170 @@
+"""Display scaling policy + mpv sink startup ladder / SDR pane routing."""
+
+import os
+import stat
+
+import numpy as np
+import pytest
+
+
+class TestScalingPolicy:
+    def test_fit_with_aspect_never_upscales(self):
+        from hdrtv_tpu.pipeline.scaling import fit_with_aspect
+
+        assert fit_with_aspect(1920, 1080, 1280, 720) == (1280, 720)
+        assert fit_with_aspect(640, 360, 1920, 1080) == (640, 360)  # no upscale
+        w, h = fit_with_aspect(1921, 1080, 1280, 720)
+        assert w % 2 == 0 and h % 2 == 0
+
+    def test_kernel_selection(self):
+        from hdrtv_tpu.pipeline.scaling import select_scale_kernel
+
+        # no upscale → bicubic (gui_scaling.py:69-80)
+        assert select_scale_kernel(1920, 1080, 1920, 1080) == "bicubic"
+        assert select_scale_kernel(1280, 720, 3840, 2160, "FSR") == "fsr"
+        assert select_scale_kernel(1280, 720, 3840, 2160, "SSimSuperRes") == "ssim_superres"
+        assert select_scale_kernel(1280, 720, 3840, 2160) == "ewa_lanczossharp"
+
+    def test_antiring_tiers(self):
+        from hdrtv_tpu.pipeline.scaling import select_scale_antiring
+
+        assert select_scale_antiring(1920, 1080, 1920, 1080) == 0.0
+        # FSR >2x from 720p → 0.16; ≤2x → 0 (gui_scaling.py:90-99)
+        assert select_scale_antiring(1280, 720, 3840, 2160, "fsr") == 0.16
+        assert select_scale_antiring(1280, 720, 1920, 1080, "fsr") == 0.0
+        # 540p lanczossharp: base 0.30 − 0.05
+        assert select_scale_antiring(960, 540, 1920, 1080, "ewa_lanczossharp") == 0.25
+        assert select_scale_antiring(1280, 720, 1920, 1080, "bicubic") == 0.22
+
+    def test_cas_strength(self):
+        from hdrtv_tpu.pipeline.scaling import select_cas_strength
+
+        assert select_cas_strength(1920, 1080, 1920, 1080) == 0.0
+        assert select_cas_strength(1280, 720, 3840, 2160, using_fsr=True) == 0.0
+        assert select_cas_strength(960, 540, 1920, 1080, scale_kernel="ewa_lanczossharp") == pytest.approx(0.24)
+
+    def test_mpv_args(self):
+        from hdrtv_tpu.pipeline.scaling import mpv_scale_args
+
+        args = mpv_scale_args(960, 540, 1920, 1080)
+        assert args[0] == "--scale=ewa_lanczossharp"
+        assert any(a.startswith("--scale-antiring=") for a in args)
+        assert mpv_scale_args(1920, 1080, 1920, 1080) == ["--scale=bicubic"]
+
+    def test_letterbox(self):
+        from hdrtv_tpu.pipeline.scaling import letterbox_bgr
+
+        frame = np.full((100, 100, 3), 200, np.uint8)  # square into 16:9
+        out = letterbox_bgr(frame, 192, 108)
+        assert out.shape == (108, 192, 3)
+        assert out[:, 0].max() == 0 and out[:, -1].max() == 0  # side bars
+        assert out[54, 96].min() > 150  # center content
+        assert letterbox_bgr(frame, 100, 100) is frame
+
+
+FAKE_MPV = """#!/bin/sh
+# fake mpv: refuses quality options {refuse}, else consumes the fifo
+for a in "$@"; do
+  case "$a" in {refuse}) exit 1;; esac
+done
+eval last=\\${{$#}}
+exec cat "$last" > /dev/null
+"""
+
+
+def _install_fake_mpv(tmp_path, monkeypatch, refuse: str):
+    bindir = tmp_path / "bin"
+    bindir.mkdir(exist_ok=True)
+    mpv = bindir / "mpv"
+    mpv.write_text(FAKE_MPV.format(refuse=refuse))
+    mpv.chmod(mpv.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+
+class TestMpvLadder:
+    def test_full_quality_startup(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import MpvPipeSink
+
+        _install_fake_mpv(tmp_path, monkeypatch, refuse="--never-refused")
+        sink = MpvPipeSink(64, 32, 30.0)
+        try:
+            assert sink.startup_notes == []
+            sink.show(np.zeros((32, 64, 3), np.uint16))
+        finally:
+            sink.close()
+
+    def test_dither_fallback(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import MpvPipeSink
+
+        _install_fake_mpv(tmp_path, monkeypatch, refuse="--dither*")
+        sink = MpvPipeSink(64, 32, 30.0)
+        try:
+            assert sink.startup_notes and "dither" in sink.startup_notes[0]
+        finally:
+            sink.close()
+
+    def test_deband_fallback(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import MpvPipeSink
+
+        _install_fake_mpv(tmp_path, monkeypatch, refuse="--dither*|--deband*")
+        sink = MpvPipeSink(64, 32, 30.0)
+        try:
+            assert any("deband" in n for n in sink.startup_notes)
+        finally:
+            sink.close()
+
+    def test_total_failure_raises_not_hangs(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import MpvPipeSink
+
+        _install_fake_mpv(tmp_path, monkeypatch, refuse="*")  # refuses everything
+        with pytest.raises(RuntimeError, match="mpv startup failed"):
+            MpvPipeSink(64, 32, 30.0)
+
+    def test_make_sink_falls_back_to_null(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import NullSink, make_sink
+
+        _install_fake_mpv(tmp_path, monkeypatch, refuse="*")
+        sink = make_sink("mpv", 64, 32, 30.0)
+        assert isinstance(sink, NullSink)
+
+
+class TestSideBySide:
+    def test_panes_and_routing(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import SideBySideSink
+
+        _install_fake_mpv(tmp_path, monkeypatch, refuse="--never-refused")
+        sink = SideBySideSink(64, 32, 30.0)
+        try:
+            sink.show_sdr(np.zeros((32, 64, 3), np.uint8))
+            sink.show(np.zeros((32, 64, 3), np.uint16))
+            assert sink.frames == 1
+        finally:
+            sink.close()
+
+    def test_runner_routes_sdr_pane(self):
+        """A sink exposing show_sdr receives the source frame per shown frame."""
+        from hdrtv_tpu.pipeline.runner import PipelineRunner
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        class _Proc:
+            def process_rgb48_device(self, flat_u8):
+                import jax.numpy as jnp
+
+                return flat_u8.astype(jnp.uint16) * 257
+
+        class _Sink:
+            def __init__(self):
+                self.hdr, self.sdr = [], []
+
+            def show(self, rgb48, pts=None):
+                self.hdr.append(rgb48.shape)
+
+            def show_sdr(self, bgr, pts=None):
+                self.sdr.append(bgr.shape)
+
+        src = SyntheticSource(64, 32, fps=30, frames=4)
+        sink = _Sink()
+        m = PipelineRunner(src, _Proc(), sink, realtime=False, max_frames=4).run()
+        assert m.frames == 4
+        assert len(sink.hdr) == 4 and len(sink.sdr) == 4
+        assert sink.sdr[0] == (32, 64, 3)
