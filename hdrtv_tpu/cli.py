@@ -97,10 +97,28 @@ def cmd_convert(args) -> int:
     print(f"compiling {w}x{h} ({args.precision})...", flush=True)
     dt = proc.warmup_compile(w, h)
     print(f"engine ready in {dt:.1f}s", flush=True)
-    runner = PipelineRunner(src, proc, sink, realtime=not args.no_realtime, max_frames=args.frames)
+    # Audio attach with the auto-mute fade policy (gui_audio_playback/_mute).
+    audio = attach = on_metrics = None
+    if getattr(args, "audio", False) and args.video:
+        from hdrtv_tpu.pipeline.audio import AudioAttachment, AudioPlayer, AutoMutePolicy
+
+        try:
+            audio = AudioPlayer(args.video, track=args.audio_track)
+            attach = AudioAttachment(
+                AutoMutePolicy(target_fps=getattr(src, "fps", 30.0)), audio.set_gain
+            )
+            on_metrics = lambda snap: attach.on_metrics(snap.fps)  # noqa: E731
+        except RuntimeError as exc:
+            print(f"audio attach unavailable: {exc}")
+    runner = PipelineRunner(
+        src, proc, sink, realtime=not args.no_realtime, max_frames=args.frames,
+        on_metrics=on_metrics,
+    )
     m = runner.run()
     src.close()
     sink.close()
+    if audio is not None:
+        audio.close()
     print(
         f"frames={m.frames} dropped={m.dropped} fps={m.fps:.2f} "
         f"1%low={m.fps_1pct_low:.2f} model={m.model_ms:.2f}ms rt×={m.realtime_factor:.2f} "
@@ -482,6 +500,49 @@ def cmd_live(args) -> int:
     return 0
 
 
+def cmd_preview(args) -> int:
+    """Exact-seek scrub thumbnails → contact sheet PNG — the
+    MpvFilePreviewWidget role (gui_mpv_widget.py:1524: exact scrub previews;
+    here a headless strip for timeline inspection)."""
+    import cv2
+
+    from hdrtv_tpu.pipeline.scaling import letterbox_bgr
+    from hdrtv_tpu.pipeline.source import VideoSource
+
+    src = VideoSource(args.video)
+    try:
+        total = src.frame_count or 1
+        n = max(1, args.frames)
+        idxs = [int(i) for i in np.linspace(0, max(0, total - 1), n)]
+        tw, th = args.thumb_width, args.thumb_width * 9 // 16
+        thumbs = []
+        for idx in idxs:
+            src.seek(idx)  # exact seek (backtrack + decode-forward)
+            meta = src.read_with_meta()
+            if meta is None:
+                continue
+            thumb = letterbox_bgr(meta[0], tw, th)
+            t_s = idx / max(1e-6, src.fps)
+            cv2.putText(thumb, f"#{idx} {t_s:6.2f}s", (4, th - 6),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.35, (255, 255, 255), 1)
+            thumbs.append(thumb)
+    finally:
+        src.close()
+    if not thumbs:
+        print("no frames decoded")
+        return 1
+    cols = min(len(thumbs), args.columns)
+    rows = (len(thumbs) + cols - 1) // cols
+    sheet = np.zeros((rows * th, cols * tw, 3), np.uint8)
+    for k, thumb in enumerate(thumbs):
+        r, c = divmod(k, cols)
+        sheet[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = thumb
+    out = args.out or "preview.png"
+    cv2.imwrite(out, sheet)
+    print(json.dumps({"out": out, "thumbs": len(thumbs), "grid": [rows, cols]}))
+    return 0
+
+
 def cmd_mine_hard_frames(args) -> int:
     from hdrtv_tpu.data.curate import mine_hard_frames
 
@@ -520,6 +581,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-realtime", action="store_true")
     c.add_argument("--log-session", default=None, help="write a Log Session dir (summary/json/csv)")
     c.add_argument("--hdr-input", default="reject", choices=["reject", "bypass"])
+    c.add_argument("--audio", action="store_true", help="attach source audio (mpv, auto-mute on slow FPS)")
+    c.add_argument("--audio-track", type=int, default=None, help="audio stream ordinal (probe_audio_streams)")
     c.set_defaults(fn=cmd_convert)
 
     lv = sub.add_parser("live", help="live capture → HDR display (x11/v4l2/synthetic)")
@@ -616,6 +679,14 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--temporal", action="store_true", help="run the temporal stability probe")
     v.add_argument("--out", default=None, help="write ×8 diff contact sheets + report.json")
     v.set_defaults(fn=cmd_validate)
+
+    pv = sub.add_parser("preview", help="exact-seek scrub thumbnails → contact sheet PNG")
+    pv.add_argument("--video", required=True)
+    pv.add_argument("--frames", type=int, default=12)
+    pv.add_argument("--columns", type=int, default=4)
+    pv.add_argument("--thumb-width", type=int, default=320)
+    pv.add_argument("--out", default=None)
+    pv.set_defaults(fn=cmd_preview)
 
     mh = sub.add_parser(
         "mine-hard-frames",

@@ -1,16 +1,23 @@
-"""Audio attach + auto-mute policy.
+"""Audio attach + auto-mute policy + the mpv audio player binding.
 
 The reference attaches a Qt audio track to playback and auto-mutes when
 pipeline FPS falls below a threshold, restoring with a fade-in
-(gui_audio_playback.py / gui_audio_mute.py). The *policy* is platform-free
-and lives here: an FPS-window monitor deciding mute state and a fade-in gain
-ramp; the actual audio device binding is a thin callback (none in headless
-environments).
+(gui_audio_playback.py / gui_audio_mute.py). The *policy* is platform-free:
+an FPS-window monitor deciding mute state and a fade-in gain ramp.
+``AudioPlayer`` is the actual device binding — an audio-only mpv process
+playing the source's audio track, volume-controlled live over mpv's JSON
+IPC socket so the fade ramp is audible.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
+import shutil
+import socket
+import subprocess
+import tempfile
 import time
 from typing import Callable
 
@@ -74,3 +81,74 @@ class AudioAttachment:
             self.gain = g
             self.set_gain(g)
         return g
+
+
+class AudioPlayer:
+    """Audio-only mpv bound to the source file — the audio attach device
+    (gui_audio_playback.py role). ``set_gain`` drives mpv's volume property
+    over the JSON IPC socket (``--input-ipc-server``), so the auto-mute fade
+    is applied live; ``track`` selects an ``--aid`` from
+    :func:`hdrtv_tpu.runtime.probe.probe_audio_streams` ordinals."""
+
+    def __init__(self, media_path: str, *, track: int | None = None, start_s: float = 0.0,
+                 volume: float = 1.0):
+        if shutil.which("mpv") is None:
+            raise RuntimeError("mpv not found on PATH")
+        self.media_path = media_path
+        self._dir = tempfile.mkdtemp(prefix="hdrtv_audio_")
+        self.ipc_path = os.path.join(self._dir, "mpv.sock")
+        args = [
+            "mpv", "--no-config", "--no-video", "--keep-open=no",
+            f"--input-ipc-server={self.ipc_path}",
+            f"--volume={max(0.0, min(1.0, volume)) * 100:.0f}",
+        ]
+        if track is not None:
+            args.append(f"--aid={int(track) + 1}")  # mpv track ids are 1-based
+        if start_s > 0:
+            args.append(f"--start={start_s:.3f}")
+        self.proc = subprocess.Popen(
+            [*args, media_path],
+            stdin=subprocess.DEVNULL, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        self._sock: socket.socket | None = None
+
+    def _ipc(self, command: list) -> bool:
+        try:
+            if self._sock is None:
+                deadline = time.monotonic() + 5.0
+                while not os.path.exists(self.ipc_path):
+                    if self.proc.poll() is not None or time.monotonic() > deadline:
+                        return False
+                    time.sleep(0.02)
+                self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                self._sock.connect(self.ipc_path)
+            self._sock.sendall((json.dumps({"command": command}) + "\n").encode())
+            return True
+        except OSError:
+            self._sock = None
+            return False
+
+    def set_gain(self, gain: float) -> bool:
+        """[0,1] gain → mpv volume 0-100 (the AudioAttachment callback)."""
+        return self._ipc(["set_property", "volume", max(0.0, min(1.0, gain)) * 100.0])
+
+    def pause(self, paused: bool = True) -> bool:
+        return self._ipc(["set_property", "pause", bool(paused)])
+
+    def seek(self, seconds: float) -> bool:
+        return self._ipc(["seek", float(seconds), "absolute"])
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+        if self.proc.poll() is None:
+            self.proc.terminate()
+            try:
+                self.proc.wait(timeout=2.0)
+            except subprocess.TimeoutExpired:
+                self.proc.kill()
+        shutil.rmtree(self._dir, ignore_errors=True)

@@ -107,6 +107,7 @@ class PipelineRunner:
         ring: int | None = None,
         max_frames: int | None = None,
         processor_factory=None,
+        on_metrics=None,
     ):
         self.source = source
         self.processor = processor
@@ -115,6 +116,10 @@ class PipelineRunner:
         self.ring = ring or env_int("HDRTVNET_VIDEO_PLAYBACK_BUFFER_FRAMES", 3, lo=1, hi=24)
         self.max_frames = max_frames
         self.processor_factory = processor_factory
+        # Live metrics emission (0.2 s throttle — the reference's
+        # _emit_runtime_metrics_if_ready cadence, runtime_metrics.py:79).
+        self.on_metrics = on_metrics
+        self._last_emit = 0.0
         self.clock = PresentationClock(getattr(source, "fps", 30.0))
         self.metrics = RuntimeMetrics()
         self._stamps: list[float] = []
@@ -278,6 +283,15 @@ class PipelineRunner:
                 self._submit(meta, inflight)  # blocks when ring full
                 processed += 1
                 media_seconds = meta[2]
+                now = time.monotonic()
+                if self.on_metrics is not None and now - self._last_emit >= 0.2:
+                    self._last_emit = now
+                    snap = RuntimeMetrics(
+                        fps=trimmed_mean_fps(self._stamps[-60:]),
+                        frames=processed,
+                        dropped=self.metrics.dropped,
+                    )
+                    self.on_metrics(snap)
         finally:
             inflight.put(None)
             feeder_done.wait(timeout=10.0)

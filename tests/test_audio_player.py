@@ -1,0 +1,121 @@
+"""AudioPlayer device binding (fake-mpv IPC harness) + runner metrics cadence."""
+
+import json
+import os
+import stat
+import time
+
+import numpy as np
+import pytest
+
+# Fake mpv: parses --input-ipc-server=..., serves the unix socket with a tiny
+# python server that appends每 received command line to <sock>.log.
+FAKE_MPV = r"""#!/usr/bin/env python3
+import socket, sys, time
+ipc = None
+for a in sys.argv[1:]:
+    if a.startswith("--input-ipc-server="):
+        ipc = a.split("=", 1)[1]
+if ipc is None:
+    time.sleep(30); sys.exit(0)
+srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+srv.bind(ipc)
+srv.listen(1)
+conn, _ = srv.accept()
+with open(ipc + ".log", "ab", buffering=0) as log:
+    while True:
+        data = conn.recv(4096)
+        if not data:
+            break
+        log.write(data)
+"""
+
+
+@pytest.fixture()
+def fake_mpv(tmp_path, monkeypatch):
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    mpv = bindir / "mpv"
+    mpv.write_text(FAKE_MPV.replace("每", " "))
+    mpv.chmod(mpv.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    return bindir
+
+
+class TestAudioPlayer:
+    def _read_log(self, player, timeout=5.0):
+        log = player.ipc_path + ".log"
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if os.path.exists(log) and os.path.getsize(log):
+                time.sleep(0.1)  # let trailing writes land
+                with open(log) as f:
+                    return [json.loads(line) for line in f if line.strip()]
+            time.sleep(0.02)
+        return []
+
+    def test_volume_commands_reach_ipc(self, fake_mpv, tmp_path):
+        from hdrtv_tpu.pipeline.audio import AudioPlayer
+
+        media = tmp_path / "clip.mp4"
+        media.write_bytes(b"x")
+        p = AudioPlayer(str(media))
+        try:
+            assert p.set_gain(0.5)
+            assert p.pause(True)
+            assert p.seek(3.25)
+            cmds = self._read_log(p)
+        finally:
+            p.close()
+        names = [c["command"][0] for c in cmds]
+        assert names == ["set_property", "set_property", "seek"]
+        assert cmds[0]["command"][1:] == ["volume", 50.0]
+        assert cmds[1]["command"][1:] == ["pause", True]
+        assert cmds[2]["command"] == ["seek", 3.25, "absolute"]
+
+    def test_attachment_drives_player(self, fake_mpv, tmp_path):
+        from hdrtv_tpu.pipeline.audio import AudioAttachment, AudioPlayer, AutoMutePolicy
+
+        media = tmp_path / "clip.mp4"
+        media.write_bytes(b"x")
+        p = AudioPlayer(str(media))
+        try:
+            attach = AudioAttachment(AutoMutePolicy(target_fps=30.0, window=1), p.set_gain)
+            attach.on_metrics(10.0)  # far below target → mute
+            cmds = self._read_log(p)
+        finally:
+            p.close()
+        assert any(c["command"][:2] == ["set_property", "volume"] and c["command"][2] == 0.0 for c in cmds)
+
+    def test_missing_mpv_raises(self, monkeypatch, tmp_path):
+        from hdrtv_tpu.pipeline.audio import AudioPlayer
+
+        monkeypatch.setenv("PATH", str(tmp_path))  # no mpv anywhere
+        with pytest.raises(RuntimeError, match="mpv not found"):
+            AudioPlayer("x.mp4")
+
+
+class TestRunnerMetricsCallback:
+    def test_periodic_emission(self):
+        from hdrtv_tpu.pipeline.runner import PipelineRunner
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        class _Proc:
+            def process_rgb48_device(self, flat_u8):
+                import jax.numpy as jnp
+
+                return flat_u8.astype(jnp.uint16)
+
+        class _Sink:
+            def show(self, *a):
+                pass
+
+        snaps = []
+        src = SyntheticSource(64, 32, fps=120, frames=90)
+        r = PipelineRunner(src, _Proc(), _Sink(), realtime=True, max_frames=90,
+                           on_metrics=snaps.append)
+        r.run()
+        # ~0.75 s of media at 0.2 s throttle → a few snapshots, each monotone
+        assert len(snaps) >= 2
+        assert all(s.frames <= 90 for s in snaps)
+        assert snaps[-1].frames > snaps[0].frames

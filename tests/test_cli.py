@@ -97,6 +97,22 @@ class TestCommands:
         assert rc == 2
         assert "unavailable" in capsys.readouterr().out
 
+    def test_preview_contact_sheet(self, tmp_path, capsys):
+        import cv2
+
+        path = str(tmp_path / "clip.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25.0, (64, 32))
+        for i in range(20):
+            w.write(np.full((32, 64, 3), i * 12 % 255, np.uint8))
+        w.release()
+        out = str(tmp_path / "sheet.png")
+        rc = main(["preview", "--video", path, "--frames", "6", "--columns", "3",
+                   "--thumb-width", "64", "--out", out])
+        assert rc == 0
+        sheet = cv2.imread(out)
+        assert sheet is not None
+        assert sheet.shape == (2 * 36, 3 * 64, 3)  # 2 rows × 3 cols of 64×36
+
     def test_engines_list_and_warm_smoke(self, capsys, tmp_path, monkeypatch):
         monkeypatch.setenv("HDRTVNET_ENGINE_CACHE_DIR", str(tmp_path))
         rc = main(["engines", "list"])
