@@ -110,11 +110,57 @@ def cmd_convert(args) -> int:
             on_metrics = lambda snap: attach.on_metrics(snap.fps)  # noqa: E731
         except RuntimeError as exc:
             print(f"audio attach unavailable: {exc}")
+    interactive = bool(getattr(args, "interactive", False)) and sys.stdout.isatty()
+    shell_metrics = on_metrics
+    controller = None
+    if interactive:
+        from hdrtv_tpu.pipeline.shell import ShellController
+
+    def _factory(precision=None, proc_resolution=None):
+        import copy
+
+        a = copy.copy(args)
+        if precision is not None:
+            a.precision = precision
+        p2 = _make_processor(a)
+        if proc_resolution is not None and hasattr(p2, "with_proc_resolution"):
+            p2 = p2.with_proc_resolution(proc_resolution)
+        return p2
+
     runner = PipelineRunner(
         src, proc, sink, realtime=not args.no_realtime, max_frames=args.frames,
-        on_metrics=on_metrics,
+        on_metrics=None,  # set below (may fan out to shell + audio)
+        processor_factory=_factory,
     )
-    m = runner.run()
+    if interactive:
+        controller = ShellController(
+            runner, src, audio=audio,
+            precision=args.precision, resolution=args.resolution,
+        )
+
+        def fan_out(snap, _audio_cb=on_metrics, _ctl=controller):
+            if _audio_cb is not None:
+                _audio_cb(snap)
+            _ctl.on_metrics(snap)
+
+        shell_metrics = fan_out
+    runner.on_metrics = shell_metrics
+    if interactive:
+        import threading as _threading
+
+        from hdrtv_tpu.pipeline.shell import run_shell
+
+        result: dict = {}
+        t = _threading.Thread(target=lambda: result.update(m=runner.run()), daemon=True)
+        t.start()
+        try:
+            run_shell(controller)
+        finally:
+            runner.stop()
+            t.join(timeout=30)
+        m = result.get("m") or runner.metrics
+    else:
+        m = runner.run()
     src.close()
     sink.close()
     if audio is not None:
@@ -583,6 +629,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--hdr-input", default="reject", choices=["reject", "bypass"])
     c.add_argument("--audio", action="store_true", help="attach source audio (mpv, auto-mute on slow FPS)")
     c.add_argument("--audio-track", type=int, default=None, help="audio stream ordinal (probe_audio_streams)")
+    c.add_argument("--interactive", action="store_true",
+                   help="terminal shell: pause/seek/precision/resolution hot-keys + live metrics")
     c.set_defaults(fn=cmd_convert)
 
     lv = sub.add_parser("live", help="live capture → HDR display (x11/v4l2/synthetic)")
