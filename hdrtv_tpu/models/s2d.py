@@ -386,7 +386,7 @@ def conv_s1(p, name, x, *, policy, relu_fused: bool = False, skip: jax.Array | N
     return y
 
 
-def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = None):
+def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = None, a_sub: int = 1):
     """Stride-2 3×3, s2d output: 3×3 stride-2, (1,0) pad over plain s2d.
 
     On TPU this routes to the fused_down2 Pallas kernel (ops/megakernel.py)
@@ -411,7 +411,7 @@ def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = N
         if pick_rows(hb // 2, limit=8) <= 16:
             return fused_down2(
                 policy.cast(x[0]), policy.cast(w), p[f"{name}.bias"], act=act,
-                qargs=_qargs_for(p, name),
+                qargs=_qargs_for(p, name), a_sub=a_sub,
             )[None]
     y = _conv(p, name, x, stride=2, padding=[(1, 0), (1, 0)], policy=policy)
     if act == "relu":
@@ -545,7 +545,7 @@ def agcm_s2d(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy) -
 def _le_cond_downs(p: Params, c: jax.Array, *, policy: Policy):
     """CondNet2/3/4 down chains from the shared cond feature ``c``."""
     if "LE.__cond_down.weight" in p:
-        cd = conv_s2(p, "LE.__cond_down", c, policy=policy, act="lrelu")
+        cd = conv_s2(p, "LE.__cond_down", c, policy=policy, act="lrelu", a_sub=3)
         nch = cd.shape[-1] // 3
         c2, c3, c4 = cd[..., :nch], cd[..., nch : 2 * nch], cd[..., 2 * nch :]
     else:

@@ -510,7 +510,7 @@ def fused_tail_ref(s, cond1, skip, sft_small, w_hr, b_hr, w_last, b_last, *, pac
 # ---------------------------------------------------------------------------
 
 
-def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act, quant, has_z):
+def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act, quant, has_z, a_sub):
     """Out rows [r0, r0+th) ← natural input rows [2r0-1, 2r0+2th+1).
 
     Blocks arrive in the producer's natural (hb, wb, C) layout — pairing
@@ -544,24 +544,42 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act
     if quant:
         q, qpad = _quantize_act(gf.astype(jnp.float32), s_ref, z_ref if has_z else None, wb)
         g = q.reshape(n2 + 2, wbo, 2 * c)
-        acc = jnp.zeros((th * wbo, co), jnp.int32)
         pad_val = qpad.astype(jnp.int8)
         acc_t = jnp.int32
     else:
         g = gf.astype(xc.dtype).reshape(n2 + 2, wbo, 2 * c)
-        acc = jnp.zeros((th * wbo, co), jnp.float32)
         pad_val = 0
         acc_t = jnp.float32
 
+    rows_d, sh_d = [], []
     for dI in range(3):
         rows = g[dI : dI + n2].reshape(th, 2, wbo, 2 * c)[:, 0]  # (th, wbo, 2c)
-        acc = acc + jnp.dot(
-            rows.reshape(th * wbo, 2 * c), wcat_ref[dI], preferred_element_type=acc_t
-        )
         sh = jnp.pad(rows[:, : wbo - 1, :], ((0, 0), (1, 0), (0, 0)), constant_values=pad_val)
-        acc = acc + jnp.dot(
-            sh[..., c:].reshape(th * wbo, c), wr_ref[dI], preferred_element_type=acc_t
-        )
+        rows_d.append(rows.reshape(th * wbo, 2 * c))
+        sh_d.append(sh[..., c:].reshape(th * wbo, c))
+
+    # s2d-transformed stride-2 weights are block-zero on the output-row
+    # sub-position axis (w_s2d_s2: di = 2δ + a_in − 2·a_out ∈ [−1,1] →
+    # a_out=0 rows use δ∈{−1,0}, a_out=1 rows δ∈{0,1}). Each consolidated
+    # sub-block of co (a_sub of them) is laid out [a0-half | a1-half], so
+    # each half contracts only 2 of the 3 row taps — skipping the MXU work
+    # the structural zeros would otherwise burn (1/3 of the kernel's FLOPs).
+    m = co // (2 * a_sub)
+    chunks = []
+    for s_i in range(a_sub):
+        for hf in range(2):
+            lo = (2 * s_i + hf) * m
+            taps = (0, 1) if hf == 0 else (1, 2)
+            accc = jnp.zeros((th * wbo, m), acc_t)
+            for dI in taps:
+                accc = accc + jnp.dot(
+                    rows_d[dI], wcat_ref[dI, :, lo : lo + m], preferred_element_type=acc_t
+                )
+                accc = accc + jnp.dot(
+                    sh_d[dI], wr_ref[dI, :, lo : lo + m], preferred_element_type=acc_t
+                )
+            chunks.append(accc)
+    acc = jnp.concatenate(chunks, axis=-1)
     if quant:
         acc = acc.astype(jnp.float32) * yscale_ref[0].astype(jnp.float32)
     acc = _apply_act(acc + b_ref[0].astype(jnp.float32), act)
@@ -570,16 +588,22 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act
 
 def fused_down2(
     x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = None,
-    out_dtype=None, qargs: dict | None = None,
+    out_dtype=None, qargs: dict | None = None, a_sub: int = 1,
 ):
     """Stride-2 3×3 block conv, (1,0) pad: (Hb,Wb,C) → (Hb/2,Wb/2,Co).
 
     ``w``: (3,3,C,Co) — the s2d-transformed stride-2 weight (w_s2d_s2).
+    **Required**: the kernel exploits w_s2d_s2's structural zeros on the
+    output-row sub-position axis (see _down2_kernel); arbitrary dense weights
+    would compute incorrectly. ``a_sub`` = number of consolidated w_s2d_s2
+    sub-blocks concatenated along co (1 for a plain transformed conv, 3 for
+    LE.__cond_down).
     ``act``: None | 'relu' | 'lrelu' fused epilogue.
     ``qargs``: native-int8 W8A8 execution — dict with ``w_int8`` (3,3,C,Co),
     ``w_scale`` (Co,), ``x_scale`` (float), optional ``x_zero``; dots run
     int8×int8→int32 on the MXU with the affine zero-point correction folded
-    into the bias.
+    into the bias (zero-block skipping stays exact: skipped blocks quantize
+    to code 0, so they contribute nothing to either dot or correction).
     """
     hb, wb, c = x.shape
     co = w.shape[-1]
@@ -615,7 +639,8 @@ def fused_down2(
         b_in = b.reshape(1, -1).astype(jnp.float32)
 
     kernel = functools.partial(
-        _down2_kernel, th=th, wb=wb, c=c, hb=hb, act=act, quant=quant, has_z=has_z
+        _down2_kernel, th=th, wb=wb, c=c, hb=hb, act=act, quant=quant, has_z=has_z,
+        a_sub=a_sub,
     )
     n = hbo // th
     # center = 2th input rows; halos are 2-row views (one row used each).

@@ -115,12 +115,17 @@ class TestKernels:
         np.testing.assert_allclose(np.asarray(ybf, f32), np.asarray(ybf_r, f32), atol=2e-5)
 
     def test_down2_parity(self, rng):
+        """fused_down2's contract is an s2d-transformed stride-2 weight
+        (w_s2d_s2) — the kernel skips its structural zero row-blocks, so the
+        test weights must carry them (random natural weights, transformed)."""
+        from hdrtv_tpu.models.s2d import w_s2d_s2
         from hdrtv_tpu.ops.megakernel import fused_down2, fused_down2_ref
 
         f32 = np.float32
         for hb, wb, c, co in ((24, 32, 128, 128), (20, 16, 256, 384)):
             x = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
-            w = jnp.asarray(rng.randn(3, 3, c, co).astype(f32) * 0.05)
+            w_nat = rng.randn(3, 3, c // 4, co // 4).astype(f32) * 0.05
+            w = jnp.asarray(w_s2d_s2(w_nat))
             b = jnp.asarray(rng.randn(co).astype(f32) * 0.1)
             for act in (None, "relu", "lrelu"):
                 with pltpu.force_tpu_interpret_mode():
@@ -128,6 +133,23 @@ class TestKernels:
                 y_r = fused_down2_ref(x, w, b, act=act)
                 assert y.shape == (hb // 2, wb // 2, co)
                 np.testing.assert_allclose(np.asarray(y, f32), np.asarray(y_r, f32), atol=3e-5)
+
+    def test_down2_consolidated_blocks(self, rng):
+        """a_sub=3: three w_s2d_s2 sub-blocks concatenated along co (the
+        LE.__cond_down consolidation) must equal the dense reference."""
+        from hdrtv_tpu.models.s2d import w_s2d_s2
+        from hdrtv_tpu.ops.megakernel import fused_down2, fused_down2_ref
+
+        f32 = np.float32
+        hb, wb, c = 24, 32, 256
+        x = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        subs = [w_s2d_s2(rng.randn(3, 3, c // 4, 64).astype(f32) * 0.05) for _ in range(3)]
+        w = jnp.asarray(np.concatenate(subs, axis=-1))  # co = 3*256
+        b = jnp.asarray(rng.randn(768).astype(f32) * 0.1)
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_down2(x, w, b, act="lrelu", a_sub=3)
+        y_r = fused_down2_ref(x, w, b, act="lrelu")
+        np.testing.assert_allclose(np.asarray(y, f32), np.asarray(y_r, f32), atol=3e-5)
 
 
 class TestEnsembleMega:
@@ -267,11 +289,17 @@ class TestNativeInt8:
         return y
 
     def test_down2_int8_parity(self, rng):
+        from hdrtv_tpu.models.s2d import w_s2d_s2
         from hdrtv_tpu.ops.megakernel import fused_down2
 
         c, co = 128, 128
         x = jnp.asarray(rng.rand(24, 32, c).astype(np.float32) * 2 - 0.5)
-        w_int8, w_scale, b = self._mk(rng, c, co)
+        # int8 codes must carry the w_s2d_s2 zero structure (real checkpoints
+        # quantize the transformed weight; structural zeros quantize to 0).
+        w_nat = rng.randint(-127, 128, (3, 3, c // 4, co // 4)).astype(np.int8)
+        w_int8 = w_s2d_s2(w_nat).astype(np.int8)
+        w_scale = rng.rand(co).astype(np.float32) * 0.01 + 0.002
+        b = rng.randn(co).astype(np.float32) * 0.1
         for z in (None, -0.11):
             s = 0.011
             qargs = dict(
