@@ -257,7 +257,21 @@ def _agcm_layer_roles(prefix: str = "AGCM.") -> dict[str, str]:
 
 
 def s2d_transform_params(params: dict, cfg: ModelConfig | None = None) -> dict:
-    """Host-side weight rewrite for s2d execution (fp32; cacheable)."""
+    """Host-side weight rewrite for s2d execution (fp32; cacheable).
+
+    Composite (HG) checkpoints arrive with ``base.``-prefixed ensemble keys
+    plus ``hg.*``: the base transforms with the standard roles (prefix
+    stripped — the s2d forward uses unprefixed names), the HG level-1 layers
+    via :func:`hdrtv_tpu.models.hg_s2d.hg_s2d_transform`.
+    """
+    if any(k.startswith("base.") for k in params):
+        from hdrtv_tpu.models.hg_s2d import hg_s2d_transform
+
+        base = {k[len("base."):]: v for k, v in params.items() if k.startswith("base.")}
+        rest = {k: v for k, v in params.items() if not k.startswith("base.")}
+        out = s2d_transform_params(base, cfg)
+        out.update(hg_s2d_transform(rest))
+        return out
     roles = {**_le_layer_roles(), **_agcm_layer_roles()}
     out: dict[str, np.ndarray] = {}
     handled: set[str] = set()
@@ -370,12 +384,16 @@ def conv_s1(p, name, x, *, policy, relu_fused: bool = False, skip: jax.Array | N
     if _use_fused_kernel(x, w):
         from hdrtv_tpu.ops.conv_kernels import fused_block_conv3
 
+        # Every conv_s1 weight comes from a w_s2d_s1(/PS-fold) transform
+        # (role table above), so the kernel may skip the structural zero
+        # row-taps; __in_fused concatenates two transformed blocks.
         y = fused_block_conv3(
             policy.cast(x[0]),
             policy.cast(w),
             p[f"{name}.bias"],
             relu=relu_fused,
             skip=None if skip is None else policy.cast(skip[0]),
+            a_sub=2 if name.endswith("__in_fused") else 1,
         )[None]
         return y
     y = _conv(p, name, x, padding=[(1, 1), (1, 1)], policy=policy)
@@ -666,10 +684,14 @@ def ensemble_s2d(
     img = policy.cast(img)
     xs = s2d(img)
     if _mega_ok(p, xs.shape, policy):
-        out = _ensemble_mega(p, xs[0], cond, policy=policy, pack=False)
-        return d2s(out[None])
-    agcm_out = agcm_s2d(p, xs, cond, policy=policy)
-    out = le_s2d(p, agcm_out, agcm_out, policy=policy)
+        out = _ensemble_mega(p, xs[0], cond, policy=policy, pack=False)[None]
+    else:
+        agcm_out = agcm_s2d(p, xs, cond, policy=policy)
+        out = le_s2d(p, agcm_out, agcm_out, policy=policy)
+    if cfg.use_hg and "hg.conv1.0.weight" in p:
+        from hdrtv_tpu.models.hg_s2d import hg_composite_s2d
+
+        out = hg_composite_s2d(p, out, cfg, policy=policy)
     return d2s(out)
 
 
@@ -735,10 +757,19 @@ def ensemble_s2d_rgb48_flat(
         from hdrtv_tpu.ops.resize import downsample_quarter_aa
 
         cond = downsample_quarter_aa(cframe[None].astype(jnp.float32) * (1.0 / 255.0))
+    use_hg = cfg.use_hg and "hg.conv1.0.weight" in p
     if h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, hb, wb, 12), policy):
         # (Hb,2,Wb,6) row-pair planes — a pure bitcast of the frame rows;
         # the head kernel lane-concats the parities (s2d needs no transpose).
         xr = frame2d_u8.reshape(hb, 2, wb, 6)
+        if use_hg:
+            from hdrtv_tpu.models.hg_s2d import hg_composite_s2d
+
+            base = _ensemble_mega(
+                p, xr, cond, policy=policy, pack=False, scale=1.0 / 255.0, bgr=bgr
+            )
+            out = hg_composite_s2d(p, base[None], cfg, policy=policy)[0]
+            return _pack_rgb48_s2d_flat(out)
         packed = _ensemble_mega(
             p, xr, cond, policy=policy, pack=True, scale=1.0 / 255.0, bgr=bgr
         )
@@ -749,6 +780,20 @@ def ensemble_s2d_rgb48_flat(
     x = frame[None].astype(jnp.float32) * (1.0 / 255.0)
     out = ensemble_s2d(p, x, cond, cfg, policy=policy)
     return pack_rgb48(out[0]).reshape(h, w3)
+
+
+def _pack_rgb48_s2d_flat(out: jax.Array) -> jax.Array:
+    """s2d model output (Hb,Wb,12) [0,1] → flat RGB48 byte rows (H, 3W) u16
+    (the delivery contract, gui_pipeline_worker_feeders.py:193-235).
+
+    (A contiguous-lane-slice form of the row-pair regroup measured ~4 ms
+    slower than this transpose on v5e — u16 minor-dim-6 slices lower badly.)
+    """
+    hb, wb, _ = out.shape
+    v = jnp.clip(out.astype(jnp.float32), 0.0, 1.0) * 65535.0 + 0.5
+    u = v.astype(jnp.int32).astype(jnp.uint16)
+    u = u.reshape(hb, wb, 2, 2, 3).transpose(0, 2, 1, 3, 4)  # (Hb,a,Wb,b,c)
+    return u.reshape(2 * hb, wb * 6)
 
 
 # ---------------------------------------------------------------------------

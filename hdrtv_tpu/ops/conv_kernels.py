@@ -46,7 +46,7 @@ def _pick_th(hb: int, wb: int, c: int, budget: int = 10 * 1024 * 1024, max_th: i
     return hb
 
 
-def _conv3_kernel(x_hbm, w_ref, b_ref, skip_ref, out_ref, x_tile, sem, *, th, wb, c, co, hb, fuse_relu, has_skip):
+def _conv3_kernel(x_hbm, w_ref, b_ref, skip_ref, out_ref, x_tile, sem, *, th, wb, c, co, hb, fuse_relu, has_skip, a_sub, pool_out):
     i = pl.program_id(0)
     n_rows = th + 2
 
@@ -110,19 +110,46 @@ def _conv3_kernel(x_hbm, w_ref, b_ref, skip_ref, out_ref, x_tile, sem, *, th, wb
         shifted = rows[:, : wb - 1, :]
         return jnp.pad(shifted, ((0, 0), (1, 0), (0, 0)))
 
-    acc = jnp.zeros((th * wb, co), jnp.float32)
-    for dI in range(3):
-        for dJ in (-1, 0, 1):
-            xs = tap_view(dI, dJ).reshape(th * wb, c)
-            acc = acc + jnp.dot(
-                xs, w_ref[dI * 3 + (dJ + 1)], preferred_element_type=jnp.float32
-            )
+    views = [tap_view(dI, dJ).reshape(th * wb, c) for dI in range(3) for dJ in (-1, 0, 1)]
+    if a_sub:
+        # w_s2d_s1 structural zeros on the output-row sub-position axis
+        # (di = 2δ + a_in − a_out ∈ [−1,1]): the a0-half of each co sub-block
+        # only uses row taps δ∈{−1,0}, the a1-half δ∈{0,1} — skip the zero
+        # third of the tap dots. Only profitable when the half is ≥128 lanes
+        # (callers gate on that).
+        m = co // (2 * a_sub)
+        chunks = []
+        for s_i in range(a_sub):
+            for hf in range(2):
+                lo = (2 * s_i + hf) * m
+                accc = jnp.zeros((th * wb, m), jnp.float32)
+                for dI in ((0, 1) if hf == 0 else (1, 2)):
+                    for j in range(3):
+                        accc = accc + jnp.dot(
+                            views[dI * 3 + j], w_ref[dI * 3 + j, :, lo : lo + m],
+                            preferred_element_type=jnp.float32,
+                        )
+                chunks.append(accc)
+        acc = jnp.concatenate(chunks, axis=-1)
+    else:
+        acc = jnp.zeros((th * wb, co), jnp.float32)
+        for t in range(9):
+            acc = acc + jnp.dot(views[t], w_ref[t], preferred_element_type=jnp.float32)
     acc = acc + b_ref[0].astype(jnp.float32)
     if has_skip:
         acc = acc + skip_ref[:].reshape(th * wb, co).astype(jnp.float32)
     if fuse_relu:
         acc = jnp.maximum(acc, 0.0)
-    out_ref[:] = acc.reshape(th, wb, co).astype(out_ref.dtype)
+    if pool_out:
+        # 2×2 max pool fused into the epilogue: the full-res conv output
+        # never round-trips HBM (the HG encoder's conv_block → maxpool pairs).
+        y = acc.reshape(th // 2, 2, wb // 2, 2, co)
+        out_ref[:] = jnp.maximum(
+            jnp.maximum(y[:, 0, :, 0], y[:, 0, :, 1]),
+            jnp.maximum(y[:, 1, :, 0], y[:, 1, :, 1]),
+        ).astype(out_ref.dtype)
+    else:
+        out_ref[:] = acc.reshape(th, wb, co).astype(out_ref.dtype)
 
 
 def fused_block_conv3(
@@ -133,21 +160,37 @@ def fused_block_conv3(
     relu: bool = False,
     skip: jax.Array | None = None,
     out_dtype=None,
+    a_sub: int = 0,
+    pool_out: bool = False,
 ) -> jax.Array:
     """3×3 'same' conv over (Hb, Wb, C) with fused bias/ReLU/skip.
 
     ``w``: (3,3,C,Co) HWIO. Requires C, Co multiples of 128 and Wb·C lane
     alignment; callers fall back to lax.conv otherwise.
+    ``a_sub`` > 0 declares the weight w_s2d_s1-structured with that many
+    consolidated co sub-blocks — the kernel then skips the structurally-zero
+    row-tap dots (exact only for transformed weights). Auto-disabled when the
+    half-block is under 128 lanes (no MXU win below one lane register).
     """
     hb, wb, c = x.shape
     co = w.shape[-1]
     out_dtype = out_dtype or x.dtype
+    if a_sub and (co % (2 * a_sub) or co // (2 * a_sub) < 128):
+        a_sub = 0
     th = _pick_th(hb, wb, max(c, co))
+    if pool_out and th % 2:  # pooled tiles need even rows
+        for cand in range(th - 1, 1, -1):
+            if cand % 2 == 0 and hb % cand == 0:
+                th = cand
+                break
+    if pool_out and (th % 2 or hb % 2 or wb % 2):
+        raise ValueError(f"pool_out needs even tile/input dims (th={th}, {hb}x{wb})")
     w9 = w.reshape(9, c, co).astype(x.dtype)
     b2 = b.reshape(1, co).astype(jnp.float32)
 
     kernel = functools.partial(
-        _conv3_kernel, th=th, wb=wb, c=c, co=co, hb=hb, fuse_relu=relu, has_skip=skip is not None
+        _conv3_kernel, th=th, wb=wb, c=c, co=co, hb=hb, fuse_relu=relu, has_skip=skip is not None,
+        a_sub=a_sub, pool_out=pool_out,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
@@ -162,12 +205,18 @@ def fused_block_conv3(
         in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
         args.append(jnp.zeros((1, 1), jnp.float32))
 
+    if pool_out:
+        out_shape = jax.ShapeDtypeStruct((hb // 2, wb // 2, co), out_dtype)
+        out_specs = pl.BlockSpec((th // 2, wb // 2, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((hb, wb, co), out_dtype)
+        out_specs = pl.BlockSpec((th, wb, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((hb, wb, co), out_dtype),
+        out_shape=out_shape,
         grid=(hb // th,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((th, wb, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((th + 2, wb, c), x.dtype),
             pltpu.SemaphoreType.DMA(()),

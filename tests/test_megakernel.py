@@ -134,6 +134,39 @@ class TestKernels:
                 assert y.shape == (hb // 2, wb // 2, co)
                 np.testing.assert_allclose(np.asarray(y, f32), np.asarray(y_r, f32), atol=3e-5)
 
+    def test_block_conv3_a_sub_split(self, rng):
+        """fused_block_conv3 with a_sub=1 on a w_s2d_s1-transformed weight
+        (co=512: the PS up-conv shape) must match the dense lax reference;
+        co=128 auto-disables the split (half-block below one lane register)."""
+        from hdrtv_tpu.models.s2d import w_s2d_s1
+        from hdrtv_tpu.ops.conv_kernels import fused_block_conv3, fused_block_conv3_ref
+
+        f32 = np.float32
+        for c, co in ((128, 512), (128, 128)):
+            x = jnp.asarray(rng.rand(16, 16, c).astype(f32))
+            w = jnp.asarray(w_s2d_s1(rng.randn(3, 3, c // 4, co // 4).astype(f32) * 0.05))
+            b = jnp.asarray(rng.randn(co).astype(f32) * 0.1)
+            with pltpu.force_tpu_interpret_mode():
+                y = fused_block_conv3(x, w, b, relu=True, a_sub=1)
+            y_r = fused_block_conv3_ref(x, w, b, relu=True)
+            np.testing.assert_allclose(np.asarray(y, f32), np.asarray(y_r, f32), atol=3e-5)
+
+    def test_block_conv3_pool_out(self, rng):
+        """pool_out fuses the 2×2 max pool into the conv epilogue — must
+        equal maxpool(conv(x)) (the HG encoder's conv_block→pool pairs)."""
+        from hdrtv_tpu.ops.conv_kernels import fused_block_conv3, fused_block_conv3_ref
+
+        f32 = np.float32
+        x = jnp.asarray(rng.rand(16, 16, 128).astype(f32))
+        w = jnp.asarray(rng.randn(3, 3, 128, 128).astype(f32) * 0.05)
+        b = jnp.asarray(rng.randn(128).astype(f32) * 0.1)
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_block_conv3(x, w, b, relu=True, pool_out=True)
+        full = np.asarray(fused_block_conv3_ref(x, w, b, relu=True), f32)
+        ref = full.reshape(8, 2, 8, 2, 128).max(axis=(1, 3))
+        assert y.shape == (8, 8, 128)
+        np.testing.assert_allclose(np.asarray(y, f32), ref, atol=3e-5)
+
     def test_down2_consolidated_blocks(self, rng):
         """a_sub=3: three w_s2d_s2 sub-blocks concatenated along co (the
         LE.__cond_down consolidation) must equal the dense reference."""
