@@ -112,7 +112,10 @@ class HDRTVNetTPU:
             turbo = env_bool("HDRTVNET_TPU_TURBO", True)
         self.turbo = bool(
             turbo
-            and not cfg.use_hg
+            and (
+                not cfg.use_hg
+                or (cfg.hg_arch == "pixelshuffle" and "hg.conv1.0.weight" in params)
+            )
             and cfg.classifier == "color_condition"
             and cfg.le_arch == "sft"
             and not cfg.post_correction
