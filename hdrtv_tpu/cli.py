@@ -546,6 +546,38 @@ def cmd_live(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """3-way compare snapshot at a frame: SDR | HDR convert | HDR GT with
+    per-pair metrics (the modal compare tool, gui_compare.py role)."""
+    from hdrtv_tpu.pipeline.compare import compare_frame, write_compare_sheet
+    from hdrtv_tpu.pipeline.source import VideoSource
+
+    proc = _make_processor(args)
+    src = VideoSource(args.video)
+    try:
+        src.seek(args.frame)
+        meta = src.read_with_meta()
+        if meta is None:
+            print(f"cannot decode frame {args.frame}")
+            return 1
+        frame_bgr = meta[0]
+    finally:
+        src.close()
+    gt01 = None
+    if args.gt:
+        from hdrtv_tpu.bench.gt_sync import HDRGroundTruthReader, make_frame_map
+
+        gt = HDRGroundTruthReader(args.gt)
+        try:
+            gt01 = gt.read_unit_rgb(make_frame_map(src.fps, gt.fps)(args.frame))
+        finally:
+            gt.close()
+    result = compare_frame(proc, frame_bgr, frame_idx=args.frame, gt_rgb01=gt01)
+    path = write_compare_sheet(result, args.out or "compare")
+    print(json.dumps({"sheet": path, "metrics": result.metrics}, indent=2))
+    return 0
+
+
 def cmd_preview(args) -> int:
     """Exact-seek scrub thumbnails → contact sheet PNG — the
     MpvFilePreviewWidget role (gui_mpv_widget.py:1524: exact scrub previews;
@@ -727,6 +759,14 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--temporal", action="store_true", help="run the temporal stability probe")
     v.add_argument("--out", default=None, help="write ×8 diff contact sheets + report.json")
     v.set_defaults(fn=cmd_validate)
+
+    cp = sub.add_parser("compare", help="3-way compare snapshot (SDR | convert | GT) + metrics")
+    _add_model_args(cp)
+    cp.add_argument("--video", required=True)
+    cp.add_argument("--gt", default=None)
+    cp.add_argument("--frame", type=int, default=0)
+    cp.add_argument("--out", default=None)
+    cp.set_defaults(fn=cmd_compare)
 
     pv = sub.add_parser("preview", help="exact-seek scrub thumbnails → contact sheet PNG")
     pv.add_argument("--video", required=True)

@@ -158,7 +158,7 @@ def run_shell(controller: ShellController, *, refresh_s: float = 0.1) -> None:
     Returns when the controller quits or the runner finishes."""
     import curses
 
-    def loop(scr):
+    def loop(scr):  # pragma: no cover - needs a tty; logic lives in the controller
         curses.curs_set(0)
         scr.nodelay(True)
         keymap = {curses.KEY_LEFT: "LEFT", curses.KEY_RIGHT: "RIGHT"}
@@ -180,7 +180,5 @@ def run_shell(controller: ShellController, *, refresh_s: float = 0.1) -> None:
                 pass  # terminal too small
             scr.refresh()
             time.sleep(refresh_s)
-
-    import curses
 
     curses.wrapper(loop)

@@ -97,6 +97,24 @@ class TestCommands:
         assert rc == 2
         assert "unavailable" in capsys.readouterr().out
 
+    def test_compare_snapshot(self, tmp_path, capsys):
+        import cv2
+
+        path = str(tmp_path / "clip.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25.0, (64, 32))
+        for i in range(8):
+            w.write(np.full((32, 64, 3), 40 + i * 10, np.uint8))
+        w.release()
+        out = str(tmp_path / "cmp")
+        rc = main([
+            "compare", "--model", WEIGHTS, "--video", path, "--gt", path,
+            "--frame", "2", "--resolution", "540p", "--out", out,
+        ])
+        assert rc == 0
+        body = json.loads(capsys.readouterr().out)
+        assert os.path.isfile(body["sheet"])
+        assert "psnr" in {k.lower().split("_")[0] for k in body["metrics"]} or body["metrics"]
+
     def test_preview_contact_sheet(self, tmp_path, capsys):
         import cv2
 
