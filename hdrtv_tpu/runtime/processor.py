@@ -140,6 +140,7 @@ class HDRTVNetTPU:
         self.model_hash = engine_mod.model_fingerprint(params)
         self.registry = engine_mod.EngineRegistry() if persistent_cache else None
         self._timings: dict[str, float] = {}
+        self._mesh_batch_fns: dict[int, Any] = {}
 
     # ------------------------------------------------------------------
     # Fused stages (traced per static frame shape)
@@ -194,6 +195,9 @@ class HDRTVNetTPU:
         BGR→RGB flip into the head kernel weights. The host views the same
         bytes as (H, W, 3) for free.
         """
+        return self._rgb48_flat_body(frame2d_u8)
+
+    def _rgb48_flat_body(self, frame2d_u8: jax.Array) -> jax.Array:
         h, w3 = frame2d_u8.shape
         if self.proc_resolution is not None and (h, w3 // 3) != (
             self.proc_resolution[1], self.proc_resolution[0]
@@ -275,20 +279,50 @@ class HDRTVNetTPU:
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _process_rgb48_batch_jit(self, frames_u8: jax.Array) -> jax.Array:
         """(N,H,W,3) BGR u8 → (N,H,W,3) u16 RGB48 — export/benchmark
-        throughput path; shard N over the mesh's data axis for multi-chip DP."""
-        x = frames_u8[..., ::-1].astype(jnp.float32) * (1.0 / 255.0)
-        cond = self._cond_of(x)
-        out = self._net(x, cond)
-        return pack_rgb48(out)
+        throughput path.
+
+        Maps the *flat byte-row* program over the batch (one dispatch, each
+        frame on the fast turbo path). A naive batched NHWC formulation kept
+        3-minor tensors on the boundary and measured 1.36 s/frame at 1080p —
+        the lane-padding relayouts the flat program exists to avoid."""
+        n, h, w, _ = frames_u8.shape
+        out = jax.lax.map(self._rgb48_flat_body, frames_u8.reshape(n, h, w * 3))
+        return out.reshape(n, h, w, 3)
+
+    def _batch_mesh_fn(self, mesh):
+        """Mesh DP: each device lax.maps its local frame shard (shard_map
+        over the data axis — SURVEY.md §2.8 green-field parallelism)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def per_shard(flat_local):
+            return jax.lax.map(self._rgb48_flat_body, flat_local)
+
+        sharded = shard_map(
+            per_shard, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+            check_rep=False,
+        )
+
+        @jax.jit
+        def run(frames_u8):
+            n, h, w, _ = frames_u8.shape
+            return sharded(frames_u8.reshape(n, h, w * 3)).reshape(n, h, w, 3)
+
+        return run
 
     def process_rgb48_batch(self, frames_bgr: np.ndarray, *, mesh=None) -> np.ndarray:
         """Batched conversion; with ``mesh``, frames are sharded over the
         data axis (frame-batch DP — SURVEY.md §2.8 green-field axis)."""
         arr = jnp.asarray(frames_bgr)
-        if mesh is not None:
+        if mesh is not None and arr.shape[0] % mesh.shape["data"] == 0:
             from hdrtv_tpu.parallel.mesh import frame_sharding
 
+            fn = self._mesh_batch_fns.get(id(mesh))
+            if fn is None:
+                fn = self._batch_mesh_fn(mesh)
+                self._mesh_batch_fns[id(mesh)] = fn
             arr = jax.device_put(arr, frame_sharding(mesh, spatial=False))
+            return np.asarray(fn(arr))
         return np.asarray(self._process_rgb48_batch_jit(arr))
 
     @functools.partial(jax.jit, static_argnums=0)
