@@ -101,19 +101,51 @@ def select_cas_strength(
     return base
 
 
+_SHADER_FILES = {"fsr": "FSR.glsl", "ssim_superres": "SSimSuperRes.glsl"}
+
+
+def shader_path(kernel: str, shader_dir: str | None = None) -> str | None:
+    """Local GLSL shader for a shader-based upscaler, if present.
+
+    The reference downloads FSR/SSimSuperRes on demand (gui_scaling.py
+    `_ensure_*_shader`); this environment has no egress, so shaders are
+    user-provided under ``assets/shaders/`` (HDRTVNET_SHADER_DIR overrides).
+    """
+    import os
+
+    from hdrtv_tpu.utils.env import env_str
+
+    name = _SHADER_FILES.get(kernel)
+    if not name:
+        return None
+    base = shader_dir or env_str("HDRTVNET_SHADER_DIR", "") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "assets", "shaders",
+    )
+    path = os.path.join(base, name)
+    return path if os.path.isfile(path) else None
+
+
 def mpv_scale_args(
-    proc_w: int, proc_h: int, out_w: int, out_h: int, upscale_choice: str | None = None
+    proc_w: int, proc_h: int, out_w: int, out_h: int, upscale_choice: str | None = None,
+    *, shader_dir: str | None = None,
 ) -> list[str]:
     """The mpv flag set implementing the policy above. FSR/SSimSuperRes are
-    shader-based in the reference; without the GLSL files the EWA kernel is
-    the honest substitute, so shader choices fall back to it here."""
+    shader-based: with a local GLSL file the shader chain is applied
+    (``--glsl-shaders``, the reference's shader path); without one the EWA
+    kernel is the honest substitute."""
     kernel = select_scale_kernel(proc_w, proc_h, out_w, out_h, upscale_choice)
-    if kernel in ("fsr", "ssim_superres"):
+    shader = shader_path(kernel, shader_dir) if kernel in _SHADER_FILES else None
+    if kernel in _SHADER_FILES and shader is None:
         mpv_kernel = BEST_MPV_SCALE  # shader absent → best built-in kernel
+    elif kernel in _SHADER_FILES:
+        mpv_kernel = "ewa_lanczos"  # shader does the sharpening; neutral base
     else:
         mpv_kernel = kernel
     antiring = select_scale_antiring(proc_w, proc_h, out_w, out_h, kernel)
     args = [f"--scale={mpv_kernel}"]
+    if shader is not None:
+        args.append(f"--glsl-shaders={shader}")
     if antiring > 0:
         args.append(f"--scale-antiring={antiring:.2f}")
     return args

@@ -51,6 +51,18 @@ class TestScalingPolicy:
         assert any(a.startswith("--scale-antiring=") for a in args)
         assert mpv_scale_args(1920, 1080, 1920, 1080) == ["--scale=bicubic"]
 
+    def test_shader_chain_when_glsl_present(self, tmp_path):
+        from hdrtv_tpu.pipeline.scaling import mpv_scale_args
+
+        (tmp_path / "FSR.glsl").write_text("// fsr")
+        args = mpv_scale_args(1280, 720, 3840, 2160, "FSR", shader_dir=str(tmp_path))
+        assert any(a.startswith("--glsl-shaders=") and a.endswith("FSR.glsl") for a in args)
+        assert "--scale=ewa_lanczos" in args
+        # absent shader → EWA fallback, no shader flag
+        args2 = mpv_scale_args(1280, 720, 3840, 2160, "FSR", shader_dir=str(tmp_path / "nope"))
+        assert not any(a.startswith("--glsl-shaders") for a in args2)
+        assert "--scale=ewa_lanczossharp" in args2
+
     def test_letterbox(self):
         from hdrtv_tpu.pipeline.scaling import letterbox_bgr
 
