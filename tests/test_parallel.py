@@ -113,3 +113,32 @@ class TestMesh:
         out = jax.jit(fn)(*args)
         assert out.shape == (256, 384, 3)
         assert out.dtype == jnp.uint16
+
+
+class TestMultihost:
+    def test_frame_ranges_balanced_and_contiguous(self):
+        from hdrtv_tpu.parallel.multihost import plan_frame_ranges
+
+        ranges = plan_frame_ranges(100, 3)
+        assert ranges == [(0, 34), (34, 67), (67, 100)]
+        sizes = [e - s for s, e in ranges]
+        assert max(sizes) - min(sizes) <= 1
+        assert plan_frame_ranges(2, 4) == [(0, 1), (1, 2), (2, 2), (2, 2)]
+
+    def test_segment_paths_and_concat(self, tmp_path):
+        from hdrtv_tpu.parallel.multihost import concat_command, segment_paths
+
+        segs = segment_paths(str(tmp_path / "out.mov"), 2)
+        assert segs[0].endswith("out.seg000.mov") and segs[1].endswith("out.seg001.mov")
+        lst = str(tmp_path / "list.txt")
+        cmd = concat_command(segs, str(tmp_path / "out.mov"), lst)
+        assert cmd[:4] == ["ffmpeg", "-y", "-f", "concat"]
+        assert "-c" in cmd and "copy" in cmd  # lossless stream copy
+        with open(lst) as f:
+            assert f.read().count("file '") == 2
+
+    def test_initialize_single_host_noop(self, monkeypatch):
+        from hdrtv_tpu.parallel.multihost import initialize_distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert initialize_distributed() is False
