@@ -276,22 +276,27 @@ class HDRTVNetTPU:
             return self._process_rgb48_flat_jit(frame_u8_dev)
         return self._process_rgb48_jit(frame_u8_dev)
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _process_rgb48_batch_jit(self, frames_u8: jax.Array) -> jax.Array:
         """(N,H,W,3) BGR u8 → (N,H,W,3) u16 RGB48 — export/benchmark
         throughput path.
 
-        Maps the *flat byte-row* program over the batch (one dispatch, each
-        frame on the fast turbo path). A naive batched NHWC formulation kept
-        3-minor tensors on the boundary and measured 1.36 s/frame at 1080p —
-        the lane-padding relayouts the flat program exists to avoid."""
+        Dispatches the *flat byte-row* program per frame (async — XLA
+        pipelines the chain; one compile shared with the realtime path).
+        Two rejected designs, both measured: a batched NHWC formulation kept
+        3-minor tensors on the jit boundary (1.36 s/frame at 1080p from
+        lane-padding relayouts), and a ``lax.map`` over the flat body never
+        finished the Mosaic remote compile on this runner (>30 min)."""
         n, h, w, _ = frames_u8.shape
-        out = jax.lax.map(self._rgb48_flat_body, frames_u8.reshape(n, h, w * 3))
-        return out.reshape(n, h, w, 3)
+        flat = frames_u8.reshape(n, h, w * 3)
+        outs = [self._process_rgb48_flat_jit(flat[i]) for i in range(n)]
+        return jnp.stack(outs).reshape(n, h, w, 3)
 
     def _batch_mesh_fn(self, mesh):
         """Mesh DP: each device lax.maps its local frame shard (shard_map
-        over the data axis — SURVEY.md §2.8 green-field parallelism)."""
+        over the data axis — SURVEY.md §2.8 green-field parallelism).
+        Validated on the virtual CPU mesh; on hardware where the Mosaic
+        compile of a mapped kernel body is prohibitive, pair per-host
+        dispatch chaining with parallel/multihost.py instead."""
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
