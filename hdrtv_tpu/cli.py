@@ -220,6 +220,17 @@ def cmd_quality(args) -> int:
     from hdrtv_tpu.pipeline.source import VideoSource
     from hdrtv_tpu.bench.gt_sync import HDRGroundTruthReader, make_frame_map
 
+    if not args.no_validate_gt:
+        # The reference validates the GT pair before enabling metrics
+        # (gui_ground_truth.py:36-158); same gate here, skippable for
+        # synthetic/test material.
+        from hdrtv_tpu.bench.gt_validate import validate_gt_pair
+
+        res = validate_gt_pair(args.gt, args.video)
+        if not res.ok:
+            print(f"GT validation failed: {res.message}")
+            return 2
+        print(f"GT validated: {res.message}")
     proc = _make_processor(args)
     sdr = VideoSource(args.video)
     gt = HDRGroundTruthReader(args.gt)
@@ -689,6 +700,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--gt", required=True, help="HDR ground-truth video")
     q.add_argument("--frames", type=int, default=10)
     q.add_argument("--out", default=None)
+    q.add_argument("--no-validate-gt", action="store_true",
+                   help="skip the GT pair validation gate (synthetic/test material)")
     q.set_defaults(fn=cmd_quality)
 
     e = sub.add_parser("engines", help="engine cache tools")
