@@ -183,3 +183,30 @@ def write_png8(path: str, rgb_u8: np.ndarray) -> None:
 
 def float01_to_u16(x: np.ndarray) -> np.ndarray:
     return (np.clip(x, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16)
+
+
+def write_exr(path: str, rgb_f32: np.ndarray) -> bool:
+    """float32 linear EXR (gui_hdr_io.py EXR writer role). OpenCV's OpenEXR
+    codec is often compiled out or env-gated; returns False when unavailable
+    so callers can fall back to write_tiff16."""
+    import os
+
+    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+    import cv2
+
+    try:
+        return bool(cv2.imwrite(path, rgb_f32[..., ::-1].astype(np.float32)))
+    except cv2.error:
+        return False
+
+
+def write_hdr_image(path: str, rgb01: np.ndarray) -> str:
+    """Write an HDR artifact by extension (.exr float, .tiff/.png u16),
+    falling back to 16-bit TIFF when EXR isn't supported. Returns the path
+    actually written."""
+    if path.lower().endswith(".exr"):
+        if write_exr(path, np.asarray(rgb01, np.float32)):
+            return path
+        path = path[:-4] + ".tiff"
+    write_tiff16(path, float01_to_u16(np.asarray(rgb01, np.float32)))
+    return path

@@ -170,3 +170,31 @@ class TestGTValidation:
         w.start()
         res = w.join(timeout=30)
         assert w.canceled and not res.ok
+
+
+class TestHDRWriters:
+    def test_write_hdr_image_by_extension(self, tmp_path):
+        from hdrtv_tpu.bench.hdr_io import write_hdr_image
+
+        rgb = np.random.RandomState(0).rand(8, 12, 3).astype(np.float32)
+        tiff = write_hdr_image(str(tmp_path / "a.tiff"), rgb)
+        back = cv2.imread(tiff, cv2.IMREAD_UNCHANGED)
+        assert back.dtype == np.uint16 and back.shape == (8, 12, 3)
+        np.testing.assert_allclose(
+            back[..., ::-1].astype(np.float32) / 65535.0, rgb, atol=1e-4
+        )
+
+    def test_exr_writes_or_falls_back(self, tmp_path):
+        from hdrtv_tpu.bench.hdr_io import write_hdr_image
+
+        rgb = np.random.RandomState(1).rand(8, 12, 3).astype(np.float32) * 2.0  # >1 HDR
+        path = write_hdr_image(str(tmp_path / "b.exr"), rgb)
+        import os
+
+        assert os.path.isfile(path)
+        if path.endswith(".exr"):
+            back = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if back is not None:  # codec readable → float round-trip
+                np.testing.assert_allclose(back[..., ::-1], rgb, atol=1e-3)
+        else:
+            assert path.endswith(".tiff")  # graceful fallback
