@@ -102,8 +102,9 @@ class TestPacing:
     def test_clock_no_skip_when_on_time(self):
         from hdrtv_tpu.pipeline.pacing import PresentationClock
 
-        # Slow clock: generous slack so CI scheduler jitter can't force a skip.
-        clk = PresentationClock(fps=20)
+        # Very slow clock: a skip needs >1.1 frames (220 ms) of scheduler
+        # stall, which even a loaded full-suite run doesn't produce.
+        clk = PresentationClock(fps=5)
         clk.start()
         skips = [clk.wait_for_slot() for _ in range(3)]
         assert sum(skips) == 0
