@@ -19,6 +19,14 @@ import time
 import numpy as np
 
 
+import os as _os
+import sys as _sys
+
+# PYTHONPATH can break axon plugin discovery on this runner; append the repo
+# root at runtime instead (same fix as tools/profile_frame.py).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="include 4K measurement")
