@@ -210,11 +210,16 @@ def _up_block_f(p: Params, name: str, x: jax.Array, *, policy: Policy) -> jax.Ar
     return pixel_shuffle(_conv3_fused(p, f"{name}.0", x, relu_after=True, policy=policy), 2)
 
 
-def hg_s2d_apply(p: Params, img_s2d: jax.Array, mask4: jax.Array, *, policy: Policy = F32) -> jax.Array:
+def hg_s2d_apply(
+    p: Params, img_s2d: jax.Array, mask4: jax.Array, *, policy: Policy = F32,
+    pack: bool = False,
+) -> jax.Array:
     """Hallucination_Generator.forward over s2d level-1 tensors.
 
     ``img_s2d``: (N,Hbp,Wbp,12) — the /16-grid-padded s2d base output;
-    ``mask4``: (N,Hbp,Wbp,4). Returns the composited s2d output (…,12).
+    ``mask4``: (N,Hbp,Wbp,4). Returns the composited s2d output (…,12), or
+    with ``pack`` (and the fused tail eligible) packed u16 (N,Hbp,2,Wbp,6)
+    RGB48 rows straight from the tail kernel.
     """
     img_s2d = policy.cast(img_s2d)
 
@@ -245,28 +250,67 @@ def hg_s2d_apply(p: Params, img_s2d: jax.Array, mask4: jax.Array, *, policy: Pol
     # Up_conv5 with the PS fold: output IS the full-res s2d tensor.
     up5 = relu(conv2d(p, "hg.Up_conv5.0", u, padding=1, policy=policy))
 
+    from hdrtv_tpu.utils.env import env_bool
+
+    # Default OFF pending an on-chip measurement: the 1080p compile of this
+    # program never completed on the round-2 runner (>23 min in the remote
+    # Mosaic helper), so the measured-83 ms XLA path stays the default.
+    # Interpret-mode parity is tested; flip on where the compile lands.
+    tail_ok = (
+        pack
+        and env_bool("HDRTV_HG_TAIL", False)
+        and (jax.default_backend() == "tpu" or env_bool("HDRTV_MEGAKERNEL_INTERPRET", False))
+        and up5.shape[0] == 1
+        and up5.shape[2] % 8 == 0
+    )
+    if tail_ok:
+        # One HBM pass: concat-free 1×1s + composite + RGB48 pack
+        # (the profiled concat pad/max + relayout + pack-transpose bucket).
+        from hdrtv_tpu.ops.megakernel import fused_hg_tail
+
+        return fused_hg_tail(
+            policy.cast(up5[0]), policy.cast(c1[0]), img_s2d[0], mask4[0],
+            p["hg.conv10.weight"][0, 0], p["hg.conv10.bias"],
+            p["hg.conv_last.weight"][0, 0], p["hg.conv_last.bias"],
+        )[None]
+
     # 1×1 mixes over concats (weights concat-permuted at transform time).
-    # A concat-free two-dot form was measured SLOWER on v5e (the matmul
-    # operands force relayouts XLA's 1×1-conv path avoids) — keep the convs.
+    # A concat-free two-dot form in plain XLA measured SLOWER on v5e (the
+    # matmul operands force relayouts the 1×1-conv path avoids) — keep the
+    # convs on the unpacked path.
     cat = jnp.concatenate((up5, c1), axis=-1)
     u10 = conv2d(p, "hg.conv10", cat, policy=policy)  # (…,12)
     out = conv2d(p, "hg.conv_last", jnp.concatenate((u10, img_s2d), axis=-1), policy=policy)
     mask_rep = jnp.repeat(mask4, 3, axis=-1).astype(out.dtype)
-    return mask_rep * out + img_s2d
+    comp = mask_rep * out + img_s2d
+    if pack:
+        from hdrtv_tpu.models.s2d import _pack_rgb48_s2d_flat
+
+        n, hb, wb, _ = comp.shape
+        return _pack_rgb48_s2d_flat(comp[0]).reshape(hb, 2, wb, 6)[None]
+    return comp
 
 
 def hg_composite_s2d(
-    p: Params, base_s2d: jax.Array, cfg, *, policy: Policy = F32
+    p: Params, base_s2d: jax.Array, cfg, *, policy: Policy = F32, pack: bool = False
 ) -> jax.Array:
     """Mask → /16-grid reflect pad → HG → crop, over the s2d base output
-    (HG_Composite_arch.py:86-107 in the block domain)."""
+    (HG_Composite_arch.py:86-107 in the block domain). With ``pack`` the
+    result is the flat u16 RGB48 byte rows (2Hb, 6Wb) — the delivery
+    contract — straight from the fused tail when eligible (the crop is then
+    a u16 row/col slice)."""
     n, hb, wb, _ = base_s2d.shape
     mask4 = mask_s2d(base_s2d, r=cfg.mask_r)
     pgh = (16 - hb % 16) % 16
     pgw = (16 - wb % 16) % 16
     base_pad = pad_reflect_s2d(base_s2d, pgh, pgw)
     mask_pad = pad_reflect_s2d(mask4, pgh, pgw)
-    out = hg_s2d_apply(p, base_pad, mask_pad, policy=policy)
+    out = hg_s2d_apply(p, base_pad, mask_pad, policy=policy, pack=pack)
+    if pack:
+        packed = out[0]  # (Hbp, 2, Wbp, 6)
+        if pgh or pgw:
+            packed = packed[:hb, :, :wb, :]
+        return packed.reshape(2 * hb, wb * 6)
     if pgh or pgw:
         out = out[:, :hb, :wb, :]
     return out

@@ -768,8 +768,7 @@ def ensemble_s2d_rgb48_flat(
             base = _ensemble_mega(
                 p, xr, cond, policy=policy, pack=False, scale=1.0 / 255.0, bgr=bgr
             )
-            out = hg_composite_s2d(p, base[None], cfg, policy=policy)[0]
-            return _pack_rgb48_s2d_flat(out)
+            return hg_composite_s2d(p, base[None], cfg, policy=policy, pack=True)
         packed = _ensemble_mega(
             p, xr, cond, policy=policy, pack=True, scale=1.0 / 255.0, bgr=bgr
         )

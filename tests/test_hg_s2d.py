@@ -157,6 +157,7 @@ class TestHGS2d:
         ref = np.asarray(pack_rgb48(ensemble_s2d(sp, x, cond, cfg, policy=F32)[0]))
 
         _os.environ["HDRTV_MEGAKERNEL_INTERPRET"] = "1"
+        _os.environ["HDRTV_HG_TAIL"] = "1"  # cover the fused-tail integration
         try:
             with pltpu.force_tpu_interpret_mode():
                 got = np.asarray(
@@ -164,6 +165,7 @@ class TestHGS2d:
                 ).reshape(64, 96, 3)
         finally:
             del _os.environ["HDRTV_MEGAKERNEL_INTERPRET"]
+            del _os.environ["HDRTV_HG_TAIL"]
         diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1  # fp reassociation at the u16 rounding boundary
 

@@ -167,6 +167,28 @@ class TestKernels:
         assert y.shape == (8, 8, 128)
         np.testing.assert_allclose(np.asarray(y, f32), ref, atol=3e-5)
 
+    def test_hg_tail_parity(self, rng):
+        """fused_hg_tail (concat-free conv10/conv_last + composite + pack)
+        vs the jnp reference."""
+        from hdrtv_tpu.ops.megakernel import fused_hg_tail, fused_hg_tail_ref
+
+        f32 = np.float32
+        hb, wb = 16, 16
+        up5 = jnp.asarray(rng.rand(hb, wb, 256).astype(f32))
+        c1 = jnp.asarray(rng.rand(hb, wb, 256).astype(f32))
+        img = jnp.asarray(rng.rand(hb, wb, 12).astype(f32))
+        mask = jnp.asarray((rng.rand(hb, wb, 4) > 0.5).astype(f32))
+        w10 = jnp.asarray(rng.randn(512, 12).astype(f32) * 0.05)
+        b10 = jnp.asarray(rng.randn(12).astype(f32) * 0.1)
+        wl = jnp.asarray(rng.randn(24, 12).astype(f32) * 0.3)
+        bl = jnp.asarray(rng.randn(12).astype(f32) * 0.1)
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_hg_tail(up5, c1, img, mask, w10, b10, wl, bl)
+        y_r = fused_hg_tail_ref(up5, c1, img, mask, w10, b10, wl, bl)
+        assert y.shape == (hb, 2, wb, 6) and y.dtype == jnp.uint16
+        diff = np.abs(np.asarray(y).astype(np.int64) - np.asarray(y_r).astype(np.int64))
+        assert diff.max() <= 1  # fp reassociation at the u16 boundary
+
     def test_down2_consolidated_blocks(self, rng):
         """a_sub=3: three w_s2d_s2 sub-blocks concatenated along co (the
         LE.__cond_down consolidation) must equal the dense reference."""
