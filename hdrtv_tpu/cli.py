@@ -170,6 +170,10 @@ def cmd_convert(args) -> int:
         f"1%low={m.fps_1pct_low:.2f} model={m.model_ms:.2f}ms rt×={m.realtime_factor:.2f} "
         f"dev_mem={m.device_mem_mb}MB rss={m.host_rss_mb}MB"
     )
+    if args.stages:
+        # per-stage host timing table (reference CLI stage report,
+        # main.py:282-331)
+        print(runner.timers.report())
     if args.log_session:
         # Log Session artifact layout (gui_playback_logging.py:276-534).
         import time as _time
@@ -674,6 +678,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--audio-track", type=int, default=None, help="audio stream ordinal (probe_audio_streams)")
     c.add_argument("--interactive", action="store_true",
                    help="terminal shell: pause/seek/precision/resolution hot-keys + live metrics")
+    c.add_argument("--stages", action="store_true", help="print the per-stage timing table")
     c.set_defaults(fn=cmd_convert)
 
     lv = sub.add_parser("live", help="live capture → HDR display (x11/v4l2/synthetic)")

@@ -120,6 +120,11 @@ class PipelineRunner:
         # _emit_runtime_metrics_if_ready cadence, runtime_metrics.py:79).
         self.on_metrics = on_metrics
         self._last_emit = 0.0
+        # Per-stage host timing (decode/submit/render — the reference CLI's
+        # stage report, main.py:282-331, via utils/profiling.StageTimers).
+        from hdrtv_tpu.utils.profiling import StageTimers
+
+        self.timers = StageTimers()
         self.clock = PresentationClock(getattr(source, "fps", 30.0))
         self.metrics = RuntimeMetrics()
         self._stamps: list[float] = []
@@ -248,9 +253,10 @@ class PipelineRunner:
                 start = t_submit if prev_done is None else max(prev_done, t_submit)
                 model_ms.append((t_done - start) * 1e3)
                 prev_done = t_done
-                if sdr is not None:
-                    self.sink.show_sdr(sdr, pts)
-                self.sink.show(host, pts)
+                with self.timers.stage("render"):
+                    if sdr is not None:
+                        self.sink.show_sdr(sdr, pts)
+                    self.sink.show(host, pts)
                 self._stamps.append(time.monotonic())
             feeder_done.set()
 
@@ -276,11 +282,13 @@ class PipelineRunner:
                         if self.source.read_with_meta() is None:
                             break
                     self.metrics.dropped = self.clock.dropped
-                meta = self.source.read_with_meta()
+                with self.timers.stage("decode"):
+                    meta = self.source.read_with_meta()
                 if meta is None:
                     break
                 self._last_frame = meta
-                self._submit(meta, inflight)  # blocks when ring full
+                with self.timers.stage("submit"):
+                    self._submit(meta, inflight)  # blocks when ring full
                 processed += 1
                 media_seconds = meta[2]
                 now = time.monotonic()

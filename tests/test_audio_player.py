@@ -119,3 +119,28 @@ class TestRunnerMetricsCallback:
         assert len(snaps) >= 2
         assert all(s.frames <= 90 for s in snaps)
         assert snaps[-1].frames > snaps[0].frames
+
+
+class TestRunnerStageTimers:
+    def test_stages_populated(self, capsys):
+        from hdrtv_tpu.pipeline.runner import PipelineRunner
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        class _Proc:
+            def process_rgb48_device(self, flat_u8):
+                import jax.numpy as jnp
+
+                return flat_u8.astype(jnp.uint16)
+
+        class _Sink:
+            def show(self, *a):
+                pass
+
+        r = PipelineRunner(SyntheticSource(64, 32, fps=1000, frames=6), _Proc(), _Sink(),
+                           realtime=False, max_frames=6)
+        r.run()
+        d = r.timers.as_dict()
+        assert set(d) >= {"decode", "submit", "render"}
+        assert d["decode"]["count"] >= 6 and d["render"]["count"] == 6
+        report = r.timers.report()
+        assert "decode" in report and "p99" in report
