@@ -202,6 +202,8 @@ def cmd_convert(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import contextlib
+
     from hdrtv_tpu.bench.playback import PlaybackRunConfig, run_playback_benchmark
 
     proc = _make_processor(args)
@@ -214,7 +216,17 @@ def cmd_bench(args) -> int:
         duration_s=args.duration,
     )
     out_dir = args.out or os.path.join("logs", "playback_sessions", "cli")
-    res = run_playback_benchmark(cfg, proc, out_dir)
+    trace_cm = contextlib.nullcontext()
+    if args.trace:
+        # device-level op timeline for offline xprof inspection (the engine
+        # inspector role, utils/profiling.device_trace)
+        from hdrtv_tpu.utils.profiling import device_trace
+
+        trace_cm = device_trace(args.trace)
+    with trace_cm:
+        res = run_playback_benchmark(cfg, proc, out_dir)
+    if args.trace:
+        print(f"device trace written to {args.trace}")
     print(json.dumps(res.__dict__, default=str, indent=2))
     return 0
 
@@ -697,6 +709,7 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--duration", type=float, default=30.0)
     b.add_argument("--no-realtime", action="store_true")
     b.add_argument("--out", default=None)
+    b.add_argument("--trace", default=None, help="write a jax.profiler device trace to this dir")
     b.set_defaults(fn=cmd_bench)
 
     q = sub.add_parser("quality", help="model quality benchmark")

@@ -135,3 +135,17 @@ class TestCommands:
         monkeypatch.setenv("HDRTVNET_ENGINE_CACHE_DIR", str(tmp_path))
         rc = main(["engines", "list"])
         assert rc == 0
+
+
+class TestBenchTrace:
+    def test_bench_with_device_trace(self, tmp_path, capsys):
+        rc = main([
+            "bench", "--model", WEIGHTS, "--resolution", "540p",
+            "--duration", "0.3", "--no-realtime",
+            "--out", str(tmp_path / "session"),
+            "--trace", str(tmp_path / "trace"),
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "device trace written" in out
+        assert os.path.isdir(tmp_path / "trace")
