@@ -42,13 +42,19 @@ def probe_video(path: str) -> dict:
             ],
             capture_output=True, text=True, timeout=30,
         ).stdout.strip()
-        w, h, rate, nb = (out.split(",") + ["", ""])[:4]
-        num, _, den = rate.partition("/")
-        fps = float(num) / float(den or 1) if num else 30.0
-        return {
-            "width": int(w), "height": int(h), "fps": fps,
-            "frames": int(nb) if nb.isdigit() else None,
-        }
+        w, h, rate, nb = (out.split(",") + ["", "", "", ""])[:4]
+        # Audio-only / broken streams yield empty or "N/A" fields — fall
+        # through to the cv2 probe instead of crashing on int().
+        if w.isdigit() and h.isdigit():
+            num, _, den = rate.partition("/")
+            try:
+                fps = float(num) / float(den or 1)
+            except ValueError:
+                fps = 30.0
+            return {
+                "width": int(w), "height": int(h), "fps": fps,
+                "frames": int(nb) if nb.isdigit() else None,
+            }
     import cv2
 
     cap = cv2.VideoCapture(path)

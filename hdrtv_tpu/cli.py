@@ -47,12 +47,24 @@ def _make_processor(args):
     # to these dims (gui_scaling.py:228 applied per frame in the reference
     # worker, gui_pipeline_worker_frame_processing.py:168-331).
     proc_res = processing_dims(args.resolution) if getattr(args, "resolution", None) else None
+    mesh = None
+    if getattr(args, "mesh", None) == "spatial":
+        import jax
+
+        from hdrtv_tpu.parallel.mesh import spatial_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = spatial_mesh()
+            print(f"mesh: spatial W-sharding over {len(jax.devices())} devices")
+        else:
+            print("--mesh spatial requested but only one device is visible; running single-chip")
     return HDRTVNetTPU(
         model_path,
         precision=precision_token,
         use_hg=args.use_hg or None,
         hg_path=args.hg_weights,
         proc_resolution=proc_res,
+        mesh=mesh,
     )
 
 
@@ -525,7 +537,8 @@ def cmd_info(args) -> int:
 
 
 def cmd_export(args) -> int:
-    from hdrtv_tpu.pipeline.export import ExportConfig, export_video
+    from hdrtv_tpu.pipeline.export import ExportConfig, export_video, export_video_multihost
+    from hdrtv_tpu.utils.env import env_int
 
     proc = _make_processor(args)
     cfg = ExportConfig(
@@ -535,7 +548,17 @@ def cmd_export(args) -> int:
         batch=args.batch,
         use_mesh=args.mesh,
     )
-    stats = export_video(args.video, proc, cfg)
+    hosts = args.hosts or env_int("HDRTV_EXPORT_HOSTS", 1)
+    if hosts > 1:
+        # Export farm: this process renders its frame range; host 0 also
+        # reassembles (gui_export.py:796 worker semantics, scaled out).
+        host_id = args.host_id if args.host_id is not None else env_int("HDRTV_EXPORT_HOST_ID", 0)
+        from hdrtv_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed()  # no-op single-host; wires jax.distributed when env set
+        stats = export_video_multihost(args.video, proc, cfg, hosts=hosts, host_id=host_id)
+    else:
+        stats = export_video(args.video, proc, cfg)
     print(json.dumps(stats, indent=2))
     return 0
 
@@ -691,6 +714,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--interactive", action="store_true",
                    help="terminal shell: pause/seek/precision/resolution hot-keys + live metrics")
     c.add_argument("--stages", action="store_true", help="print the per-stage timing table")
+    c.add_argument("--mesh", default=None, choices=["spatial"],
+                   help="shard each frame's W over all devices (single-frame latency scale-out)")
     c.set_defaults(fn=cmd_convert)
 
     lv = sub.add_parser("live", help="live capture → HDR display (x11/v4l2/synthetic)")
@@ -844,6 +869,10 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--codec", default="prores", choices=["prores", "hevc", "raw", "png16"])
     x.add_argument("--batch", type=int, default=1, help="frames per dispatch (DP when >1)")
     x.add_argument("--mesh", action="store_true", help="shard batches over the device mesh")
+    x.add_argument("--hosts", type=int, default=None,
+                   help="export-farm width: total hosts splitting the frame range (env HDRTV_EXPORT_HOSTS)")
+    x.add_argument("--host-id", type=int, default=None,
+                   help="this host's index in the farm (env HDRTV_EXPORT_HOST_ID; host 0 reassembles)")
     x.set_defaults(fn=cmd_export)
 
     return p

@@ -212,7 +212,7 @@ def _up_block_f(p: Params, name: str, x: jax.Array, *, policy: Policy) -> jax.Ar
 
 def hg_s2d_apply(
     p: Params, img_s2d: jax.Array, mask4: jax.Array, *, policy: Policy = F32,
-    pack: bool = False,
+    pack: bool = False, tail_on: bool | None = None,
 ) -> jax.Array:
     """Hallucination_Generator.forward over s2d level-1 tensors.
 
@@ -252,13 +252,15 @@ def hg_s2d_apply(
 
     from hdrtv_tpu.utils.env import env_bool
 
-    # Default OFF pending an on-chip measurement: the 1080p compile of this
-    # program never completed on the round-2 runner (>23 min in the remote
-    # Mosaic helper), so the measured-83 ms XLA path stays the default.
-    # Interpret-mode parity is tested; flip on where the compile lands.
+    # In split-program execution (runtime/processor.py HG split: base and HG
+    # stages are separate jits) the tail kernel is the only Mosaic module in
+    # its program and compiles within budget — callers pass ``tail_on=True``
+    # there. The single-jit default stays OFF: that program's 1080p compile
+    # never finished on the round-2 runner (>23 min in the remote Mosaic
+    # helper, base megakernels + tail in one budget).
     tail_ok = (
         pack
-        and env_bool("HDRTV_HG_TAIL", False)
+        and env_bool("HDRTV_HG_TAIL", bool(tail_on))
         and (jax.default_backend() == "tpu" or env_bool("HDRTV_MEGAKERNEL_INTERPRET", False))
         and up5.shape[0] == 1
         and up5.shape[2] % 8 == 0
@@ -292,7 +294,8 @@ def hg_s2d_apply(
 
 
 def hg_composite_s2d(
-    p: Params, base_s2d: jax.Array, cfg, *, policy: Policy = F32, pack: bool = False
+    p: Params, base_s2d: jax.Array, cfg, *, policy: Policy = F32, pack: bool = False,
+    tail_on: bool | None = None,
 ) -> jax.Array:
     """Mask → /16-grid reflect pad → HG → crop, over the s2d base output
     (HG_Composite_arch.py:86-107 in the block domain). With ``pack`` the
@@ -305,7 +308,7 @@ def hg_composite_s2d(
     pgw = (16 - wb % 16) % 16
     base_pad = pad_reflect_s2d(base_s2d, pgh, pgw)
     mask_pad = pad_reflect_s2d(mask4, pgh, pgw)
-    out = hg_s2d_apply(p, base_pad, mask_pad, policy=policy, pack=pack)
+    out = hg_s2d_apply(p, base_pad, mask_pad, policy=policy, pack=pack, tail_on=tail_on)
     if pack:
         packed = out[0]  # (Hbp, 2, Wbp, 6)
         if pgh or pgw:

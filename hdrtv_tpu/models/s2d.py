@@ -367,9 +367,9 @@ def _use_fused_kernel(x: jax.Array, w: jax.Array) -> bool:
     if x.shape[0] != 1:
         return False
     c, co = w.shape[2], w.shape[3]
-    if env_bool("HDRTV_WIDE_KERNELS", False):
-        # any 4-multiple channels (narrow heads included)
-        return c % 4 == 0 and co % 4 == 0 and x.shape[2] % 8 == 0
+    # 128-multiples only: narrow-channel variants were measured neutral-to-
+    # worse on v5e across rounds 1-2 (PERF_NOTES) and their opt-in flag was
+    # removed in round 3 — the megakernels own the narrow L0 sections now.
     return c % 128 == 0 and co % 128 == 0 and x.shape[2] % 8 == 0
 
 
@@ -675,15 +675,19 @@ def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax
 
 
 def ensemble_s2d(
-    p: Params, img: jax.Array, cond: jax.Array, cfg: ModelConfig = ModelConfig(), *, policy: Policy = F32
+    p: Params, img: jax.Array, cond: jax.Array, cfg: ModelConfig = ModelConfig(), *, policy: Policy = F32,
+    mega: bool = True,
 ) -> jax.Array:
     """Full ensemble in s2d mode: natural NHWC in → natural NHWC out.
 
     ``img``: (N,H,W,3) [0,1] RGB (H,W even); ``cond``: natural ¼-res image.
+    ``mega=False`` forces the plain-lax s2d path — required under GSPMD
+    spatial sharding (XLA cannot partition Pallas custom calls; the lax
+    program partitions cleanly with automatic halo exchange).
     """
     img = policy.cast(img)
     xs = s2d(img)
-    if _mega_ok(p, xs.shape, policy):
+    if mega and _mega_ok(p, xs.shape, policy):
         out = _ensemble_mega(p, xs[0], cond, policy=policy, pack=False)[None]
     else:
         agcm_out = agcm_s2d(p, xs, cond, policy=policy)
@@ -702,6 +706,7 @@ def ensemble_s2d_rgb48(
     cfg: ModelConfig = ModelConfig(),
     *,
     policy: Policy = F32,
+    mega: bool = True,
 ) -> jax.Array:
     """uint8 RGB frame (H,W,3) → uint16 RGB48 PQ code values, fully fused.
 
@@ -713,12 +718,12 @@ def ensemble_s2d_rgb48(
     from hdrtv_tpu.ops.pack import pack_rgb48
 
     h, w, _ = frame_u8.shape
-    if h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, h // 2, w // 2, 12), policy):
+    if mega and h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, h // 2, w // 2, 12), policy):
         return ensemble_s2d_rgb48_flat(
             p, frame_u8.reshape(h, w * 3), cond, cfg, policy=policy
         ).reshape(h, w, 3)
     x = frame_u8[None].astype(jnp.float32) * (1.0 / 255.0)
-    out = ensemble_s2d(p, x, cond, cfg, policy=policy)
+    out = ensemble_s2d(p, x, cond, cfg, policy=policy, mega=mega)
     return pack_rgb48(out[0])
 
 
@@ -779,6 +784,46 @@ def ensemble_s2d_rgb48_flat(
     x = frame[None].astype(jnp.float32) * (1.0 / 255.0)
     out = ensemble_s2d(p, x, cond, cfg, policy=policy)
     return pack_rgb48(out[0]).reshape(h, w3)
+
+
+def ensemble_s2d_base_flat(
+    p: Params,
+    frame2d_u8: jax.Array,
+    cond: jax.Array | None = None,
+    *,
+    policy: Policy = F32,
+    bgr: bool = False,
+) -> jax.Array:
+    """Stage 1 of the split HG program: (H, 3W) uint8 rows → base s2d output
+    (1, Hb, Wb, 12) in the compute dtype.
+
+    Identical math to the base portion of ``ensemble_s2d_rgb48_flat`` (mega
+    path when eligible, plain s2d otherwise); the HG composite + pack run in
+    a *separate* jit (runtime/processor.py) so each program stays within the
+    Mosaic compile budget — the round-2 blocker for the fused HG tail.
+    """
+    h, w3 = frame2d_u8.shape
+    w = w3 // 3
+    hb, wb = h // 2, w // 2
+    if cond is None:
+        cframe = frame2d_u8.reshape(h, w, 3)
+        if bgr:
+            cframe = cframe[..., ::-1]
+        from hdrtv_tpu.ops.resize import downsample_quarter_aa
+
+        cond = downsample_quarter_aa(cframe[None].astype(jnp.float32) * (1.0 / 255.0))
+    if h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, hb, wb, 12), policy):
+        xr = frame2d_u8.reshape(hb, 2, wb, 6)
+        return _ensemble_mega(
+            p, xr, cond, policy=policy, pack=False, scale=1.0 / 255.0, bgr=bgr
+        )[None]
+    frame = frame2d_u8.reshape(h, w, 3)
+    if bgr:
+        frame = frame[..., ::-1]
+    x = policy.cast(frame[None].astype(jnp.float32) * (1.0 / 255.0))
+    xs = s2d(x)
+    agcm_out = agcm_s2d(p, xs, cond, policy=policy)
+    return le_s2d(p, agcm_out, agcm_out, policy=policy)
 
 
 def _pack_rgb48_s2d_flat(out: jax.Array) -> jax.Array:

@@ -564,22 +564,30 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act
     # sub-block of co (a_sub of them) is laid out [a0-half | a1-half], so
     # each half contracts only 2 of the 3 row taps — skipping the MXU work
     # the structural zeros would otherwise burn (1/3 of the kernel's FLOPs).
-    m = co // (2 * a_sub)
-    chunks = []
-    for s_i in range(a_sub):
-        for hf in range(2):
-            lo = (2 * s_i + hf) * m
-            taps = (0, 1) if hf == 0 else (1, 2)
-            accc = jnp.zeros((th * wbo, m), acc_t)
-            for dI in taps:
-                accc = accc + jnp.dot(
-                    rows_d[dI], wcat_ref[dI, :, lo : lo + m], preferred_element_type=acc_t
-                )
-                accc = accc + jnp.dot(
-                    sh_d[dI], wr_ref[dI, :, lo : lo + m], preferred_element_type=acc_t
-                )
-            chunks.append(accc)
-    acc = jnp.concatenate(chunks, axis=-1)
+    if a_sub == 0:
+        # Dense path: no structural-zero assumption — all 3 row taps for the
+        # full co extent (fallback for untransformed / oddly-laid-out weights).
+        acc = jnp.zeros((th * wbo, co), acc_t)
+        for dI in range(3):
+            acc = acc + jnp.dot(rows_d[dI], wcat_ref[dI], preferred_element_type=acc_t)
+            acc = acc + jnp.dot(sh_d[dI], wr_ref[dI], preferred_element_type=acc_t)
+    else:
+        m = co // (2 * a_sub)
+        chunks = []
+        for s_i in range(a_sub):
+            for hf in range(2):
+                lo = (2 * s_i + hf) * m
+                taps = (0, 1) if hf == 0 else (1, 2)
+                accc = jnp.zeros((th * wbo, m), acc_t)
+                for dI in taps:
+                    accc = accc + jnp.dot(
+                        rows_d[dI], wcat_ref[dI, :, lo : lo + m], preferred_element_type=acc_t
+                    )
+                    accc = accc + jnp.dot(
+                        sh_d[dI], wr_ref[dI, :, lo : lo + m], preferred_element_type=acc_t
+                    )
+                chunks.append(accc)
+        acc = jnp.concatenate(chunks, axis=-1)
     if quant:
         acc = acc.astype(jnp.float32) * yscale_ref[0].astype(jnp.float32)
     acc = _apply_act(acc + b_ref[0].astype(jnp.float32), act)

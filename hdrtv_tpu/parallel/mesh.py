@@ -46,6 +46,22 @@ def make_mesh(
     return Mesh(arr, axes)
 
 
+def spatial_mesh(n_devices: int | None = None, *, devices: list | None = None) -> Mesh:
+    """1×N mesh putting every device on the spatial axis — the single-frame
+    latency configuration (``cli convert --mesh spatial``)."""
+    devs = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs).reshape(1, len(devs)), ("data", "spatial"))
+
+
+def flat_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the flat byte-row contract (H, 3W): columns over the
+    spatial axis. 3W/n_sp stays channel-aligned whenever n_sp divides W, so
+    a flat column shard IS a W-pixel shard."""
+    return NamedSharding(mesh, P(None, "spatial"))
+
+
 def frame_sharding(mesh: Mesh, *, batch: bool = True, spatial: bool = True) -> NamedSharding:
     """Sharding for NHWC frame batches: N over data, W over spatial.
 

@@ -80,7 +80,10 @@ def concat_command(segments: list[str], output: str, list_path: str) -> list[str
     export chain's ProRes)."""
     with open(list_path, "w") as f:
         for seg in segments:
-            f.write(f"file '{os.path.abspath(seg)}'\n")
+            # Concat-demuxer quoting: a single quote inside a quoted string
+            # is written as '\'' (close, escaped quote, reopen).
+            path = os.path.abspath(seg).replace("'", "'\\''")
+            f.write(f"file '{path}'\n")
     return [
         "ffmpeg", "-y", "-f", "concat", "-safe", "0",
         "-i", list_path, "-c", "copy", output,

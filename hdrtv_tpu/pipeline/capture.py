@@ -397,6 +397,11 @@ class V4L2Grabber:
         except OSError:
             return None
         try:
+            if buf.bytesused < self.width * self.height * 2:
+                # Short DQBUF payload (corrupted capture): honor the
+                # return-None clean-stop contract instead of crashing on the
+                # reshape; the finally re-queues the buffer.
+                return None
             raw = self._maps[buf.index][: buf.bytesused]
             return yuyv_to_bgr(bytes(raw), self.width, self.height)
         finally:

@@ -151,6 +151,116 @@ class _Png16Writer:
         pass
 
 
+class _RangeSource:
+    """View of a source bounded to frame range [start, end) — the per-host
+    slice of a multi-host export farm (reference export worker semantics,
+    gui_export.py:796 per-host; frame ranges from parallel/multihost.py)."""
+
+    def __init__(self, source, start: int, end: int):
+        self._src = source
+        self._limit = max(0, end - start)
+        self._n = 0
+        if start:
+            source.seek(start)
+        self.width = getattr(source, "width", None)
+        self.height = getattr(source, "height", None)
+        self.fps = getattr(source, "fps", 30.0)
+
+    def read_with_meta(self, timeout: float = 5.0):
+        if self._n >= self._limit:
+            return None
+        meta = self._src.read_with_meta()
+        if meta is None:
+            return None
+        self._n += 1
+        return meta
+
+    def close(self):
+        self._src.close()
+
+
+def export_video_multihost(
+    video_path: str | None,
+    processor,
+    cfg: ExportConfig,
+    *,
+    hosts: int,
+    host_id: int,
+    source=None,
+    wait_timeout: float = 900.0,
+) -> dict:
+    """Multi-host export farm: each host exports its contiguous frame range
+    to a segment; host 0 reassembles once every segment is complete.
+
+    DCN-free by construction — frames are independent, so the only cross-host
+    artifact is the final concatenation (lossless: byte-append for the raw
+    master, FFmpeg concat-demuxer stream copy for containerized codecs —
+    parallel/multihost.py). ``.done`` markers gate reassembly so a partial
+    segment is never consumed.
+    """
+    from hdrtv_tpu.parallel.multihost import (
+        concat_command,
+        plan_frame_ranges,
+        segment_paths,
+    )
+    from hdrtv_tpu.pipeline.source import SyntheticSource, VideoSource
+
+    if not 0 <= host_id < hosts:
+        raise ValueError(f"host_id {host_id} outside [0, {hosts})")
+    if source is None:
+        from hdrtv_tpu.config import processing_dims
+
+        source = VideoSource(video_path) if video_path else SyntheticSource(*processing_dims(cfg.resolution_key))
+    n_frames = getattr(source, "frame_count", None) or getattr(source, "frames", 0)
+    ranges = plan_frame_ranges(int(n_frames), hosts)
+    start, end = ranges[host_id]
+
+    codec = cfg.codec
+    if codec in ("prores", "hevc") and shutil.which("ffmpeg") is None:
+        codec = "raw"
+    segs = segment_paths(cfg.output, hosts)
+    seg_out = segs[host_id] + (".rgb48" if codec == "raw" else "")
+    stats = export_video(
+        None,
+        processor,
+        dataclasses.replace(cfg, output=segs[host_id], codec=codec),
+        source=_RangeSource(source, start, end),
+    )
+    stats.update(host_id=host_id, hosts=hosts, frame_range=[start, end])
+    with open(seg_out + ".done", "w") as f:
+        json.dump(stats, f)
+
+    if host_id != 0:
+        return stats
+
+    # Host 0: wait for every segment's .done marker, then reassemble.
+    seg_files = [s + (".rgb48" if codec == "raw" else "") for s in segs]
+    deadline = time.monotonic() + wait_timeout
+    for seg in seg_files:
+        while not os.path.exists(seg + ".done"):
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"segment never completed: {seg}")
+            time.sleep(0.2)
+    if codec == "raw":
+        final = cfg.output if cfg.output.endswith(".rgb48") else cfg.output + ".rgb48"
+        with open(final, "wb") as out_f:
+            for seg in seg_files:
+                with open(seg, "rb") as f:
+                    shutil.copyfileobj(f, out_f)
+        with open(seg_files[0] + ".json") as f:
+            sidecar = json.load(f)
+        with open(final + ".json", "w") as f:
+            json.dump(sidecar, f, indent=2)
+        stats["output"] = final
+    else:
+        list_path = cfg.output + ".segments.txt"
+        cmd = concat_command(seg_files, cfg.output, list_path)
+        subprocess.run(cmd, check=True, capture_output=True)
+        stats["output"] = cfg.output
+    stats["concatenated"] = True
+    return stats
+
+
 def export_video(video_path: str | None, processor, cfg: ExportConfig, *, source=None) -> dict:
     """Flat-out export: decode → model → RGB48 → writer thread → container.
 

@@ -159,6 +159,7 @@ class MpvPipeSink:
                 break
             except RuntimeError as exc:
                 last_exc = exc
+                self._kill_proc()  # no orphan may outlive its ladder rung
                 self.proc = None
         if self.proc is None or self._fifo_fd is None:
             shutil.rmtree(self._dir, ignore_errors=True)
@@ -195,10 +196,22 @@ class MpvPipeSink:
                 return os.fdopen(fd, "wb")
             except OSError as exc:
                 if exc.errno != errno.ENXIO:
+                    # Kill the just-spawned mpv before failing this ladder
+                    # rung: an orphan holding the FIFO would corrupt the next
+                    # rung's open attempt (and leak a process).
+                    self._kill_proc()
                     raise RuntimeError(str(exc)) from exc
                 time.sleep(0.02)
-        self.proc.terminate()
+        self._kill_proc()
         raise RuntimeError("mpv never opened the video pipe")
+
+    def _kill_proc(self) -> None:
+        if self.proc is not None and self.proc.poll() is None:
+            self.proc.terminate()
+            try:
+                self.proc.wait(timeout=2.0)
+            except subprocess.TimeoutExpired:
+                self.proc.kill()
 
     def _write_loop(self):
         while not self._stop.is_set():

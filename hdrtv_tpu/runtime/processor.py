@@ -64,6 +64,7 @@ class HDRTVNetTPU:
         predequantize: bool | None = None,
         proc_resolution: tuple[int, int] | None = None,
         cfg_overrides: dict[str, Any] | None = None,
+        mesh: Any | None = None,
     ):
         self.model_path = model_path
         self.precision = precision
@@ -136,7 +137,19 @@ class HDRTVNetTPU:
 
                 params = attach_native_int8(params, raw_int8)
                 self.native_int8 = any(k.endswith(".qweight") for k in params)
-        self.params = jax.device_put({k: jnp.asarray(v) for k, v in params.items()})
+        # Spatial mesh mode (VERDICT r2 item 3): one frame's W dimension
+        # sharded over the mesh's spatial axis — the designed 4K60 scale-out
+        # path. GSPMD partitions the lax s2d program (automatic halo exchange
+        # for the 3×3 convs); the Pallas megakernels are skipped in this mode
+        # because XLA cannot partition custom calls.
+        self.mesh = mesh
+        self._mesh_fns: dict[tuple, Any] = {}
+        if mesh is not None:
+            from hdrtv_tpu.parallel.mesh import replicate_params
+
+            self.params = replicate_params({k: jnp.asarray(v) for k, v in params.items()}, mesh)
+        else:
+            self.params = jax.device_put({k: jnp.asarray(v) for k, v in params.items()})
         self.model_hash = engine_mod.model_fingerprint(params)
         self.registry = engine_mod.EngineRegistry() if persistent_cache else None
         self._timings: dict[str, float] = {}
@@ -218,6 +231,118 @@ class HDRTVNetTPU:
         out = self._net(x, cond)
         return pack_rgb48(out[0]).reshape(h, w3)
 
+    # -- Split HG execution: base model and HG composite as two programs. --
+    # One jit would put the base megakernel fleet AND the fused HG tail in a
+    # single Mosaic compile budget — that compile never finished on the
+    # round-2 runner (>25 min, PERF_NOTES.md). Split, each program compiles
+    # in minutes and the tail kernel (concat-free 1×1s + composite + RGB48
+    # pack) runs by default. Staging the 12-channel s2d base through HBM
+    # between the jits costs one extra dispatch (~0.3 ms).
+
+    def _hg_split_active(self, h: int, w3: int) -> bool:
+        if not (self.turbo and self.cfg.use_hg and "hg.conv1.0.weight" in self.params):
+            return False
+        if not env_bool("HDRTV_HG_SPLIT", True):
+            return False
+        if self.proc_resolution is not None:
+            w3, h = self.proc_resolution[0] * 3, self.proc_resolution[1]
+        return h % 8 == 0 and (w3 // 3) % 8 == 0
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _hg_base_flat_jit(self, frame2d_u8: jax.Array) -> jax.Array:
+        """(H, 3W) u8 BGR rows → base s2d output (1, Hb, Wb, 12)."""
+        from hdrtv_tpu.models.s2d import ensemble_s2d_base_flat
+
+        h, w3 = frame2d_u8.shape
+        if self.proc_resolution is not None and (h, w3 // 3) != (
+            self.proc_resolution[1], self.proc_resolution[0]
+        ):
+            frame2d_u8 = self._letterbox(frame2d_u8.reshape(h, w3 // 3, 3)).reshape(
+                self.proc_resolution[1], self.proc_resolution[0] * 3
+            )
+        return ensemble_s2d_base_flat(
+            self.params, frame2d_u8, policy=self.policy, bgr=True
+        )
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _hg_rest_flat_jit(self, base_s2d: jax.Array) -> jax.Array:
+        """Base s2d output → HG composite → (H, 3W) u16 RGB48 rows."""
+        from hdrtv_tpu.models.hg_s2d import hg_composite_s2d
+
+        return hg_composite_s2d(
+            self.params, base_s2d, self.cfg, policy=self.policy, pack=True, tail_on=True
+        )
+
+    # -- Spatial mesh inference: the W-sharded single-frame program. --
+
+    def _mesh_flat_fn(self, h: int, w3: int):
+        """GSPMD-sharded flat program for one (post-letterbox) frame shape.
+
+        The exact lax s2d program partitions over the spatial axis with
+        automatic halo exchange (validated to ≤1 LSB on the 8-device virtual
+        mesh — tests/test_parallel.py)."""
+        key = (h, w3)
+        fn = self._mesh_fns.get(key)
+        if fn is not None:
+            return fn
+        from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48
+        from hdrtv_tpu.parallel.mesh import flat_sharding
+
+        fsh = flat_sharding(self.mesh)
+
+        def body(flat):
+            hh, ww3 = flat.shape
+            frame = flat.reshape(hh, ww3 // 3, 3)[..., ::-1]  # BGR→RGB
+            from hdrtv_tpu.ops.resize import downsample_quarter_aa
+
+            cond = downsample_quarter_aa(frame[None].astype(jnp.float32) * (1.0 / 255.0))
+            out = ensemble_s2d_rgb48(
+                self.params, frame, cond, self.cfg, policy=self.policy, mega=False
+            )
+            return out.reshape(hh, ww3)
+
+        fn = jax.jit(body, in_shardings=fsh, out_shardings=fsh)
+        self._mesh_fns[key] = fn
+        return fn
+
+    def _mesh_rgb48_flat(self, flat_dev: jax.Array) -> jax.Array:
+        from hdrtv_tpu.parallel.mesh import flat_sharding
+
+        h, w3 = flat_dev.shape
+        if self.proc_resolution is not None and (h, w3 // 3) != (
+            self.proc_resolution[1], self.proc_resolution[0]
+        ):
+            # Letterbox on the default device before sharding (cheap vs the
+            # model; keeps the sharded program single-shape).
+            flat_dev = self._letterbox_flat_jit(flat_dev)
+            h, w3 = flat_dev.shape
+        n_sp = self.mesh.shape["spatial"]
+        if not (self.turbo and (w3 // 3) % (8 * n_sp) == 0 and h % 8 == 0):
+            raise ValueError(
+                f"mesh spatial inference needs the turbo arch and W divisible "
+                f"by 8×spatial axis (got {w3 // 3}px over {n_sp} devices)"
+            )
+        flat_dev = jax.device_put(flat_dev, flat_sharding(self.mesh))
+        return self._mesh_flat_fn(h, w3)(flat_dev)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _letterbox_flat_jit(self, flat: jax.Array) -> jax.Array:
+        h, w3 = flat.shape
+        return self._letterbox(flat.reshape(h, w3 // 3, 3)).reshape(
+            self.proc_resolution[1], self.proc_resolution[0] * 3
+        )
+
+    def _dispatch_rgb48_flat(self, flat_dev: jax.Array) -> jax.Array:
+        """Host-level dispatcher for the flat byte-row contract: the single
+        fused program, the two-program HG split, or the W-sharded mesh
+        program when a mesh is attached."""
+        h, w3 = flat_dev.shape
+        if self.mesh is not None and self.mesh.shape.get("spatial", 1) > 1:
+            return self._mesh_rgb48_flat(flat_dev)
+        if self._hg_split_active(h, w3):
+            return self._hg_rest_flat_jit(self._hg_base_flat_jit(flat_dev))
+        return self._process_rgb48_flat_jit(flat_dev)
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _process_bgr_u8_jit(self, frame_u8: jax.Array) -> jax.Array:
         x, cond = self._pre(frame_u8)
@@ -263,7 +388,7 @@ class HDRTVNetTPU:
         the output is at the processing resolution (reference behavior)."""
         h, w, _ = frame_bgr.shape
         flat = np.ascontiguousarray(frame_bgr).reshape(h, w * 3)  # free view
-        out = np.asarray(self._process_rgb48_flat_jit(jnp.asarray(flat)))
+        out = np.asarray(self._dispatch_rgb48_flat(jnp.asarray(flat)))
         return out.reshape(out.shape[0], out.shape[1] // 3, 3)
 
     def process_rgb48_device(self, frame_u8_dev: jax.Array) -> jax.Array:
@@ -273,7 +398,7 @@ class HDRTVNetTPU:
         or (H, W, 3); returns the matching shape in uint16.
         """
         if frame_u8_dev.ndim == 2:
-            return self._process_rgb48_flat_jit(frame_u8_dev)
+            return self._dispatch_rgb48_flat(frame_u8_dev)
         return self._process_rgb48_jit(frame_u8_dev)
 
     def _process_rgb48_batch_jit(self, frames_u8: jax.Array) -> jax.Array:
@@ -288,7 +413,7 @@ class HDRTVNetTPU:
         finished the Mosaic remote compile on this runner (>30 min)."""
         n, h, w, _ = frames_u8.shape
         flat = frames_u8.reshape(n, h, w * 3)
-        outs = [self._process_rgb48_flat_jit(flat[i]) for i in range(n)]
+        outs = [self._dispatch_rgb48_flat(flat[i]) for i in range(n)]
         return jnp.stack(outs).reshape(n, h, w, 3)
 
     def _batch_mesh_fn(self, mesh):
@@ -317,17 +442,23 @@ class HDRTVNetTPU:
 
     def process_rgb48_batch(self, frames_bgr: np.ndarray, *, mesh=None) -> np.ndarray:
         """Batched conversion; with ``mesh``, frames are sharded over the
-        data axis (frame-batch DP — SURVEY.md §2.8 green-field axis)."""
+        data axis (frame-batch DP — SURVEY.md §2.8 green-field axis). A batch
+        not divisible by the data axis is padded with repeats of the last
+        frame and trimmed after — mesh DP is never silently dropped."""
         arr = jnp.asarray(frames_bgr)
-        if mesh is not None and arr.shape[0] % mesh.shape["data"] == 0:
+        if mesh is not None:
             from hdrtv_tpu.parallel.mesh import frame_sharding
 
+            n = arr.shape[0]
+            pad = (-n) % mesh.shape["data"]
+            if pad:
+                arr = jnp.concatenate([arr, jnp.repeat(arr[-1:], pad, axis=0)], axis=0)
             fn = self._mesh_batch_fns.get(id(mesh))
             if fn is None:
                 fn = self._batch_mesh_fn(mesh)
                 self._mesh_batch_fns[id(mesh)] = fn
             arr = jax.device_put(arr, frame_sharding(mesh, spatial=False))
-            return np.asarray(fn(arr))
+            return np.asarray(fn(arr))[:n]
         return np.asarray(self._process_rgb48_batch_jit(arr))
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -373,7 +504,9 @@ class HDRTVNetTPU:
             self.model_hash, width, height, f"{self.precision}{'-hg' if self.cfg.use_hg else ''}"
         )
         t0 = time.perf_counter()
-        if rgb48:
+        if self.mesh is not None and self.mesh.shape.get("spatial", 1) > 1:
+            jax.block_until_ready(self._mesh_rgb48_flat(jnp.zeros((height, width * 3), jnp.uint8)))
+        elif rgb48:
             jax.block_until_ready(self._process_rgb48_jit(dummy))
         else:
             jax.block_until_ready(self._process_bgr_u8_jit(dummy))

@@ -166,6 +166,32 @@ class TestHdrIO:
         # a time far from any decoded pts is rejected (keyframe mis-seek)
         assert match_pts_frame(infos, 5.0, 30.0) is None
 
+    def test_probe_video_na_fields_fall_back_to_cv2(self, monkeypatch, tmp_path):
+        """ffprobe emitting empty/N/A fields (audio-only or broken streams)
+        must fall through to the cv2 probe, not crash on int() (ADVICE r2)."""
+        import subprocess
+        import types
+
+        import cv2
+
+        import hdrtv_tpu.bench.hdr_io as hio
+
+        # tiny real video so the cv2 fallback has something to read
+        path = str(tmp_path / "v.avi")
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (32, 16))
+        for _ in range(3):
+            wr.write(np.zeros((16, 32, 3), np.uint8))
+        wr.release()
+
+        monkeypatch.setattr(hio.shutil, "which", lambda name: "/usr/bin/" + name)
+        monkeypatch.setattr(
+            hio.subprocess,
+            "run",
+            lambda *a, **k: types.SimpleNamespace(stdout="N/A,N/A,0/0,N/A\n", returncode=0),
+        )
+        info = hio.probe_video(path)
+        assert info["width"] == 32 and info["height"] == 16
+
     def test_artifact_writers_roundtrip(self, tmp_path):
         import cv2
         from hdrtv_tpu.bench.hdr_io import float01_to_u16, write_tiff16

@@ -88,6 +88,78 @@ class TestExport:
         data = np.fromfile(tmp_path / "m.rgb48", dtype=np.uint16)
         assert data.size == 8 * 64 * 32 * 3
 
+    def test_multihost_range_source_and_single_host(self, tmp_path):
+        """hosts=1 farm == plain export (fast in-process sanity)."""
+        from hdrtv_tpu.pipeline.export import (
+            ExportConfig, export_video, export_video_multihost,
+        )
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        cfg1 = ExportConfig(output=str(tmp_path / "a.mov"), codec="raw")
+        s1 = export_video(None, FakeProcessor(), cfg1, source=SyntheticSource(64, 32, frames=7))
+        cfgF = ExportConfig(output=str(tmp_path / "b.mov"), codec="raw")
+        sF = export_video_multihost(
+            None, FakeProcessor(), cfgF, hosts=1, host_id=0,
+            source=SyntheticSource(64, 32, frames=7),
+        )
+        assert sF["frames"] == s1["frames"] == 7 and sF["concatenated"]
+        a = (tmp_path / "a.mov.rgb48").read_bytes()
+        b = (tmp_path / "b.mov.rgb48").read_bytes()
+        assert a == b
+
+    def test_two_process_farm_bit_identical(self, tmp_path):
+        """Two *processes* export halves of a real file source; host 0
+        reassembles; the raw master is bit-identical to a single-host export
+        (VERDICT r2 item 5)."""
+        import subprocess
+        import sys
+
+        import cv2
+
+        vid = str(tmp_path / "clip.avi")
+        wr = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 12, (96, 64))
+        rng = np.random.RandomState(0)
+        for i in range(10):
+            frame = np.full((64, 96, 3), i * 20 % 255, np.uint8)
+            frame[:, : 8 * (i + 1)] = 250
+            wr.write(frame)
+        wr.release()
+
+        weights = os.path.join(os.path.dirname(__file__), "..", "weights", "hr_fp32.npz")
+        script = (
+            "import sys\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')  # axon plugin ignores the env var\n"
+            "from hdrtv_tpu.pipeline.export import ExportConfig, export_video, export_video_multihost\n"
+            "from hdrtv_tpu.runtime.processor import HDRTVNetTPU\n"
+            "vid, weights, out, hosts, hid = sys.argv[1:6]\n"
+            "proc = HDRTVNetTPU(weights, precision='fp32', persistent_cache=False)\n"
+            "cfg = ExportConfig(output=out, codec='raw')\n"
+            "if int(hosts) == 1:\n"
+            "    export_video(vid, proc, cfg)\n"
+            "else:\n"
+            "    export_video_multihost(vid, proc, cfg, hosts=int(hosts), host_id=int(hid))\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        single = str(tmp_path / "single.mov")
+        farm = str(tmp_path / "farm.mov")
+        procs = [
+            subprocess.Popen([sys.executable, "-c", script, vid, weights, farm, "2", str(h)],
+                             env=env, cwd=os.path.dirname(os.path.dirname(__file__)))
+            for h in (0, 1)
+        ]
+        rc_single = subprocess.run(
+            [sys.executable, "-c", script, vid, weights, single, "1", "0"],
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)), timeout=300,
+        ).returncode
+        for p in procs:
+            assert p.wait(timeout=300) == 0
+        assert rc_single == 0
+        a = (tmp_path / "single.mov.rgb48").read_bytes()
+        b = (tmp_path / "farm.mov.rgb48").read_bytes()
+        assert len(a) == 10 * 96 * 64 * 3 * 2
+        assert a == b
+
     def test_ffmpeg_command_contract(self):
         """The ProRes chain matches the reference export filter contract
         (gui_export.py:948-1023)."""

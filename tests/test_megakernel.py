@@ -189,6 +189,21 @@ class TestKernels:
         diff = np.abs(np.asarray(y).astype(np.int64) - np.asarray(y_r).astype(np.int64))
         assert diff.max() <= 1  # fp reassociation at the u16 boundary
 
+    def test_down2_dense_fallback(self, rng):
+        """a_sub=0 computes the dense (no structural-zero) path — correct for
+        arbitrary weights a future caller might pass (ADVICE r2)."""
+        from hdrtv_tpu.ops.megakernel import fused_down2, fused_down2_ref
+
+        f32 = np.float32
+        hb, wb, c, co = 24, 32, 128, 128
+        x = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        w = jnp.asarray(rng.randn(3, 3, c, co).astype(f32) * 0.05)  # dense!
+        b = jnp.asarray(rng.randn(co).astype(f32) * 0.1)
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_down2(x, w, b, act="relu", a_sub=0)
+        y_r = fused_down2_ref(x, w, b, act="relu")
+        np.testing.assert_allclose(np.asarray(y, f32), np.asarray(y_r, f32), atol=3e-5)
+
     def test_down2_consolidated_blocks(self, rng):
         """a_sub=3: three w_s2d_s2 sub-blocks concatenated along co (the
         LE.__cond_down consolidation) must equal the dense reference."""

@@ -101,6 +101,28 @@ class TestMesh:
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1
 
+    def test_processor_mesh_spatial_inference(self, cpu_devices):
+        """The product mesh mode (HDRTVNetTPU(mesh=...) → cli convert
+        --mesh spatial): W-sharded inference through the public API must
+        reproduce the single-device output (VERDICT r2 item 3)."""
+        import os
+
+        from hdrtv_tpu.parallel.mesh import spatial_mesh
+        from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+        weights = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "weights", "hr_fp32.npz"
+        )
+        mesh = spatial_mesh(4)
+        frame = (np.random.RandomState(3).rand(32, 64, 3) * 255).astype(np.uint8)
+        pm = HDRTVNetTPU(weights, precision="fp32", persistent_cache=False, mesh=mesh)
+        out = pm.process_rgb48(frame)
+        ps = HDRTVNetTPU(weights, precision="fp32", persistent_cache=False)
+        ref = ps.process_rgb48(frame)
+        assert out.shape == ref.shape and out.dtype == np.uint16
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1  # fp reassociation across the shard boundary
+
     def test_dryrun_multichip_entry(self, cpu_devices):
         import __graft_entry__ as ge
 
@@ -136,6 +158,18 @@ class TestMultihost:
         assert "-c" in cmd and "copy" in cmd  # lossless stream copy
         with open(lst) as f:
             assert f.read().count("file '") == 2
+
+    def test_concat_list_escapes_single_quotes(self, tmp_path):
+        """Paths with single quotes must be concat-demuxer-quoted, not
+        written raw (ADVICE r2)."""
+        from hdrtv_tpu.parallel.multihost import concat_command
+
+        seg = tmp_path / "it's a clip.seg000.mov"
+        lst = str(tmp_path / "list.txt")
+        concat_command([str(seg)], str(tmp_path / "out.mov"), lst)
+        with open(lst) as f:
+            line = f.read().strip()
+        assert line == "file '" + str(seg).replace("'", "'\\''") + "'"
 
     def test_initialize_single_host_noop(self, monkeypatch):
         from hdrtv_tpu.parallel.multihost import initialize_distributed
