@@ -24,6 +24,42 @@ import jax
 from hdrtv_tpu.utils.env import env_str
 
 _CACHE_ENABLED = False
+_DEBUGINFO_STRIPPED = False
+
+
+def _strip_mosaic_debuginfo() -> None:
+    """Make Pallas kernel payloads edit-stable so the persistent cache
+    survives source changes.
+
+    Root cause (round 3, measured): the Mosaic kernel module embedded in
+    each ``tpu_custom_call`` is serialized *with* MLIR location info, so any
+    edit that shifts line numbers in a kernel-defining file changes every
+    payload byte-for-byte → new cache key → full recompile of every program
+    using Pallas kernels (the "HG misses the cache every run" mystery:
+    verified by hashing the lowered StableHLO before/after inserting one
+    comment line — hashes differed; with strip-debuginfo they are
+    identical). Tradeoff: Mosaic compile errors lose source locations — set
+    ``HDRTV_STRIP_KERNEL_DEBUGINFO=0`` while debugging a kernel.
+    """
+    global _DEBUGINFO_STRIPPED
+    from hdrtv_tpu.utils.env import env_bool
+
+    if _DEBUGINFO_STRIPPED or not env_bool("HDRTV_STRIP_KERNEL_DEBUGINFO", True):
+        return
+    try:
+        import jax._src.tpu_custom_call as tcc
+        from jaxlib.mlir.passmanager import PassManager
+    except ImportError:
+        return
+    orig = tcc._lower_mosaic_module_to_asm
+
+    def stripped(module, *args, **kwargs):
+        with module.operation.context:
+            PassManager.parse("builtin.module(strip-debuginfo)").run(module.operation)
+        return orig(module, *args, **kwargs)
+
+    tcc._lower_mosaic_module_to_asm = stripped
+    _DEBUGINFO_STRIPPED = True
 
 
 def default_cache_root() -> str:
@@ -40,6 +76,7 @@ def enable_persistent_cache(root: str | None = None) -> str:
     the multi-minute TensorRT builds the reference schedules dialogs around.
     """
     global _CACHE_ENABLED
+    _strip_mosaic_debuginfo()
     root = root or default_cache_root()
     os.makedirs(root, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", root)
