@@ -165,27 +165,15 @@ def _conv3_fused(
     p: Params, name: str, x: jax.Array, *, relu_after: bool, policy: Policy,
     pool_out: bool = False,
 ) -> jax.Array:
-    """3×3 natural conv with the Pallas block kernel when eligible (128-
-    multiple channels on TPU — the HG's ≥128-channel levels), lax otherwise.
-    BN is folded at transform time, so conv+ReLU is the whole block;
-    ``pool_out`` fuses the following 2×2 max pool into the kernel epilogue.
+    """3×3 natural conv block. BN is folded at transform time, so conv+ReLU
+    is the whole block; ``pool_out`` applies the following 2×2 max pool.
+
+    Deliberately lax, not Pallas: on v5e the layout copies XLA inserts
+    around Pallas boundaries inside the HG cost more than the kernels save
+    (measured 82.1 ms lax vs 85.4 ms kernels at 1080p; conv+pool fused
+    epilogue 85.4 — PERF_NOTES round 2) — the round-1 "pallas only where
+    XLA is weak" lesson again.
     """
-    from hdrtv_tpu.models.s2d import _use_fused_kernel
-    from hdrtv_tpu.utils.env import env_bool
-
-    w = p[f"{name}.weight"]
-    # Default OFF: on v5e the layout copies XLA inserts around the HG's
-    # Pallas boundaries cost more than the kernels save (measured 82.1 ms
-    # lax vs 85.4 ms kernels at 1080p) — the round-1 "pallas only where XLA
-    # is weak" lesson again. Flip on for hardware where lax convs lag more.
-    if env_bool("HDRTV_HG_KERNELS", False) and _use_fused_kernel(x, w):
-        from hdrtv_tpu.ops.conv_kernels import fused_block_conv3
-
-        y = fused_block_conv3(
-            policy.cast(x[0]), policy.cast(w), p[f"{name}.bias"], relu=relu_after,
-            pool_out=pool_out,
-        )[None]
-        return y
     y = conv2d(p, name, x, padding=1, policy=policy)
     if relu_after:
         y = relu(y)

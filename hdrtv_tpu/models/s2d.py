@@ -387,6 +387,9 @@ def conv_s1(p, name, x, *, policy, relu_fused: bool = False, skip: jax.Array | N
         # Every conv_s1 weight comes from a w_s2d_s1(/PS-fold) transform
         # (role table above), so the kernel may skip the structural zero
         # row-taps; __in_fused concatenates two transformed blocks.
+        # Native int8 attaches where calibration exists (the PS up-convs are
+        # the big stride-1 wins: .18/.19 in the round-3 trace, 1.59 ms each
+        # float — the int8 MXU path engages on these clean stride-1 dots).
         y = fused_block_conv3(
             policy.cast(x[0]),
             policy.cast(w),
@@ -394,6 +397,7 @@ def conv_s1(p, name, x, *, policy, relu_fused: bool = False, skip: jax.Array | N
             relu=relu_fused,
             skip=None if skip is None else policy.cast(skip[0]),
             a_sub=2 if name.endswith("__in_fused") else 1,
+            qargs=_qargs_for(p, name),
         )[None]
         return y
     y = _conv(p, name, x, padding=[(1, 1), (1, 1)], policy=policy)
@@ -427,9 +431,19 @@ def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = N
         from hdrtv_tpu.ops.megakernel import fused_down2, pick_rows
 
         if pick_rows(hb // 2, limit=8) <= 16:
+            # Stride-2 int8 is the documented W8-only fallback class: every
+            # measured form runs SLOWER than bf16 on v5e (round-3 traces —
+            # down_conv1 0.97 vs 0.52 ms; down2/3 0.36 vs 0.26 ms; the
+            # consolidated cond-down 3.57 vs 2.09 ms even with per-branch
+            # VMEM quantization). The sublane-shifted stride-2 operand views
+            # miss the packed int8 MXU path, so the quantize VPU cost is pure
+            # overhead. HDRTV_INT8_DOWN2=1 re-enables for kernel validation.
+            qa = _qargs_for(p, name) if env_bool("HDRTV_INT8_DOWN2", False) else None
+            if qa is not None and w.shape[-1] // (2 * a_sub) < 128:
+                qa = None
             return fused_down2(
                 policy.cast(x[0]), policy.cast(w), p[f"{name}.bias"], act=act,
-                qargs=_qargs_for(p, name), a_sub=a_sub,
+                qargs=qa, a_sub=a_sub,
             )[None]
     y = _conv(p, name, x, stride=2, padding=[(1, 0), (1, 0)], policy=policy)
     if act == "relu":
@@ -978,25 +992,55 @@ def attach_native_int8(sp: dict, raw: dict) -> dict:
         qk = f"{layer}.weight_int8"
         if qk not in raw or f"{layer}.x_scale" not in raw:
             continue
-        if role not in (_S1, _S2):
+        if role not in (_S1, _S2, _PSL):
             continue
         wq = np.asarray(raw[qk])
         wsc = np.asarray(raw.get(f"{layer}.w_scale", raw.get(f"{layer}.scale")), np.float32)
-        tq = w_s2d_s1(wq) if role == _S1 else w_s2d_s2(wq)
+        if role == _S1:
+            tq = w_s2d_s1(wq)
+            tsc = b_s2d(wsc)
+        elif role == _PSL:
+            # PS fold is zero-insertion + output-channel permutation — exact
+            # on int8 codes; per-channel scales follow the same permutation.
+            tq = w_s2d_s1_ps(wq)
+            tsc = np.tile(w_ps_permute(wsc.reshape(1, 1, 1, -1))[0, 0, 0], 4)
+        else:
+            tq = w_s2d_s2(wq)
+            tsc = b_s2d(wsc)
         if tq.shape[2] % 128 or tq.shape[3] % 128:
             continue
         out[f"{layer}.qweight"] = tq
-        out[f"{layer}.qw_scale"] = b_s2d(wsc)
+        out[f"{layer}.qw_scale"] = tsc
         out[f"{layer}.qx_scale"] = np.float32(raw[f"{layer}.x_scale"])
         if f"{layer}.x_zero" in raw:
             out[f"{layer}.qx_zero"] = np.float32(raw[f"{layer}.x_zero"])
         native.append(layer)
-    # The fused CondNet down conv would mix three different activation
-    # scales; when its components run native int8, drop the consolidation so
-    # each branch quantizes with its own calibration.
-    if all(f"LE.CondNet{i}.0.qweight" in out for i in (2, 3, 4)):
-        out.pop("LE.__cond_down.weight", None)
-        out.pop("LE.__cond_down.bias", None)
+    # The fused CondNet down conv mixes three different activation
+    # calibrations. Round 2 dropped the consolidation here (three separate
+    # HBM passes — measured +2.5 ms at 1080p, the int8-slower-than-bf16
+    # inversion). Round 3 keeps it: the kernel quantizes the shared input
+    # once per branch in VMEM ("x_scales"/"x_zeros" multi-branch qargs,
+    # ops/megakernel.py fused_down2).
+    branches = [f"LE.CondNet{i}.0" for i in (2, 3, 4)]
+    if all(f"{b}.qweight" in out for b in branches) and "LE.__cond_down.weight" in out:
+        zeros = [f"{b}.qx_zero" in out for b in branches]
+        if all(zeros) or not any(zeros):  # calibration style must be uniform
+            out["LE.__cond_down.qweight"] = np.concatenate(
+                [out[f"{b}.qweight"] for b in branches], axis=-1
+            )
+            out["LE.__cond_down.qw_scale"] = np.concatenate(
+                [out[f"{b}.qw_scale"] for b in branches]
+            )
+            out["LE.__cond_down.qx_scales"] = np.asarray(
+                [out[f"{b}.qx_scale"] for b in branches], np.float32
+            )
+            if all(zeros):
+                out["LE.__cond_down.qx_zeros"] = np.asarray(
+                    [out[f"{b}.qx_zero"] for b in branches], np.float32
+                )
+        else:
+            out.pop("LE.__cond_down.weight", None)
+            out.pop("LE.__cond_down.bias", None)
     return out
 
 
@@ -1006,8 +1050,13 @@ def _qargs_for(p: Params, layer: str) -> dict | None:
     qa = {
         "w_int8": p[f"{layer}.qweight"],
         "w_scale": p[f"{layer}.qw_scale"],
-        "x_scale": p[f"{layer}.qx_scale"],
     }
+    if f"{layer}.qx_scales" in p:  # multi-branch consolidation
+        qa["x_scales"] = p[f"{layer}.qx_scales"]
+        if f"{layer}.qx_zeros" in p:
+            qa["x_zeros"] = p[f"{layer}.qx_zeros"]
+        return qa
+    qa["x_scale"] = p[f"{layer}.qx_scale"]
     if f"{layer}.qx_zero" in p:
         qa["x_zero"] = p[f"{layer}.qx_zero"]
     return qa

@@ -46,7 +46,11 @@ def _pick_th(hb: int, wb: int, c: int, budget: int = 10 * 1024 * 1024, max_th: i
     return hb
 
 
-def _conv3_kernel(x_hbm, w_ref, b_ref, skip_ref, out_ref, x_tile, sem, *, th, wb, c, co, hb, fuse_relu, has_skip, a_sub, pool_out):
+def _conv3_kernel(x_hbm, w_ref, b_ref, skip_ref, *refs, th, wb, c, co, hb, fuse_relu, has_skip, a_sub, pool_out, quant=False, has_z=False):
+    if quant:
+        yscale_ref, s_ref, z_ref, out_ref, x_tile, sem = refs
+    else:
+        out_ref, x_tile, sem = refs
     i = pl.program_id(0)
     n_rows = th + 2
 
@@ -110,6 +114,55 @@ def _conv3_kernel(x_hbm, w_ref, b_ref, skip_ref, out_ref, x_tile, sem, *, th, wb
         shifted = rows[:, : wb - 1, :]
         return jnp.pad(shifted, ((0, 0), (1, 0), (0, 0)))
 
+    if quant:
+        # Native int8 W8A8: quantize the gathered tile once in VMEM, then
+        # int8 MXU dots accumulated in int32 (same contract as megakernel.py
+        # _taps_conv_q; W-edge tap pads carry the quantized-zero code).
+        from hdrtv_tpu.ops.megakernel import _quantize_act, _row_mask, _tap_views_q
+
+        t = _row_mask(
+            x_tile[:].reshape(n_rows * wb, c).astype(jnp.float32), r0 - 1, hb, wb
+        )
+        q, qpad = _quantize_act(t, s_ref, z_ref if has_z else None, wb)
+        qviews = [
+            v.reshape(th * wb, c) for v in _tap_views_q(q.reshape(n_rows, wb, c), qpad, th, wb)
+        ]
+        ysc = yscale_ref[0].astype(jnp.float32)
+        if a_sub:
+            m = co // (2 * a_sub)
+            chunks = []
+            for s_i in range(a_sub):
+                for hf in range(2):
+                    lo = (2 * s_i + hf) * m
+                    acci = jnp.zeros((th * wb, m), jnp.int32)
+                    for dI in ((0, 1) if hf == 0 else (1, 2)):
+                        for j in range(3):
+                            acci = acci + jnp.dot(
+                                qviews[dI * 3 + j], w_ref[dI * 3 + j, :, lo : lo + m],
+                                preferred_element_type=jnp.int32,
+                            )
+                    chunks.append(acci.astype(jnp.float32) * ysc[lo : lo + m])
+            acc = jnp.concatenate(chunks, axis=-1)
+        else:
+            acci = jnp.zeros((th * wb, co), jnp.int32)
+            for t_i in range(9):
+                acci = acci + jnp.dot(qviews[t_i], w_ref[t_i], preferred_element_type=jnp.int32)
+            acc = acci.astype(jnp.float32) * ysc
+        acc = acc + b_ref[0].astype(jnp.float32)
+        if has_skip:
+            acc = acc + skip_ref[:].reshape(th * wb, co).astype(jnp.float32)
+        if fuse_relu:
+            acc = jnp.maximum(acc, 0.0)
+        if pool_out:
+            y = acc.reshape(th // 2, 2, wb // 2, 2, co)
+            out_ref[:] = jnp.maximum(
+                jnp.maximum(y[:, 0, :, 0], y[:, 0, :, 1]),
+                jnp.maximum(y[:, 1, :, 0], y[:, 1, :, 1]),
+            ).astype(out_ref.dtype)
+        else:
+            out_ref[:] = acc.reshape(th, wb, co).astype(out_ref.dtype)
+        return
+
     views = [tap_view(dI, dJ).reshape(th * wb, c) for dI in range(3) for dJ in (-1, 0, 1)]
     if a_sub:
         # w_s2d_s1 structural zeros on the output-row sub-position axis
@@ -162,6 +215,7 @@ def fused_block_conv3(
     out_dtype=None,
     a_sub: int = 0,
     pool_out: bool = False,
+    qargs: dict | None = None,
 ) -> jax.Array:
     """3×3 'same' conv over (Hb, Wb, C) with fused bias/ReLU/skip.
 
@@ -171,6 +225,9 @@ def fused_block_conv3(
     consolidated co sub-blocks — the kernel then skips the structurally-zero
     row-tap dots (exact only for transformed weights). Auto-disabled when the
     half-block is under 128 lanes (no MXU win below one lane register).
+    ``qargs`` switches to native int8 W8A8 (W8A8Conv2d semantics,
+    hdrtvnet_torch.py:296-365): dict with ``w_int8`` (3,3,C,Co) codes,
+    ``w_scale`` (Co,), ``x_scale`` scalar, optional ``x_zero``.
     """
     hb, wb, c = x.shape
     co = w.shape[-1]
@@ -185,12 +242,22 @@ def fused_block_conv3(
                 break
     if pool_out and (th % 2 or hb % 2 or wb % 2):
         raise ValueError(f"pool_out needs even tile/input dims (th={th}, {hb}x{wb})")
-    w9 = w.reshape(9, c, co).astype(x.dtype)
-    b2 = b.reshape(1, co).astype(jnp.float32)
+    quant = qargs is not None
+    extra = []
+    if quant:
+        from hdrtv_tpu.ops.megakernel import _pack_qargs
+
+        w9, yscale, s_q, z_q, has_z, b_corr = _pack_qargs(qargs, co)
+        b2 = (b.astype(jnp.float32) + b_corr).reshape(1, co)
+        extra = [yscale, s_q, z_q]
+    else:
+        has_z = False
+        w9 = w.reshape(9, c, co).astype(x.dtype)
+        b2 = b.reshape(1, co).astype(jnp.float32)
 
     kernel = functools.partial(
         _conv3_kernel, th=th, wb=wb, c=c, co=co, hb=hb, fuse_relu=relu, has_skip=skip is not None,
-        a_sub=a_sub, pool_out=pool_out,
+        a_sub=a_sub, pool_out=pool_out, quant=quant, has_z=has_z,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
@@ -204,6 +271,8 @@ def fused_block_conv3(
     else:
         in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
         args.append(jnp.zeros((1, 1), jnp.float32))
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra)
+    args += extra
 
     if pool_out:
         out_shape = jax.ShapeDtypeStruct((hb // 2, wb // 2, co), out_dtype)

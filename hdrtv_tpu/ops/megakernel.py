@@ -510,7 +510,7 @@ def fused_tail_ref(s, cond1, skip, sft_small, w_hr, b_hr, w_last, b_last, *, pac
 # ---------------------------------------------------------------------------
 
 
-def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act, quant, has_z, a_sub):
+def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act, quant, has_z, a_sub, nb=1):
     """Out rows [r0, r0+th) ← natural input rows [2r0-1, 2r0+2th+1).
 
     Blocks arrive in the producer's natural (hb, wb, C) layout — pairing
@@ -541,22 +541,34 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act
     # pad (1,0): only global input row -1 needs zeroing (first tile, dI=0).
     gf = _row_mask(g.reshape((n2 + 2) * wb, c), 2 * r0 - 1, hb, wb)
 
+    def tap_views(gq, pad_val):
+        rows_d, sh_d = [], []
+        for dI in range(3):
+            rows = gq[dI : dI + n2].reshape(th, 2, wbo, 2 * c)[:, 0]  # (th, wbo, 2c)
+            sh = jnp.pad(rows[:, : wbo - 1, :], ((0, 0), (1, 0), (0, 0)), constant_values=pad_val)
+            rows_d.append(rows.reshape(th * wbo, 2 * c))
+            sh_d.append(sh[..., c:].reshape(th * wbo, c))
+        return rows_d, sh_d
+
     if quant:
-        q, qpad = _quantize_act(gf.astype(jnp.float32), s_ref, z_ref if has_z else None, wb)
-        g = q.reshape(n2 + 2, wbo, 2 * c)
-        pad_val = qpad.astype(jnp.int8)
+        # One quantized copy per consolidated *branch* (nb > 1 = the fused
+        # CondNet down conv: shared input, per-branch calibration — the VPU
+        # re-quantizes in VMEM instead of XLA re-reading the input from HBM
+        # once per branch). nb == 1: single calibration for all sub-blocks.
+        gq32 = gf.astype(jnp.float32)
+        views = []
+        for bi in range(nb):
+            q, qpad = _quantize_act(
+                gq32,
+                s_ref[0, bi],
+                z_ref[0, bi] if has_z else None,
+                wb,
+            )
+            views.append(tap_views(q.reshape(n2 + 2, wbo, 2 * c), qpad.astype(jnp.int8)))
         acc_t = jnp.int32
     else:
-        g = gf.astype(xc.dtype).reshape(n2 + 2, wbo, 2 * c)
-        pad_val = 0
+        views = [tap_views(gf.astype(xc.dtype).reshape(n2 + 2, wbo, 2 * c), 0)]
         acc_t = jnp.float32
-
-    rows_d, sh_d = [], []
-    for dI in range(3):
-        rows = g[dI : dI + n2].reshape(th, 2, wbo, 2 * c)[:, 0]  # (th, wbo, 2c)
-        sh = jnp.pad(rows[:, : wbo - 1, :], ((0, 0), (1, 0), (0, 0)), constant_values=pad_val)
-        rows_d.append(rows.reshape(th * wbo, 2 * c))
-        sh_d.append(sh[..., c:].reshape(th * wbo, c))
 
     # s2d-transformed stride-2 weights are block-zero on the output-row
     # sub-position axis (w_s2d_s2: di = 2δ + a_in − 2·a_out ∈ [−1,1] →
@@ -567,6 +579,7 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act
     if a_sub == 0:
         # Dense path: no structural-zero assumption — all 3 row taps for the
         # full co extent (fallback for untransformed / oddly-laid-out weights).
+        rows_d, sh_d = views[0]
         acc = jnp.zeros((th * wbo, co), acc_t)
         for dI in range(3):
             acc = acc + jnp.dot(rows_d[dI], wcat_ref[dI], preferred_element_type=acc_t)
@@ -575,6 +588,7 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act
         m = co // (2 * a_sub)
         chunks = []
         for s_i in range(a_sub):
+            rows_d, sh_d = views[s_i if len(views) > 1 else 0]
             for hf in range(2):
                 lo = (2 * s_i + hf) * m
                 taps = (0, 1) if hf == 0 else (1, 2)
@@ -621,24 +635,44 @@ def fused_down2(
 
     quant = qargs is not None
     extra = []
+    nb = 1
     if quant:
         wq = qargs["w_int8"]
         ws = jnp.asarray(qargs["w_scale"], jnp.float32)
-        xs_s = jnp.asarray(qargs["x_scale"], jnp.float32)
-        xz = qargs.get("x_zero")
-        has_z = xz is not None
+        # Multi-branch consolidation (the fused CondNet down conv): per-branch
+        # activation scales/zeros under "x_scales"/"x_zeros" — one branch per
+        # a_sub sub-block; the kernel quantizes the shared input once per
+        # branch *in VMEM* instead of splitting back into 3 HBM passes.
+        if "x_scales" in qargs:
+            xs_v = jnp.asarray(qargs["x_scales"], jnp.float32).reshape(-1)
+            nb = xs_v.shape[0]
+            if nb != a_sub or co % nb:
+                raise ValueError(f"x_scales ({nb}) must match a_sub ({a_sub})")
+            xz_v = qargs.get("x_zeros")
+            has_z = xz_v is not None
+            xs_per_co = jnp.repeat(xs_v, co // nb)
+            xz_per_co = None if xz_v is None else jnp.repeat(
+                jnp.asarray(xz_v, jnp.float32).reshape(-1), co // nb
+            )
+        else:
+            xs_v = jnp.asarray(qargs["x_scale"], jnp.float32).reshape(-1)
+            xz = qargs.get("x_zero")
+            has_z = xz is not None
+            xs_per_co = xs_v[0]
+            xz_per_co = None if xz is None else jnp.asarray(xz, jnp.float32)
+            xz_v = None if xz is None else jnp.asarray(xz, jnp.float32).reshape(-1)
         wcat = jnp.concatenate([wq[:, 1], wq[:, 2]], axis=1)  # int8 (3,2C,Co)
         wr = wq[:, 0]
-        yscale = (xs_s * ws).reshape(1, co)
+        yscale = (xs_per_co * ws).reshape(1, co)
         bq = b.astype(jnp.float32)
         if has_z:
             wsum = (wq.astype(jnp.float32) * ws).sum(axis=(0, 1, 2))
-            bq = bq + (jnp.asarray(xz, jnp.float32) + 128.0 * xs_s) * wsum
+            bq = bq + (xz_per_co + 128.0 * xs_per_co) * wsum
         b_in = bq.reshape(1, -1)
         extra = [
             yscale,
-            xs_s.reshape(1, 1),
-            (jnp.asarray(xz, jnp.float32) if has_z else jnp.float32(0.0)).reshape(1, 1),
+            xs_v.reshape(1, nb),
+            (xz_v if has_z else jnp.zeros((nb,), jnp.float32)).reshape(1, nb),
         ]
     else:
         has_z = False
@@ -648,7 +682,7 @@ def fused_down2(
 
     kernel = functools.partial(
         _down2_kernel, th=th, wb=wb, c=c, hb=hb, act=act, quant=quant, has_z=has_z,
-        a_sub=a_sub,
+        a_sub=a_sub, nb=nb,
     )
     n = hbo // th
     # center = 2th input rows; halos are 2-row views (one row used each).
@@ -991,12 +1025,19 @@ def fused_mix_chain_ref(x, steps, *, out_dtype=None):
 
 
 def _quantize_act(t_f32, s: float | jax.Array, z, wb: int):
-    """Flat activations → (int8 codes, pad code). s/z are (1,1) refs/scalars."""
-    sf = s[0, 0].astype(jnp.float32) if hasattr(s, "shape") and getattr(s, "ndim", 0) == 2 else jnp.float32(s)
+    """Flat activations → (int8 codes, pad code). s/z are (1,1) refs,
+    traced scalars, or python floats."""
+
+    def scal(v):
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) == 2:
+            return v[0, 0].astype(jnp.float32)
+        return jnp.asarray(v, jnp.float32)
+
+    sf = scal(s)
     if z is None:
         q = jnp.clip(jnp.round(t_f32 / sf), -128.0, 127.0)
         return q.astype(jnp.int8), jnp.int32(0)
-    zf = z[0, 0].astype(jnp.float32) if hasattr(z, "shape") and getattr(z, "ndim", 0) == 2 else jnp.float32(z)
+    zf = scal(z)
     u = jnp.clip(jnp.round((t_f32 - zf) / sf), 0.0, 255.0)
     upad = jnp.clip(jnp.round(-zf / sf), 0.0, 255.0)
     return (u - 128.0).astype(jnp.int8), (upad - 128.0).astype(jnp.int32)

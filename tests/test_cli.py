@@ -23,6 +23,8 @@ class TestParser:
             ["quantize", "--model", "m.npz", "--out", "o.npz"],
             ["info", "--model", "m.npz"],
             ["export", "--video", "v.mp4"],
+            ["export", "--video", "v.mp4", "--hosts", "4", "--host-id", "2"],
+            ["convert", "--mesh", "spatial", "--display", "null"],
             ["live", "--capture", "synthetic", "--display", "null"],
         ]:
             args = p.parse_args(argv)

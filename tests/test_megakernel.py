@@ -189,11 +189,12 @@ class TestKernels:
         diff = np.abs(np.asarray(y).astype(np.int64) - np.asarray(y_r).astype(np.int64))
         assert diff.max() <= 1  # fp reassociation at the u16 boundary
 
-    def test_down2_dense_fallback(self, rng):
+    def test_down2_dense_fallback(self):
         """a_sub=0 computes the dense (no structural-zero) path — correct for
         arbitrary weights a future caller might pass (ADVICE r2)."""
         from hdrtv_tpu.ops.megakernel import fused_down2, fused_down2_ref
 
+        rng = np.random.RandomState(12)  # own stream (module fixture is sequential)
         f32 = np.float32
         hb, wb, c, co = 24, 32, 128, 128
         x = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
@@ -357,6 +358,114 @@ class TestNativeInt8:
         elif act == "lrelu":
             y = np.where(y >= 0, y, y * 0.1)
         return y
+
+    def test_down2_int8_multibranch_parity(self):
+        """Consolidated CondNet down conv with per-branch activation
+        calibration (round-3 int8 fix): one kernel, three quantizations in
+        VMEM ≡ three separate eager W8A8 convs."""
+        from hdrtv_tpu.models.s2d import w_s2d_s2
+        from hdrtv_tpu.ops.megakernel import fused_down2
+
+        rng = np.random.RandomState(11)  # own stream: the module fixture is
+        # sequential — drawing from it here would shift every later test's data
+
+        c, co_b = 256, 256  # per-branch: 256 → 256 (CondNet shapes)
+        x = jnp.asarray(rng.rand(24, 32, c).astype(np.float32) * 1.5 - 0.25)
+        w_nats = [
+            rng.randint(-127, 128, (3, 3, c // 4, co_b // 4)).astype(np.int8)
+            for _ in range(3)
+        ]
+        w_int8s = [w_s2d_s2(wn).astype(np.int8) for wn in w_nats]
+        w_scales = [rng.rand(co_b).astype(np.float32) * 0.01 + 0.002 for _ in range(3)]
+        bs = [rng.randn(co_b).astype(np.float32) * 0.1 for _ in range(3)]
+        scales = [0.012, 0.009, 0.015]
+        zeros = [-0.1, -0.05, -0.21]
+
+        qargs = dict(
+            w_int8=jnp.asarray(np.concatenate(w_int8s, axis=-1)),
+            w_scale=jnp.asarray(np.concatenate(w_scales)),
+            x_scales=jnp.asarray(scales, jnp.float32),
+            x_zeros=jnp.asarray(zeros, jnp.float32),
+        )
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_down2(
+                x, jnp.zeros((3, 3, c, 3 * co_b), jnp.float32),
+                jnp.asarray(np.concatenate(bs)), act="lrelu", qargs=qargs, a_sub=3,
+            )
+        y = np.asarray(y, np.float32)
+        assert y.shape == (12, 16, 3 * co_b)
+        for bi in range(3):
+            ref = self._eager_ref(
+                x, w_int8s[bi], w_scales[bi], bs[bi], scales[bi], zeros[bi], "lrelu"
+            )
+            got = y[..., bi * co_b : (bi + 1) * co_b]
+            err = np.abs(got - ref)
+            # interior exact; borders differ by the quantized-zero pad code
+            assert err[1:-1, 1:].max() < 2e-3
+            s = scales[bi]
+            tol = s * 0.75 * 3 * 128 * np.abs(w_int8s[bi]).mean() * w_scales[bi].mean()
+            assert err.max() < max(float(tol), 1e-3)
+
+    def test_block_conv3_int8_parity(self):
+        """Stride-1 native int8 (the round-3 PS up-conv path): fused
+        fused_block_conv3 W8A8 ≡ eager fake-quant + dequant-weight conv."""
+        import jax
+
+        from hdrtv_tpu.models.s2d import w_s2d_s1
+        from hdrtv_tpu.ops.conv_kernels import fused_block_conv3
+
+        rng = np.random.RandomState(13)  # own stream (module fixture is sequential)
+        c, co = 256, 256
+        x = jnp.asarray(rng.rand(16, 32, c).astype(np.float32) * 1.2 - 0.1)
+        w_nat = rng.randint(-127, 128, (3, 3, c // 4, co // 4)).astype(np.int8)
+        w_int8 = w_s2d_s1(w_nat).astype(np.int8)
+        w_scale = rng.rand(co).astype(np.float32) * 0.01 + 0.002
+        b = rng.randn(co).astype(np.float32) * 0.1
+        s, z = 0.011, -0.13
+
+        qargs = dict(
+            w_int8=jnp.asarray(w_int8), w_scale=jnp.asarray(w_scale),
+            x_scale=jnp.float32(s), x_zero=jnp.float32(z),
+        )
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_block_conv3(
+                x, jnp.zeros((3, 3, c, co), jnp.float32), jnp.asarray(b),
+                relu=True, a_sub=1, qargs=qargs,
+            )
+        y = np.asarray(y, np.float32)
+
+        xf = np.asarray(x, np.float32)
+        q = np.clip(np.round((xf - z) / s), 0, 255)
+        xq = q * s + z
+        wf = w_int8.astype(np.float32) * w_scale
+        ref = jax.lax.conv_general_dilated(
+            jnp.asarray(xq)[None], jnp.asarray(wf), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0] + b
+        ref = np.maximum(np.asarray(ref), 0.0)
+        err = np.abs(y - ref)
+        # interior exact; borders carry the quantized-zero pad code instead
+        # of the eager path's literal f32 zeros
+        assert err[1:-1, 1:-1].max() < 2e-3
+        tol = s * 0.75 * 3 * 128 * np.abs(w_int8).mean() * w_scale.mean()
+        assert err.max() < max(float(tol), 1e-3)
+
+    def test_attach_psl_int8_scales_exact(self):
+        """_PSL attach (round 3): PS-permuted per-channel scales dequantize
+        the transformed codes to exactly the transform of the dequantized
+        weights — permutation and scale stay aligned."""
+        from hdrtv_tpu.models.s2d import w_ps_permute, w_s2d_s1_ps
+
+        rng = np.random.RandomState(14)
+        ci, co = 8, 16
+        codes = rng.randint(-127, 128, (3, 3, ci, co)).astype(np.int8)
+        wsc = rng.rand(co).astype(np.float32) * 0.01 + 0.002
+
+        tq = w_s2d_s1_ps(codes)
+        tsc = np.tile(w_ps_permute(wsc.reshape(1, 1, 1, -1))[0, 0, 0], 4)
+        got = tq.astype(np.float32) * tsc
+        want = w_s2d_s1_ps(codes.astype(np.float32) * wsc)
+        np.testing.assert_array_equal(got, want)
 
     def test_down2_int8_parity(self, rng):
         from hdrtv_tpu.models.s2d import w_s2d_s2

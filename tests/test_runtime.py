@@ -30,6 +30,19 @@ class TestEngineRegistry:
         n = reg.clear()
         assert n >= 1 and reg.lookup(key) is None
 
+    def test_persistent_cache_strips_mosaic_debuginfo(self, tmp_path, monkeypatch):
+        """enable_persistent_cache installs the strip-debuginfo wrapper so
+        kernel payloads (and cache keys) survive source edits (round-3 root
+        cause in PERF_NOTES)."""
+        monkeypatch.setenv("HDRTVNET_ENGINE_CACHE_DIR", str(tmp_path))
+        import jax._src.tpu_custom_call as tcc
+
+        from hdrtv_tpu.runtime import engine
+
+        engine.enable_persistent_cache()
+        assert engine._DEBUGINFO_STRIPPED
+        assert tcc._lower_mosaic_module_to_asm.__name__ == "stripped"
+
     def test_model_fingerprint_detects_weight_swap(self):
         from hdrtv_tpu.runtime.engine import model_fingerprint
 
