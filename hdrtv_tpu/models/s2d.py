@@ -520,12 +520,20 @@ def _sft_conv(p, sft_name, conv_name, x, cond, *, policy, relu_fused=False, skip
     return conv_s1(p, conv_name, out, policy=policy, relu_fused=relu_fused, skip=skip)
 
 
-def _resblock(p, name, fea, cond, conv3, conv1, *, policy):
+def _resblock(p, name, fea, cond, conv3, conv1, *, policy, up_coarse=None, x_add=None):
+    """``up_coarse``/``x_add``: optional second block input (the up-path
+    skip), added to ``fea`` — fused into the resblock kernel when eligible
+    (with the d2s un-fold for the coarse form), materialized otherwise."""
     if conv3 is conv_s1:
         if _sft_conv_ok(p, f"{name}.conv1", fea, cond, policy=policy):
             from hdrtv_tpu.ops.megakernel import fused_resblock, pick_rows_even
 
-            if pick_rows_even(fea.shape[1]) >= 4:
+            coarse_ok = up_coarse is None or (
+                fea.shape[1] % 2 == 0
+                and fea.shape[2] % 2 == 0
+                and up_coarse.shape[1:] == (fea.shape[1] // 2, fea.shape[2] // 2, 4 * fea.shape[3])
+            )
+            if pick_rows_even(fea.shape[1]) >= 4 and coarse_ok:
                 q1 = _qargs_for(p, f"{name}.conv1")
                 q2 = _qargs_for(p, f"{name}.conv2")
                 both = q1 is not None and q2 is not None
@@ -537,14 +545,66 @@ def _resblock(p, name, fea, cond, conv3, conv1, *, policy):
                     policy.cast(p[f"{name}.conv2.weight"]), p[f"{name}.conv2.bias"],
                     qargs1=q1 if both else None,
                     qargs2=q2 if both else None,
+                    up_coarse=None if up_coarse is None else policy.cast(up_coarse[0]),
+                    x_add=None if x_add is None else policy.cast(x_add[0]),
                 )[None]
+        fea = _materialize_up(fea, up_coarse, x_add, policy=policy)
+        up_coarse = x_add = None
         out = _sft_conv(p, f"{name}.sft1", f"{name}.conv1", fea, cond, policy=policy, relu_fused=True)
         # conv2 + residual add fused into the same pass
         return _sft_conv(p, f"{name}.sft2", f"{name}.conv2", out, cond, policy=policy, skip=fea)
+    fea = _materialize_up(fea, up_coarse, x_add, policy=policy)
     out = _sft(p, f"{name}.sft1", fea, cond, conv1, policy=policy)
     out = conv3(p, f"{name}.conv1", out, policy=policy, relu_fused=True)
     out = _sft(p, f"{name}.sft2", out, cond, conv1, policy=policy)
     return conv3(p, f"{name}.conv2", out, policy=policy, skip=fea)
+
+
+def _trunk3_up_fused(p, fea3, cond4, *, policy):
+    """Whole trunk3 stage + up_conv1 as one Pallas pass (fused_trunk3) when
+    eligible; None → caller runs the lax fallback. The narrow (32/16-lane)
+    L3 tensors are exactly where XLA's lane padding hurts most (nine
+    0.106 ms convs at 1080p, round-3 trace) and small enough that the whole
+    stage streams through VMEM."""
+    from hdrtv_tpu.utils.env import env_bool
+
+    if env_bool("HDRTV_DISABLE_PALLAS", False) or not env_bool("HDRTV_TRUNK3_KERNEL", True):
+        return None
+    if jax.default_backend() != "tpu" and not env_bool("HDRTV_MEGAKERNEL_INTERPRET", False):
+        return None
+    if fea3.shape[0] != 1 or fea3.shape[2] % 8 != 0:
+        return None
+    hb3 = fea3.shape[1]
+    if not any(hb3 % cand == 0 for cand in range(min(hb3, 32), 8, -1)):
+        return None
+    if "LE.recon_trunk3.0.conv1.weight" not in p or "LE.up_conv1.0.weight" not in p:
+        return None
+    from hdrtv_tpu.ops.megakernel import fused_trunk3
+
+    blocks = []
+    for i in range(4):
+        name = f"LE.recon_trunk3.{i}"
+        if f"{name}.conv1.weight" not in p:
+            return None
+        blocks.append((
+            _sft4_bd(p, f"{name}.sft1"),
+            policy.cast(p[f"{name}.conv1.weight"]), p[f"{name}.conv1.bias"],
+            _sft4_bd(p, f"{name}.sft2"),
+            policy.cast(p[f"{name}.conv2.weight"]), p[f"{name}.conv2.bias"],
+        ))
+    return fused_trunk3(
+        policy.cast(fea3[0]), policy.cast(cond4[0]), blocks,
+        policy.cast(p["LE.up_conv1.0.weight"]), p["LE.up_conv1.0.bias"],
+    )[None]
+
+
+def _materialize_up(fea, up_coarse, x_add, *, policy):
+    """Fallback form of the fused up-skip add (lax path / ineligible tiles)."""
+    if up_coarse is not None:
+        return d2s_blocks(up_coarse) + fea
+    if x_add is not None:
+        return x_add + fea
+    return fea
 
 
 def _tile4(v: jax.Array) -> jax.Array:
@@ -638,19 +698,22 @@ def _le_mid(p: Params, fea0: jax.Array, cond2, cond3, cond4, *, policy: Policy) 
     def conv1_nat(p_, n_, x_, *, policy):
         return conv_nat(p_, n_, x_, pad=0, policy=policy)
 
-    out = fea3
-    for i in range(4):
-        out = _resblock(p, f"LE.recon_trunk3.{i}", out, cond4, conv3_nat, conv1_nat, policy=policy)
-    out = out + fea3
+    up = _trunk3_up_fused(p, fea3, cond4, policy=policy)
+    if up is None:
+        out = fea3
+        for i in range(4):
+            out = _resblock(p, f"LE.recon_trunk3.{i}", out, cond4, conv3_nat, conv1_nat, policy=policy)
+        out = out + fea3
+        # up_conv1: natural conv + PS fold → s2d L2 tensor directly. The
+        # up+fea2 skip add fuses into the trunk4 resblock kernel (x_add).
+        up = act(conv_nat(p, "LE.up_conv1.0", out, policy=policy))
+    out = _resblock(p, "LE.recon_trunk4.0", fea2, cond3, conv_s1, conv_1x1, policy=policy, x_add=up)
 
-    # up_conv1: natural conv + PS fold → s2d L2 tensor directly.
-    up = act(conv_nat(p, "LE.up_conv1.0", out, policy=policy))
-    out = _resblock(p, "LE.recon_trunk4.0", up + fea2, cond3, conv_s1, conv_1x1, policy=policy)
-
-    # up_conv2: s2d conv at L2 + PS fold + block d2s → s2d L1.
-    # ReLU commutes with d2s (elementwise vs permutation) → fuse into the conv.
-    up = d2s_blocks(conv_s1(p, "LE.up_conv2.0", out, policy=policy, relu_fused=True))
-    return _resblock(p, "LE.recon_trunk5.0", up + fea1, cond2, conv_s1, conv_1x1, policy=policy)
+    # up_conv2: s2d conv at L2 + PS fold; the block d2s + skip add fuse into
+    # the trunk5 resblock kernel (up_coarse — the d2s transpose and the add
+    # pass never touch HBM; ReLU already fused into the conv).
+    upc = conv_s1(p, "LE.up_conv2.0", out, policy=policy, relu_fused=True)
+    return _resblock(p, "LE.recon_trunk5.0", fea1, cond2, conv_s1, conv_1x1, policy=policy, up_coarse=upc)
 
 
 def le_s2d(p: Params, xs: jax.Array, conds: jax.Array, *, policy: Policy) -> jax.Array:
@@ -770,12 +833,7 @@ def ensemble_s2d_rgb48_flat(
     w = w3 // 3
     hb, wb = h // 2, w // 2
     if cond is None:
-        cframe = frame2d_u8.reshape(h, w, 3)
-        if bgr:
-            cframe = cframe[..., ::-1]
-        from hdrtv_tpu.ops.resize import downsample_quarter_aa
-
-        cond = downsample_quarter_aa(cframe[None].astype(jnp.float32) * (1.0 / 255.0))
+        cond = _cond_quarter_flat(frame2d_u8, bgr=bgr)
     use_hg = cfg.use_hg and "hg.conv1.0.weight" in p
     if h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, hb, wb, 12), policy):
         # (Hb,2,Wb,6) row-pair planes — a pure bitcast of the frame rows;
@@ -800,6 +858,22 @@ def ensemble_s2d_rgb48_flat(
     return pack_rgb48(out[0]).reshape(h, w3)
 
 
+def _cond_quarter_flat(frame2d_u8: jax.Array, *, bgr: bool) -> jax.Array:
+    """¼-res AA cond from flat byte rows when divisible; reshape fallback
+    otherwise (odd widths — the resample matrices need w % 4 handling only
+    the natural path has)."""
+    from hdrtv_tpu.ops.resize import downsample_quarter_aa, downsample_quarter_aa_flat
+
+    h, w3 = frame2d_u8.shape
+    w = w3 // 3
+    if h % 4 == 0 and w % 4 == 0:
+        return downsample_quarter_aa_flat(frame2d_u8, bgr=bgr)
+    cframe = frame2d_u8.reshape(h, w, 3)
+    if bgr:
+        cframe = cframe[..., ::-1]
+    return downsample_quarter_aa(cframe[None].astype(jnp.float32) * (1.0 / 255.0))
+
+
 def ensemble_s2d_base_flat(
     p: Params,
     frame2d_u8: jax.Array,
@@ -820,12 +894,7 @@ def ensemble_s2d_base_flat(
     w = w3 // 3
     hb, wb = h // 2, w // 2
     if cond is None:
-        cframe = frame2d_u8.reshape(h, w, 3)
-        if bgr:
-            cframe = cframe[..., ::-1]
-        from hdrtv_tpu.ops.resize import downsample_quarter_aa
-
-        cond = downsample_quarter_aa(cframe[None].astype(jnp.float32) * (1.0 / 255.0))
+        cond = _cond_quarter_flat(frame2d_u8, bgr=bgr)
     if h % 2 == 0 and w % 2 == 0 and _mega_ok(p, (1, hb, wb, 12), policy):
         xr = frame2d_u8.reshape(hb, 2, wb, 6)
         return _ensemble_mega(
@@ -941,6 +1010,11 @@ def _ensemble_mega(
         n_first=n_first, scale=scale, out_dtype=policy.compute_dtype,
     )
 
+    # The chain stays float even in native-int8 mode: per-layer VMEM
+    # quantization doubled the kernel (1.59 → 3.19 ms, round-3 trace) — for
+    # 1×1 dots the VPU quantize cost matches the MXU dot it accelerates, and
+    # the block-diagonal weight wastes 3/4 of the int8 contraction. (The
+    # qargs path in fused_cond_chain remains unit-tested for exactness.)
     c_feat, cond1 = fused_cond_chain(
         c0,
         [w11("LE.cond_first.2"), w11("LE.cond_first.4"),
@@ -953,8 +1027,19 @@ def _ensemble_mega(
     )
     cond2, cond3, cond4 = _le_cond_downs(p, c_feat[None], policy=policy)
     out = _le_mid(p, fea0, cond2, cond3, cond4, policy=policy)
-    up = d2s_blocks(conv_s1(p, "LE.up_conv3.0", out, policy=policy, relu_fused=True))
-    s = up[0] + fea0[0]
+    # up_conv3 output stays coarse: fused_tail unfolds the d2s and adds the
+    # fea0 skip in VMEM (up_coarse) — the round-3 trace's add.530 + d2s
+    # copies disappear.
+    upc = conv_s1(p, "LE.up_conv3.0", out, policy=policy, relu_fused=True)
+    hb0, wb0, c0f = fea0.shape[1:]
+    coarse_ok = (
+        hb0 % 2 == 0 and wb0 % 2 == 0
+        and upc.shape[1:] == (hb0 // 2, wb0 // 2, 4 * c0f)
+    )
+    if coarse_ok:
+        s, up_coarse = fea0[0], upc[0]
+    else:
+        s, up_coarse = (d2s_blocks(upc)[0] + fea0[0]), None
 
     sft2 = [
         w11("LE.SFT_layer2.SFT_scale_conv0"), w11("LE.SFT_layer2.SFT_scale_conv1"),
@@ -966,6 +1051,7 @@ def _ensemble_mega(
         p["LE.conv_last.weight"], p["LE.conv_last.bias"],
         pack=pack,
         qargs_hr=_qargs_for(p, "LE.HR_conv2"),
+        up_coarse=up_coarse,
     )
 
 
@@ -992,7 +1078,7 @@ def attach_native_int8(sp: dict, raw: dict) -> dict:
         qk = f"{layer}.weight_int8"
         if qk not in raw or f"{layer}.x_scale" not in raw:
             continue
-        if role not in (_S1, _S2, _PSL):
+        if role not in (_S1, _S2, _PSL, _P11):
             continue
         wq = np.asarray(raw[qk])
         wsc = np.asarray(raw.get(f"{layer}.w_scale", raw.get(f"{layer}.scale")), np.float32)
@@ -1004,6 +1090,10 @@ def attach_native_int8(sp: dict, raw: dict) -> dict:
             # on int8 codes; per-channel scales follow the same permutation.
             tq = w_s2d_s1_ps(wq)
             tsc = np.tile(w_ps_permute(wsc.reshape(1, 1, 1, -1))[0, 0, 0], 4)
+        elif role == _P11:
+            # block-diagonal zero-insert — exact on codes (zeros quantize to 0)
+            tq = w_s2d_1x1(wq)
+            tsc = b_s2d(wsc)
         else:
             tq = w_s2d_s2(wq)
             tsc = b_s2d(wsc)

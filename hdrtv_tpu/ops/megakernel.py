@@ -291,48 +291,102 @@ def fused_agcm_head_ref(xs, mods, aw1, ab1, aw2, ab2, aw3, ab3, w_in, b_in, *, n
 # ---------------------------------------------------------------------------
 
 
-def _cond_chain_kernel(c0_ref, w2, b2, w4, b4, wa, ba, wb_, bb, wc, bc, c_ref, cond1_ref):
-    th, wb, c = c0_ref.shape
+def _cond_chain_kernel(c0_ref, *refs, qflags, wb):
+    c_ref, cond1_ref = refs[-2:]
+    wrefs = refs[:-2]
+    th = c0_ref.shape[0]
+    c = c0_ref.shape[-1]
     v = c0_ref[:].reshape(th * wb, c).astype(jnp.float32)
 
-    def step(v, w, b, act):
-        y = jnp.dot(v.astype(w.dtype), w, preferred_element_type=jnp.float32) + b[0].astype(jnp.float32)
+    def step(v, w, b, act, qm=None):
+        if qm is None:
+            y = jnp.dot(v.astype(w.dtype), w[:], preferred_element_type=jnp.float32) + b[0].astype(jnp.float32)
+        else:
+            # native int8 W8A8: quantize the running activation in VMEM
+            # (zero extra HBM traffic), int8 MXU dot in int32, rescale.
+            ysc, s_ref, z_ref, has_z = qm
+            q, _ = _quantize_act(v, s_ref, z_ref if has_z else None, wb)
+            y = (
+                jnp.dot(q, w[:], preferred_element_type=jnp.int32).astype(jnp.float32)
+                * ysc[0].astype(jnp.float32)
+                + b[0].astype(jnp.float32)
+            )
         return _lrelu(y) if act else y
 
-    v = step(v, w2[:], b2, True)
-    cc = step(v, w4[:], b4, True)
-    c_ref[:] = cc.reshape(th, wb, -1).astype(c_ref.dtype)
-    v = step(cc, wa[:], ba, True)
-    v = step(v, wb_[:], bb, True)
-    v = step(v, wc[:], bc, False)
+    pos = 0
+    outs = []
+    for idx, qf in enumerate(qflags):
+        w, b = wrefs[pos], wrefs[pos + 1]
+        pos += 2
+        qm = None
+        if qf:
+            qm = (*wrefs[pos : pos + 3], qf == 2)  # 2 = asymmetric (has x_zero)
+            pos += 3
+        v = step(v, w, b, idx != 4, qm)
+        if idx == 1:
+            outs.append(v)
+    c_ref[:] = outs[0].reshape(th, wb, -1).astype(c_ref.dtype)
     cond1_ref[:] = v.reshape(th, wb, -1).astype(cond1_ref.dtype)
 
 
-def fused_cond_chain(c0: jax.Array, weights, *, out_dtype=None):
+def _pack_qargs_1x1(qargs):
+    """(w int8 (C,Co), yscale (1,Co), s (1,1), z (1,1), has_z, b_corr)."""
+    wq = qargs["w_int8"]
+    if wq.ndim == 4:
+        wq = wq[0, 0]
+    ws = jnp.asarray(qargs["w_scale"], jnp.float32)
+    s = jnp.asarray(qargs["x_scale"], jnp.float32)
+    xz = qargs.get("x_zero")
+    has_z = xz is not None
+    co = wq.shape[-1]
+    yscale = (s * ws).reshape(1, co)
+    b_corr = jnp.zeros((co,), jnp.float32)
+    if has_z:
+        zf = jnp.asarray(xz, jnp.float32)
+        wsum = (wq.astype(jnp.float32) * ws).sum(axis=0)
+        b_corr = (zf + 128.0 * s) * wsum
+    z = (jnp.asarray(xz, jnp.float32) if has_z else jnp.float32(0.0)).reshape(1, 1)
+    return wq, yscale, s.reshape(1, 1), z, has_z, b_corr
+
+
+def fused_cond_chain(c0: jax.Array, weights, *, out_dtype=None, qargs=None):
     """c0 (Hb,Wb,C) → (c, cond1): lrelu(cond_first.2), lrelu(cond_first.4),
     then CondNet1.0/.2/.4 (HDRUNet3T1_arch.py:118-137 in the s2d domain).
 
-    ``weights``: five (w (C,C'), b (C',)) pairs.
+    ``weights``: five (w (C,C'), b (C',)) pairs. ``qargs``: optional list of
+    five per-layer native-int8 dicts (or None entries) — quantized layers
+    re-quantize the running activation in VMEM (no HBM cost) and take the
+    int8 MXU dot; the chain is MXU-bound at 1080p (round-3 trace, 1.59 ms).
     """
     hb, wb, c = c0.shape
     out_dtype = out_dtype or c0.dtype
     th = pick_rows(hb, limit=_row_limit(wb, 12))
+    qargs = qargs or [None] * len(weights)
     flat = []
-    for w, b in weights:
-        flat.append(w.astype(c0.dtype))
-        flat.append(b.reshape(1, -1).astype(jnp.float32))
+    qflags = []
+    for (w, b), qa in zip(weights, qargs):
+        if qa is not None:
+            wq, yscale, s_q, z_q, has_z, b_corr = _pack_qargs_1x1(qa)
+            flat.append(wq)
+            flat.append((b.astype(jnp.float32) + b_corr).reshape(1, -1))
+            flat += [yscale, s_q, z_q]
+            qflags.append(2 if has_z else 1)
+        else:
+            flat.append(w.astype(c0.dtype))
+            flat.append(b.reshape(1, -1).astype(jnp.float32))
+            qflags.append(0)
     co_c = weights[1][0].shape[1]
     co_1 = weights[4][0].shape[1]
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _cond_chain_kernel,
+        functools.partial(_cond_chain_kernel, qflags=tuple(qflags), wb=wb),
         out_shape=(
             jax.ShapeDtypeStruct((hb, wb, co_c), out_dtype),
             jax.ShapeDtypeStruct((hb, wb, co_1), out_dtype),
         ),
         grid=(hb // th,),
         in_specs=[pl.BlockSpec((th, wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-        + [wspec] * 10,
+        + [wspec] * len(flat),
         out_specs=(
             pl.BlockSpec((th, wb, co_c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((th, wb, co_1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -360,11 +414,28 @@ def fused_cond_chain_ref(c0, weights, *, out_dtype=None):
 # ---------------------------------------------------------------------------
 
 
+def _d2s_fine(cu, c: int, wb: int):
+    """In-VMEM d2s of a coarse row block: (rows_c, wbc, 4C) → (2·rows_c, wb, C).
+
+    fine[2i+a, 2j+b, k] = coarse[i, j, (2a+b)·C+k] (models/s2d.py d2s) — a
+    128-aligned lane slice per a-half, a minor split whose inner extent is a
+    128-multiple, and a leading-dim row interleave: all Mosaic-supported
+    (compile-probed on v5e, tools/proto_d2s_kernel.py). This keeps the
+    up-path d2s transpose and the +skip pass out of HBM entirely.
+    """
+    rows_c, wbc = cu.shape[0], cu.shape[1]
+    a = cu[:, :, : 2 * c].reshape(rows_c, 2 * wbc, c)
+    b = cu[:, :, 2 * c :].reshape(rows_c, 2 * wbc, c)
+    return jnp.stack([a, b], axis=1).reshape(2 * rows_c, wb, c)
+
+
 def _tail_kernel(
     sp, sc, sn, cp, cc_, cn, skip_ref,
     w0, b0, w1, b1, w2, b2, w3, b3, w9h, bh, w9l, bl,
-    *refs, th, wb, c, cc, cl, hb, pack, quant, has_z,
+    *refs, th, wb, c, cc, cl, hb, pack, quant, has_z, coarse=False,
 ):
+    if coarse:
+        up_p, up_c, up_n, *refs = refs
     if quant:
         ysh, sh_, zh_, out_ref = refs
     else:
@@ -374,6 +445,15 @@ def _tail_kernel(
     rows = th + 4
 
     s = _gather_halo(sp, sc, sn, 2).reshape(rows * wb, c)
+    if coarse:
+        # s input is the fine skip (fea0); rebuild d2s(up_conv3) in VMEM and
+        # add — the coarse halo rows [r0/2-1, r0/2+th/2+1) unfold to exactly
+        # the fine halo [r0-2, r0+th+2).
+        cu = _gather_halo(up_p, up_c, up_n, 1)
+        s = (
+            s.astype(jnp.float32)
+            + _d2s_fine(cu, c, wb).reshape(rows * wb, c).astype(jnp.float32)
+        ).astype(sc.dtype).reshape(rows * wb, c)
     cond = _gather_halo(cp, cc_, cn, 2).reshape(rows * wb, cc)
 
     def mix(v, w, b):
@@ -410,6 +490,7 @@ def fused_tail(
     s: jax.Array, cond1: jax.Array, skip: jax.Array,
     sft_small, w_hr, b_hr, w_last, b_last,
     *, pack: bool = True, out_dtype=None, qargs_hr: dict | None = None,
+    up_coarse: jax.Array | None = None,
 ):
     """LE output slice over s2d tensors:
 
@@ -421,6 +502,10 @@ def fused_tail(
     ``s`` = up3+fea0 (Hb,Wb,128); ``skip`` = agcm_out (Hb,Wb,12).
     With ``pack`` the result is (Hb,2,Wb,6) uint16 whose flat layout equals
     the natural (2Hb, 2Wb, 3) RGB48 frame — reshape, don't d2s.
+    With ``up_coarse`` (Hb/2, Wb/2, 4C — the pre-d2s up_conv3 output), ``s``
+    is the fine skip (fea0) alone and the kernel computes
+    s = d2s(up_coarse) + fea0 in VMEM (_d2s_fine) — the d2s transpose and
+    the add pass never touch HBM.
     """
     hb, wb, c = s.shape
     cc = cond1.shape[-1]
@@ -428,6 +513,9 @@ def fused_tail(
     th = pick_rows_even(hb, limit=_row_limit(wb, 12))
     if not th:
         raise ValueError(f"fused_tail needs an even row divisor of {hb}")
+    coarse = up_coarse is not None
+    if coarse and up_coarse.shape != (hb // 2, wb // 2, 4 * c):
+        raise ValueError(f"up_coarse {up_coarse.shape} != {(hb // 2, wb // 2, 4 * c)}")
     quant = qargs_hr is not None
     extra = []
     if quant:
@@ -446,7 +534,7 @@ def fused_tail(
 
     kernel = functools.partial(
         _tail_kernel, th=th, wb=wb, c=c, cc=cc, cl=cl, hb=hb, pack=pack,
-        quant=quant, has_z=has_z,
+        quant=quant, has_z=has_z, coarse=coarse,
     )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     if pack:
@@ -455,6 +543,10 @@ def fused_tail(
     else:
         out_shape = jax.ShapeDtypeStruct((hb, wb, cl), out_dtype or s.dtype)
         out_spec = pl.BlockSpec((th, wb, cl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    coarse_specs, coarse_args = [], []
+    if coarse:
+        coarse_specs = _halo_specs(hb // 2, th // 2, wb // 2, 4 * c, h=1)
+        coarse_args = [up_coarse, up_coarse, up_coarse]
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -462,7 +554,9 @@ def fused_tail(
         in_specs=_halo_specs(hb, th, wb, c, h=2)
         + _halo_specs(hb, th, wb, cc, h=2)
         + [pl.BlockSpec((th, wb, cl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-        + [wspec] * (12 + len(extra)),
+        + [wspec] * 12
+        + coarse_specs
+        + [wspec] * len(extra),
         out_specs=out_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
@@ -470,6 +564,7 @@ def fused_tail(
         *consts,
         w9h, bh_in,
         w9l, b_last.reshape(1, -1).astype(jnp.float32),
+        *coarse_args,
         *extra,
     )
 
@@ -847,8 +942,12 @@ def _resblock_kernel(
     xt, xc, xb, ct, cc_, cb,
     s1w0, s1b0, s1w1, s1b1, s1w2, s1b2, s1w3, s1b3, w1_, b1_,
     s2w0, s2b0, s2w1, s2b1, s2w2, s2b2, s2w3, s2b3, w2_, b2_,
-    *refs, th, wb, c, cc, hb, quant, has_z1, has_z2,
+    *refs, th, wb, c, cc, hb, quant, has_z1, has_z2, coarse=False, add2=False,
 ):
+    if coarse:
+        up_p, up_c, up_n, *refs = refs
+    elif add2:
+        a_t, a_c, a_b, *refs = refs
     if quant:
         ys1, s1_, z1_, ys2, s2_, z2_, out_ref = refs
     else:
@@ -859,6 +958,19 @@ def _resblock_kernel(
     dt = xc.dtype
 
     x = _gather_halo(xt, xc, xb, 2).reshape(rows * wb, c)
+    if coarse:
+        # x is the fine skip; the resblock input (and its residual) is
+        # x + d2s(up_coarse), rebuilt per tile in VMEM (_d2s_fine).
+        cu = _gather_halo(up_p, up_c, up_n, 1)
+        x = (
+            x.astype(jnp.float32)
+            + _d2s_fine(cu, c, wb).reshape(rows * wb, c).astype(jnp.float32)
+        ).astype(dt)
+    elif add2:
+        x = (
+            x.astype(jnp.float32)
+            + _gather_halo(a_t, a_c, a_b, 2).reshape(rows * wb, c).astype(jnp.float32)
+        ).astype(dt)
     cond = _gather_halo(ct, cc_, cb, 2).reshape(rows * wb, cc)
 
     scale = _sft_mix(cond, s1w0, s1b0, s1w1, s1b1, dt)
@@ -892,6 +1004,7 @@ def _resblock_kernel(
 def fused_resblock(
     x: jax.Array, cond: jax.Array, sft1, w1, b1, sft2, w2, b2,
     *, out_dtype=None, qargs1: dict | None = None, qargs2: dict | None = None,
+    up_coarse: jax.Array | None = None, x_add: jax.Array | None = None,
 ):
     """ResBlock_with_SFT (arch_util.py:75-95) as one kernel:
 
@@ -901,6 +1014,10 @@ def fused_resblock(
     branches recomputed per tile (pointwise, cheap) instead of materialized.
     ``qargs1``/``qargs2`` switch the convs to native int8 W8A8 (both or
     neither — one program per quant configuration).
+    ``up_coarse`` (Hb/2, Wb/2, 4C): the block input (and residual) becomes
+    x + d2s(up_coarse), unfolded per tile in VMEM (trunk5's up_conv2 path —
+    the d2s transpose and skip-add pass never touch HBM). ``x_add`` is the
+    same for an already-fine second input (trunk4's up_conv1 path).
     """
     hb, wb, c = x.shape
     cc = cond.shape[-1]
@@ -908,6 +1025,12 @@ def fused_resblock(
     th = pick_rows_even(hb, limit=_row_limit(wb, 12))
     if not th:
         raise ValueError(f"fused_resblock needs an even row divisor of {hb}")
+    coarse = up_coarse is not None
+    if coarse and up_coarse.shape != (hb // 2, wb // 2, 4 * c):
+        raise ValueError(f"up_coarse {up_coarse.shape} != {(hb // 2, wb // 2, 4 * c)}")
+    if coarse and x_add is not None:
+        raise ValueError("up_coarse and x_add are mutually exclusive")
+    add2 = x_add is not None
     quant = qargs1 is not None and qargs2 is not None
     extra = []
     if quant:
@@ -931,24 +1054,171 @@ def fused_resblock(
 
     kernel = functools.partial(
         _resblock_kernel, th=th, wb=wb, c=c, cc=cc, hb=hb,
-        quant=quant, has_z1=has_z1, has_z2=has_z2,
+        quant=quant, has_z1=has_z1, has_z2=has_z2, coarse=coarse, add2=add2,
     )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    second_specs, second_args = [], []
+    if coarse:
+        second_specs = _halo_specs(hb // 2, th // 2, wb // 2, 4 * c, h=1)
+        second_args = [up_coarse, up_coarse, up_coarse]
+    elif add2:
+        second_specs = _halo_specs(hb, th, wb, c, h=2)
+        second_args = [x_add, x_add, x_add]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((hb, wb, c), out_dtype),
         grid=(hb // th,),
         in_specs=_halo_specs(hb, th, wb, c, h=2)
         + _halo_specs(hb, th, wb, cc, h=2)
-        + [wspec] * (20 + len(extra)),
+        + [wspec] * 20
+        + second_specs
+        + [wspec] * len(extra),
         out_specs=pl.BlockSpec((th, wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, x, x, cond, cond, cond, *c1, *c2, *extra)
+    )(x, x, x, cond, cond, cond, *c1, *c2, *second_args, *extra)
 
 
 def fused_resblock_ref(x, cond, sft1, w1, b1, sft2, w2, b2, *, out_dtype=None):
     h = fused_sft_conv3_v2_ref(x, cond, sft1, w1, b1, relu=True)
     return fused_sft_conv3_v2_ref(h, cond, sft2, w2, b2, skip=x, out_dtype=out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# 5b. The whole natural trunk3 stage (4 SFT resblocks + skip + up_conv1)
+# ---------------------------------------------------------------------------
+
+
+def _trunk3_kernel(
+    ft, fc, fb, ct, cm, cb, w0s, b0s, w1s, b1s, wcs, bcs, wup, bup, out_ref,
+    *, th, wb, hb, cin, cc4, co,
+):
+    i = pl.program_id(0)
+    r0g = (i - 1) * th  # global row index of gathered[0] (full-tile halos)
+    R = 3 * th
+    dt = fc.dtype
+
+    def mask(v):
+        return _row_mask(v, r0g, hb, wb)
+
+    x = _gather_halo(ft, fc, fb, th).reshape(R * wb, cin)
+    cond = mask(_gather_halo(ct, cm, cb, th).reshape(R * wb, cc4).astype(jnp.float32)).astype(dt)
+
+    def mix(k):
+        h = jnp.dot(cond, w0s[k], preferred_element_type=jnp.float32) + b0s[k][0].astype(jnp.float32)
+        return (
+            jnp.dot(_lrelu(h).astype(dt), w1s[k], preferred_element_type=jnp.float32)
+            + b1s[k][0].astype(jnp.float32)
+        )
+
+    def conv3(tf, w3t, b3t):
+        """'same' 3×3 over the full gathered window (validity shrinks one row
+        per conv from the window edges — th covers the 9-conv chain depth)."""
+        t3 = tf.astype(dt).reshape(R, wb, cin)
+        zrow = jnp.zeros((1, wb, cin), dt)
+        acc = jnp.zeros((R * wb, w3t.shape[-1]), jnp.float32)
+        for di_idx, dI in enumerate((-1, 0, 1)):
+            if dI == -1:
+                rows = jnp.concatenate([zrow, t3[: R - 1]], axis=0)
+            elif dI == 1:
+                rows = jnp.concatenate([t3[1:], zrow], axis=0)
+            else:
+                rows = t3
+            left = jnp.pad(rows[:, : wb - 1, :], ((0, 0), (1, 0), (0, 0)))
+            right = jnp.pad(rows[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
+            cat = jnp.concatenate([left, rows, right], axis=-1).reshape(R * wb, 3 * cin)
+            acc = acc + jnp.dot(cat, w3t[di_idx], preferred_element_type=jnp.float32)
+        return acc + b3t[0].astype(jnp.float32)
+
+    xf = mask(x.astype(jnp.float32))
+    fea_init = xf
+    for b in range(4):
+        scale = mix(4 * b + 0)
+        shift = mix(4 * b + 1)
+        t = mask(xf * (scale + 1.0) + shift)
+        h1 = jnp.maximum(conv3(t, wcs[2 * b], bcs[2 * b]), 0.0)
+        scale2 = mix(4 * b + 2)
+        shift2 = mix(4 * b + 3)
+        t2 = mask(h1 * (scale2 + 1.0) + shift2)
+        xf = xf + conv3(t2, wcs[2 * b + 1], bcs[2 * b + 1])
+    out = mask(xf + fea_init)
+
+    up = jnp.maximum(conv3(out, wup, bup), 0.0)
+    up3 = up.reshape(R, wb, co)[th : 2 * th]
+    out_ref[:] = up3.astype(out_ref.dtype)
+
+
+def fused_trunk3(
+    fea3: jax.Array, cond4: jax.Array, blocks, w_up: jax.Array, b_up: jax.Array,
+    *, out_dtype=None,
+):
+    """The L3 natural stage in one pass: 4 ResBlock_with_SFT (natural-layout
+    HDRUNet3T1_arch.py trunk3), the trailing `out + fea3` skip, and the
+    up_conv1 PS-folded conv+ReLU — all over the tiny (H/8, W/8, 32) tensors
+    that otherwise cost ~1 ms of lane-padded lax convs at 1080p (the nine
+    0.106 ms fusions in the round-3 trace; ~4× that at 4K).
+
+    ``blocks``: 4 tuples (sft1 (4 (w,b) pairs), w1, b1, sft2 (4), w2, b2).
+    Returns relu(up_conv1(out)) — the only tensor downstream consumes.
+    Tiling: full-tile halos (prev/cur/next whole-tile views) — the chain is
+    9 convs deep, so the th-row halo must cover it (th ≥ 9); the redundant
+    halo compute is ~2 extra MB-scale tiles, noise at these sizes.
+    """
+    hb, wb, cin = fea3.shape
+    cc4 = cond4.shape[-1]
+    co = w_up.shape[-1]
+    out_dtype = out_dtype or fea3.dtype
+    th = 0
+    for cand in range(min(hb, 32), 8, -1):  # th ≥ 9 covers the conv depth
+        if hb % cand == 0:
+            th = cand
+            break
+    if not th:
+        raise ValueError(f"no tile rows ≥9 divide hb={hb}")
+
+    w0l, b0l, w1l, b1l, wcl, bcl = [], [], [], [], [], []
+    for sft1, w1, b1, sft2, w2, b2 in blocks:
+        for (w0, b0), (wS1, bS1) in (sft1[:2], sft1[2:], sft2[:2], sft2[2:]):
+            w0l.append(w0)
+            b0l.append(b0.reshape(1, -1))
+            w1l.append(wS1)
+            b1l.append(bS1.reshape(1, -1))
+        for w, b in ((w1, b1), (w2, b2)):
+            wcl.append(_w3tap(w))
+            bcl.append(b.reshape(1, -1))
+    dt = fea3.dtype
+    w0s = jnp.stack(w0l).astype(dt)
+    b0s = jnp.stack(b0l).astype(jnp.float32)
+    w1s = jnp.stack(w1l).astype(dt)
+    b1s = jnp.stack(b1l).astype(jnp.float32)
+    wcs = jnp.stack(wcl).astype(dt)
+    bcs = jnp.stack(bcl).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _trunk3_kernel, th=th, wb=wb, hb=hb, cin=cin, cc4=cc4, co=co,
+    )
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hb, wb, co), out_dtype),
+        grid=(hb // th,),
+        in_specs=_halo_specs(hb, th, wb, cin, h=th)
+        + _halo_specs(hb, th, wb, cc4, h=th)
+        + [wspec] * 8,
+        out_specs=pl.BlockSpec((th, wb, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(
+        fea3, fea3, fea3, cond4, cond4, cond4,
+        w0s, b0s, w1s, b1s, wcs, bcs,
+        _w3tap(w_up).astype(dt), b_up.reshape(1, -1).astype(jnp.float32),
+    )
+
+
+def _w3tap(w: jax.Array) -> jax.Array:
+    """(3,3,C,Co) HWIO → (3, 3C, Co): per H-tap, the W taps lane-concatenated
+    (matching the [left‖center‖right] operand order in _trunk3_kernel)."""
+    return jnp.stack([
+        jnp.concatenate([w[dI, 0], w[dI, 1], w[dI, 2]], axis=0) for dI in range(3)
+    ])
 
 
 # ---------------------------------------------------------------------------

@@ -118,6 +118,39 @@ def downsample_quarter_aa(x: jax.Array) -> jax.Array:
     return _apply_separable(x, resample_matrix(h, h // 4, 4.0), resample_matrix(w, w // 4, 4.0))
 
 
+@functools.lru_cache(maxsize=8)
+def _kron_i3(w: int, out_w: int, bgr: bool) -> np.ndarray:
+    """(3w, 3·out_w) expansion of the W resample matrix over interleaved RGB
+    byte rows: K[3wi+ci, 3jo+co] = ww[jo, wi]·δ(ci = flip(co))."""
+    ww = resample_matrix(w, out_w, 4.0)  # exact scale 4 (torch semantics)
+    k = np.zeros((3 * w, 3 * out_w), np.float32)
+    for co in range(3):
+        ci = 2 - co if bgr else co
+        k[ci::3, co::3] = ww.T
+    return k
+
+
+def downsample_quarter_aa_flat(frame2d: jax.Array, *, bgr: bool = False) -> jax.Array:
+    """(H, 3W) uint8 byte rows → (1, H/4, W/4, 3) f32 [0,1] — the AGCM cond
+    input computed on the flat layout.
+
+    Identical math to reshape + :func:`downsample_quarter_aa`, but the
+    lane-padded (H, W, 3) f32 image (3 → 128 lanes, ~0.6 ms @1080p in the
+    round-3 trace) never materializes: the H contraction runs on the flat
+    (H, 3W) byte matrix and the W contraction uses the resample matrix
+    kron-expanded over the interleaved RGB bytes (with the BGR flip folded
+    in). Only the tiny (H/4, 3·W/4) result reshapes to channel-minor.
+    """
+    h, w3 = frame2d.shape
+    w = w3 // 3
+    wh = jnp.asarray(resample_matrix(h, h // 4, 4.0))
+    k = jnp.asarray(_kron_i3(w, w // 4, bgr))
+    x = frame2d.astype(jnp.float32) * (1.0 / 255.0)
+    y = jnp.matmul(wh, x, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.matmul(y, k, precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(1, h // 4, w // 4, 3)
+
+
 def downsample_quarter_bilinear(x: jax.Array) -> jax.Array:
     """Non-antialiased bilinear ¼-res (the fast_condition_resize TRT shortcut,
     hdrtvnet_torch.py:2270-2276)."""

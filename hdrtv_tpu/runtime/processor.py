@@ -19,6 +19,7 @@ for cv2-style consumers (reference postprocess parity, :2352-2368);
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any
 
@@ -220,10 +221,16 @@ class HDRTVNetTPU:
             )
             h, w3 = frame2d_u8.shape
         if self.turbo and h % 8 == 0 and (w3 // 3) % 8 == 0:
-            cond = self._cond_of(
-                frame2d_u8.reshape(h, w3 // 3, 3)[None, ..., ::-1].astype(jnp.float32)
-                * (1.0 / 255.0)
-            )
+            if self.fast_zero_condition or self.fast_condition_resize:
+                cond = self._cond_of(
+                    frame2d_u8.reshape(h, w3 // 3, 3)[None, ..., ::-1].astype(jnp.float32)
+                    * (1.0 / 255.0)
+                )
+            else:
+                # default AA cond computes on the flat byte rows inside
+                # (models/s2d.py _cond_quarter_flat) — the lane-padded
+                # (H,W,3) f32 image never materializes
+                cond = None
             return ensemble_s2d_rgb48_flat(
                 self.params, frame2d_u8, cond, self.cfg, policy=self.policy, bgr=True
             )
@@ -323,7 +330,20 @@ class HDRTVNetTPU:
                 f"by 8×spatial axis (got {w3 // 3}px over {n_sp} devices)"
             )
         flat_dev = jax.device_put(flat_dev, flat_sharding(self.mesh))
-        return self._mesh_flat_fn(h, w3)(flat_dev)
+        fn = self._mesh_flat_fn(h, w3)
+        # Trace-time guard: the W-sharded program must stay pure lax — GSPMD
+        # cannot partition Pallas custom calls (it would replicate them,
+        # silently serializing the mesh). env_bool is read while tracing, so
+        # force the lax path for this program's first (tracing) call.
+        prev = os.environ.get("HDRTV_DISABLE_PALLAS")
+        os.environ["HDRTV_DISABLE_PALLAS"] = "1"
+        try:
+            return fn(flat_dev)
+        finally:
+            if prev is None:
+                os.environ.pop("HDRTV_DISABLE_PALLAS", None)
+            else:
+                os.environ["HDRTV_DISABLE_PALLAS"] = prev
 
     @functools.partial(jax.jit, static_argnums=0)
     def _letterbox_flat_jit(self, flat: jax.Array) -> jax.Array:

@@ -114,6 +114,128 @@ class TestKernels:
         assert np.abs(np.asarray(y16, np.int32) - np.asarray(y16_r, np.int32)).max() <= 1
         np.testing.assert_allclose(np.asarray(ybf, f32), np.asarray(ybf_r, f32), atol=2e-5)
 
+    def test_tail_up_coarse_parity(self):
+        """fused_tail(up_coarse=...) unfolds d2s(up)+fea in VMEM — must match
+        the materialized d2s_blocks + add path (round-3 up-path fusion)."""
+        from hdrtv_tpu.models.s2d import d2s
+        from hdrtv_tpu.ops.megakernel import fused_tail, fused_tail_ref
+
+        rng = np.random.RandomState(15)  # own stream (module fixture is sequential)
+        f32 = np.float32
+        hb, wb, c = 24, 32, 128
+        fea = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        upc = jnp.asarray(rng.rand(hb // 2, wb // 2, 4 * c).astype(f32))
+        cond1 = jnp.asarray(rng.rand(hb, wb, 64).astype(f32))
+        skip = jnp.asarray(rng.rand(hb, wb, 12).astype(f32))
+        sft = [
+            (jnp.asarray(rng.randn(64, 64).astype(f32) * 0.05), jnp.asarray(rng.randn(64).astype(f32) * 0.1)),
+            (jnp.asarray(rng.randn(64, 128).astype(f32) * 0.05), jnp.asarray(rng.randn(128).astype(f32) * 0.1)),
+            (jnp.asarray(rng.randn(64, 64).astype(f32) * 0.05), jnp.asarray(rng.randn(64).astype(f32) * 0.1)),
+            (jnp.asarray(rng.randn(64, 128).astype(f32) * 0.05), jnp.asarray(rng.randn(128).astype(f32) * 0.1)),
+        ]
+        w_hr = jnp.asarray(rng.randn(3, 3, c, c).astype(f32) * 0.05)
+        b_hr = jnp.asarray(rng.randn(c).astype(f32) * 0.1)
+        w_l = jnp.asarray(rng.randn(3, 3, c, 12).astype(f32) * 0.05)
+        b_l = jnp.asarray(rng.randn(12).astype(f32) * 0.1)
+        s_mat = d2s(upc[None])[0] + fea
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_tail(fea, cond1, skip, sft, w_hr, b_hr, w_l, b_l, pack=True, up_coarse=upc)
+        y_r = fused_tail_ref(s_mat, cond1, skip, sft, w_hr, b_hr, w_l, b_l, pack=True)
+        assert np.abs(np.asarray(y, np.int32) - np.asarray(y_r, np.int32)).max() <= 1
+
+    def test_resblock_up_inputs_parity(self):
+        """fused_resblock(up_coarse=...) and (x_add=...) forms ≡ materialized
+        d2s/add + plain resblock."""
+        from hdrtv_tpu.models.s2d import d2s
+        from hdrtv_tpu.ops.megakernel import fused_resblock, fused_resblock_ref
+
+        rng = np.random.RandomState(16)
+        f32 = np.float32
+        hb, wb, c, cc = 16, 16, 128, 64
+        fea = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        upc = jnp.asarray(rng.rand(hb // 2, wb // 2, 4 * c).astype(f32))
+        upf = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        cond = jnp.asarray(rng.rand(hb, wb, cc).astype(f32))
+
+        def sft4():
+            return [
+                (jnp.asarray(rng.randn(cc, cc).astype(f32) * 0.05), jnp.asarray(rng.randn(cc).astype(f32) * 0.1)),
+                (jnp.asarray(rng.randn(cc, c).astype(f32) * 0.05), jnp.asarray(rng.randn(c).astype(f32) * 0.1)),
+                (jnp.asarray(rng.randn(cc, cc).astype(f32) * 0.05), jnp.asarray(rng.randn(cc).astype(f32) * 0.1)),
+                (jnp.asarray(rng.randn(cc, c).astype(f32) * 0.05), jnp.asarray(rng.randn(c).astype(f32) * 0.1)),
+            ]
+
+        sft1, sft2 = sft4(), sft4()
+        w1 = jnp.asarray(rng.randn(3, 3, c, c).astype(f32) * 0.05)
+        b1 = jnp.asarray(rng.randn(c).astype(f32) * 0.1)
+        w2 = jnp.asarray(rng.randn(3, 3, c, c).astype(f32) * 0.05)
+        b2 = jnp.asarray(rng.randn(c).astype(f32) * 0.1)
+
+        with pltpu.force_tpu_interpret_mode():
+            y_c = fused_resblock(fea, cond, sft1, w1, b1, sft2, w2, b2, up_coarse=upc)
+            y_a = fused_resblock(fea, cond, sft1, w1, b1, sft2, w2, b2, x_add=upf)
+        ref_c = fused_resblock_ref(d2s(upc[None])[0] + fea, cond, sft1, w1, b1, sft2, w2, b2)
+        ref_a = fused_resblock_ref(upf + fea, cond, sft1, w1, b1, sft2, w2, b2)
+        np.testing.assert_allclose(np.asarray(y_c, f32), np.asarray(ref_c, f32), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(y_a, f32), np.asarray(ref_a, f32), atol=3e-5)
+
+    def test_trunk3_stage_parity(self):
+        """fused_trunk3 (whole natural L3 stage + up_conv1, round 3) ≡ the
+        lax resblock chain + skip + conv."""
+        import jax
+
+        from hdrtv_tpu.ops.megakernel import fused_trunk3
+
+        rng = np.random.RandomState(18)
+        f32 = np.float32
+        hb, wb, cin, cc4, co = 27, 16, 32, 16, 128
+        fea3 = jnp.asarray(rng.rand(hb, wb, cin).astype(f32) - 0.2)
+        cond4 = jnp.asarray(rng.rand(hb, wb, cc4).astype(f32) - 0.3)
+
+        def pair(ci, co_):
+            return (
+                jnp.asarray(rng.randn(ci, co_).astype(f32) * 0.2),
+                jnp.asarray(rng.randn(co_).astype(f32) * 0.1),
+            )
+
+        blocks = []
+        for _ in range(4):
+            sft1 = [pair(cc4, cc4), pair(cc4, cin), pair(cc4, cc4), pair(cc4, cin)]
+            sft2 = [pair(cc4, cc4), pair(cc4, cin), pair(cc4, cc4), pair(cc4, cin)]
+            w1 = jnp.asarray(rng.randn(3, 3, cin, cin).astype(f32) * 0.1)
+            b1 = jnp.asarray(rng.randn(cin).astype(f32) * 0.1)
+            w2 = jnp.asarray(rng.randn(3, 3, cin, cin).astype(f32) * 0.1)
+            b2 = jnp.asarray(rng.randn(cin).astype(f32) * 0.1)
+            blocks.append((sft1, w1, b1, sft2, w2, b2))
+        w_up = jnp.asarray(rng.randn(3, 3, cin, co).astype(f32) * 0.1)
+        b_up = jnp.asarray(rng.randn(co).astype(f32) * 0.1)
+
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_trunk3(fea3, cond4, blocks, w_up, b_up)
+
+        def conv(x, w, b):
+            return jax.lax.conv_general_dilated(
+                x[None], w, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[0] + b
+
+        def mix(c, p0, p1):
+            h = c @ p0[0] + p0[1]
+            h = jnp.where(h >= 0, h, h * 0.1)
+            return h @ p1[0] + p1[1]
+
+        x = fea3
+        for sft1, w1, b1, sft2, w2, b2 in blocks:
+            t = x * (mix(cond4, sft1[0], sft1[1]) + 1.0) + mix(cond4, sft1[2], sft1[3])
+            h1 = jnp.maximum(conv(t, w1, b1), 0.0)
+            t2 = h1 * (mix(cond4, sft2[0], sft2[1]) + 1.0) + mix(cond4, sft2[2], sft2[3])
+            x = x + conv(t2, w2, b2)
+        out = x + fea3
+        want = jnp.maximum(conv(out, w_up, b_up), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(got, f32), np.asarray(want, f32), atol=5e-4
+        )
+
     def test_down2_parity(self, rng):
         """fused_down2's contract is an s2d-transformed stride-2 weight
         (w_s2d_s2) — the kernel skips its structural zero row-blocks, so the
@@ -466,6 +588,70 @@ class TestNativeInt8:
         got = tq.astype(np.float32) * tsc
         want = w_s2d_s1_ps(codes.astype(np.float32) * wsc)
         np.testing.assert_array_equal(got, want)
+
+    def test_cond_chain_int8_parity(self):
+        """Per-layer native int8 in the 1×1 cond chain (round 3): VMEM
+        re-quantization between layers ≡ eager per-layer W8A8."""
+        from hdrtv_tpu.models.s2d import w_s2d_1x1
+        from hdrtv_tpu.ops.megakernel import fused_cond_chain
+
+        rng = np.random.RandomState(17)
+        f32 = np.float32
+        hb, wb, c = 8, 16, 256
+        c0 = jnp.asarray(rng.rand(hb, wb, c).astype(f32) * 0.8 - 0.1)
+        weights, qargs, eager = [], [], []
+        for li in range(5):
+            co = c if li != 4 else 64
+            b = rng.randn(co).astype(f32) * 0.05
+            if li in (0, 2, 3):  # quantized layers (last: co<128 stays float)
+                codes = rng.randint(-127, 128, (1, 1, c // 4, co // 4)).astype(np.int8)
+                wsc = rng.rand(co // 4).astype(f32) * 0.01 + 0.002
+                tq = w_s2d_1x1(codes)[0, 0]
+                tsc = np.tile(wsc, 4)
+                # layer 3: symmetric calibration (no x_zero) — the round-3
+                # regression case (z=0.0 must not select the asymmetric path)
+                s = 0.008 + 0.002 * li
+                z = None if li == 3 else -0.07 * (li + 1)
+                wf = tq.astype(f32) * tsc
+                weights.append((jnp.asarray(wf.astype(f32)), jnp.asarray(b)))
+                qa = dict(
+                    w_int8=jnp.asarray(tq), w_scale=jnp.asarray(tsc),
+                    x_scale=jnp.float32(s),
+                )
+                if z is not None:
+                    qa["x_zero"] = jnp.float32(z)
+                qargs.append(qa)
+                eager.append(("q", wf, b, s, z))
+            else:
+                w = rng.randn(c, co).astype(f32) * 0.05
+                weights.append((jnp.asarray(w), jnp.asarray(b)))
+                qargs.append(None)
+                eager.append(("f", w, b, None, None))
+
+        with pltpu.force_tpu_interpret_mode():
+            c_out, cond1 = fused_cond_chain(c0, weights, qargs=qargs)
+
+        v = np.asarray(c0, f32).reshape(-1, c)
+        outs = []
+        for idx, (kind, w, b, s, z) in enumerate(eager):
+            if kind == "q" and z is None:
+                q = np.clip(np.round(v / s), -128, 127)
+                v = (q * s) @ w + b
+            elif kind == "q":
+                q = np.clip(np.round((v - z) / s), 0, 255)
+                v = (q * s + z) @ w + b
+            else:
+                v = v @ w + b
+            if idx != 4:
+                v = np.where(v >= 0, v, v * 0.1)
+            if idx == 1:
+                outs.append(v.copy())
+        np.testing.assert_allclose(
+            np.asarray(c_out, f32).reshape(-1, c), outs[0], atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(cond1, f32).reshape(-1, 64), v, atol=2e-3
+        )
 
     def test_down2_int8_parity(self, rng):
         from hdrtv_tpu.models.s2d import w_s2d_s2

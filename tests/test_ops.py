@@ -216,6 +216,24 @@ class TestPack:
 
 
 class TestResize:
+    def test_quarter_aa_flat_parity(self):
+        """Flat-layout cond downsample (round 3) ≡ reshape + channel-minor
+        path, both RGB and BGR — the lane-padded (H,W,3) image is gone but
+        the math must be identical."""
+        from hdrtv_tpu.ops.resize import downsample_quarter_aa, downsample_quarter_aa_flat
+
+        rng = np.random.RandomState(7)
+        frame = rng.randint(0, 256, (32, 48 * 3), dtype=np.uint8)
+        for bgr in (False, True):
+            img = frame.reshape(32, 48, 3)
+            if bgr:
+                img = img[..., ::-1]
+            want = np.asarray(
+                downsample_quarter_aa(jnp.asarray(img[None]).astype(jnp.float32) / 255.0)
+            )
+            got = np.asarray(downsample_quarter_aa_flat(jnp.asarray(frame), bgr=bgr))
+            np.testing.assert_allclose(got, want, atol=2e-6)
+
     def test_area_matches_cv2(self):
         cv2 = __import__("cv2")
         from hdrtv_tpu.ops.resize import resize_area

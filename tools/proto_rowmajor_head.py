@@ -53,9 +53,12 @@ def _kernel_pre(x_ref, w_ref, o_ref, *, t, wb):
 
 def run(h: int, w: int, n: int, co: int = 256) -> None:
     hb, wb, w3 = h // 2, w // 2, 3 * w
+    # raw-rows blocks are (2t, 3W): sublane dim must be a multiple of 8
     t = 8
-    while hb % t:
+    while t >= 4 and (hb % t or (2 * t) % 8):
         t -= 1
+    if hb % t or (2 * t) % 8:
+        raise SystemExit(f"no eligible tile rows for hb={hb}")
     rng = np.random.RandomState(0)
     frame = jnp.asarray(rng.randint(0, 256, (h, w3), dtype=np.uint8))
     wmat = jnp.asarray(rng.randn(12, co).astype(np.float32) * 0.1, jnp.bfloat16)
