@@ -1072,6 +1072,10 @@ def attach_native_int8(sp: dict, raw: dict) -> dict:
     128-multiples attach (the megakernels' int8 eligibility); everything
     else keeps the pre-dequantized float path.
     """
+    if any(k.startswith("base.") for k in raw):
+        # composite (HG) checkpoints carry base.-prefixed ensemble keys; the
+        # transformed tree is unprefixed (s2d_transform_params)
+        raw = {k[len("base."):] if k.startswith("base.") else k: v for k, v in raw.items()}
     out = dict(sp)
     native = []
     for layer, role in _le_layer_roles().items():

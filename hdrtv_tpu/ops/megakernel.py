@@ -1129,18 +1129,21 @@ def _trunk3_kernel(
             acc = acc + jnp.dot(cat, w3t[di_idx], preferred_element_type=jnp.float32)
         return acc + b3t[0].astype(jnp.float32)
 
-    xf = mask(x.astype(jnp.float32))
-    fea_init = xf
+    # chain storage in the compute dtype (the lax path also stores bf16
+    # between ops); f32 only inside the dot accumulators — halves the
+    # lane-padded VMEM footprint (the 4K tiles OOMed the f32 form)
+    fea_init = mask(x.astype(jnp.float32)).astype(dt)
+    xf = fea_init
     for b in range(4):
-        scale = mix(4 * b + 0)
-        shift = mix(4 * b + 1)
-        t = mask(xf * (scale + 1.0) + shift)
-        h1 = jnp.maximum(conv3(t, wcs[2 * b], bcs[2 * b]), 0.0)
-        scale2 = mix(4 * b + 2)
-        shift2 = mix(4 * b + 3)
-        t2 = mask(h1 * (scale2 + 1.0) + shift2)
-        xf = xf + conv3(t2, wcs[2 * b + 1], bcs[2 * b + 1])
-    out = mask(xf + fea_init)
+        t = mask(
+            xf.astype(jnp.float32) * (mix(4 * b + 0) + 1.0) + mix(4 * b + 1)
+        ).astype(dt)
+        h1 = jnp.maximum(conv3(t, wcs[2 * b], bcs[2 * b]), 0.0).astype(dt)
+        t2 = mask(
+            h1.astype(jnp.float32) * (mix(4 * b + 2) + 1.0) + mix(4 * b + 3)
+        ).astype(dt)
+        xf = (xf.astype(jnp.float32) + conv3(t2, wcs[2 * b + 1], bcs[2 * b + 1])).astype(dt)
+    out = mask(xf.astype(jnp.float32) + fea_init.astype(jnp.float32)).astype(dt)
 
     up = jnp.maximum(conv3(out, wup, bup), 0.0)
     up3 = up.reshape(R, wb, co)[th : 2 * th]
@@ -1167,8 +1170,15 @@ def fused_trunk3(
     cc4 = cond4.shape[-1]
     co = w_up.shape[-1]
     out_dtype = out_dtype or fea3.dtype
+    # th ≥ 9 covers the 9-conv chain depth; cap by VMEM: ~8 live gathered-
+    # window tensors, each lane-padded to 128 (narrow 32/16-lane values
+    # occupy full vregs), 2 B/elt compute dtype (4K tiles OOMed at th=30).
+    # envelope proven on-chip at 1080p (th=27, wb=240 ≈ 40 MB scoped); the
+    # 60 MB guess OOMed the 4K compile at th=18 (111 M scoped, wb=480)
+    budget = 40 * 1024 * 1024
+    per_row = 3 * wb * 128 * 2 * 8
     th = 0
-    for cand in range(min(hb, 32), 8, -1):  # th ≥ 9 covers the conv depth
+    for cand in range(min(hb, 32, max(9, budget // per_row)), 8, -1):
         if hb % cand == 0:
             th = cand
             break
