@@ -49,6 +49,17 @@ class HDRGroundTruthReader:
         self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
         self._pos = 0
         self._exact_cache: dict[int, np.ndarray] = {}
+        # decoded-frame cache cap (HDRTVNET_SDR_FRAME_CACHE_MAX,
+        # /root/reference/README.md benchmark env family); FIFO eviction.
+        from hdrtv_tpu.utils.env import env_bool, env_int
+
+        self._cache_max = env_int("HDRTVNET_SDR_FRAME_CACHE_MAX", 64, lo=1)
+        self._fast_seek = env_bool("HDRTVNET_SDR_FRAME_FAST_SEEK", True)
+
+    def _cache_put(self, items: dict[int, np.ndarray]) -> None:
+        self._exact_cache.update(items)
+        while len(self._exact_cache) > self._cache_max:
+            self._exact_cache.pop(next(iter(self._exact_cache)))
 
     def prefetch_exact(self, indices) -> None:
         """Batched exact decode of upcoming frames (one FFmpeg pass —
@@ -57,12 +68,19 @@ class HDRGroundTruthReader:
             return
         missing = [i for i in indices if i not in self._exact_cache]
         if missing:
-            self._exact_cache.update(self._hdr_io.read_frames_exact(self.path, missing))
+            self._cache_put(self._hdr_io.read_frames_exact(self.path, missing))
 
     def read_unit_rgb(self, frame_idx: int) -> np.ndarray | None:
         if self.exact:
             if frame_idx not in self._exact_cache:
-                self.prefetch_exact([frame_idx])
+                if self._fast_seek:
+                    # single-miss fast path: seek-near + PTS-guarded pick
+                    # (gui_hdr_gt_fast_path.py role; exact pass on fallback)
+                    fast = self._hdr_io.read_frame_fast(self.path, frame_idx)
+                    if fast is not None:
+                        self._cache_put({frame_idx: fast})
+                if frame_idx not in self._exact_cache:
+                    self.prefetch_exact([frame_idx])
             u16 = self._exact_cache.get(frame_idx)
             if u16 is not None:
                 return u16.astype(np.float32) / 65535.0
@@ -107,8 +125,8 @@ def find_sync_offset(
     gt_reader,
     frame_map,
     *,
-    window_frames: int = 60,
-    min_gain: float = 0.06,
+    window_frames: int | None = None,
+    min_gain: float | None = None,
     cache_path: str | None = None,
     cache_key: str | None = None,
 ) -> tuple[int, float]:
@@ -118,7 +136,18 @@ def find_sync_offset(
     (offset_frames, score). The offset is accepted only if it beats offset 0
     by ``min_gain`` (the reference's min-gain 0.06 rule,
     gui_media_probe.py:809-1121); otherwise 0 is returned.
+
+    Defaults come from the reference's env knobs:
+    ``HDRTVNET_GT_SYNC_OFFSET_SEARCH_S`` (±seconds, × GT fps → frames) and
+    ``HDRTVNET_GT_SYNC_OFFSET_MIN_GAIN``.
     """
+    from hdrtv_tpu.utils.env import env_float
+
+    if window_frames is None:
+        fps = float(getattr(gt_reader, "fps", 30.0) or 30.0)
+        window_frames = max(1, int(round(env_float("HDRTVNET_GT_SYNC_OFFSET_SEARCH_S", 2.0) * fps)))
+    if min_gain is None:
+        min_gain = env_float("HDRTVNET_GT_SYNC_OFFSET_MIN_GAIN", 0.06)
     if cache_path and cache_key and os.path.isfile(cache_path):
         try:
             with open(cache_path) as f:

@@ -144,9 +144,8 @@ def validate_gt_pair(
     reader = HDRGroundTruthReader(gt_path, exact=False)
     try:
         fmap = make_frame_map(src_info.fps or 30.0, reader.fps)
-        offset, score = find_sync_offset(
-            sdr_frames, reader, fmap, window_frames=int(2.0 * (reader.fps or 30.0))
-        )
+        # window defaults to ±HDRTVNET_GT_SYNC_OFFSET_SEARCH_S seconds
+        offset, score = find_sync_offset(sdr_frames, reader, fmap)
     finally:
         reader.close()
     _check_cancel(cancel_check)

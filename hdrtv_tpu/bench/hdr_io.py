@@ -154,7 +154,12 @@ def read_frame_fast(path: str, frame_idx: int, *, timeout: float = 120.0) -> np.
         build_fast_decode_cmd(path, frame_idx, fps), capture_output=True, timeout=timeout
     )
     infos = parse_showinfo(proc.stderr.decode(errors="replace"))
-    pick = match_pts_frame(infos, frame_idx / max(fps, 1e-6), fps)
+    from hdrtv_tpu.utils.env import env_bool
+
+    if env_bool("HDRTVNET_SDR_FRAME_FAST_SEEK_PTS_GUARD", True):
+        pick = match_pts_frame(infos, frame_idx / max(fps, 1e-6), fps)
+    else:  # guard off: trust the seek, take the first decoded frame
+        pick = 0 if infos or proc.stdout else None
     if pick is None:
         return None
     frame_bytes = w * h * 6

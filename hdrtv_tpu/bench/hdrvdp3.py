@@ -46,10 +46,35 @@ def hdrvdp3_score(
     encoding: str = "pq",
     timeout_s: float = 300.0,
 ) -> tuple[float | None, str]:
-    """Run the external HDR-VDP3 command; (score, status)."""
+    """Run the external HDR-VDP3 command; (score, status).
+
+    With ``HDRTVNET_HDRVDP_CACHE_DIR`` set, scores are cached per content
+    hash (the reference's HDR-VDP score cache, gui_objective_metrics.py
+    HDRVDP_CACHE_DIR) — the Octave bridge costs seconds per pair.
+    """
     cmd_tpl = env_str(HDRVDP3_CMD_ENV).strip()
     if not cmd_tpl:
         return None, "disabled (set HDRTVNET_HDRVDP3_CMD)"
+
+    cache_dir = env_str("HDRTVNET_HDRVDP_CACHE_DIR").strip()
+    cache_file = None
+    if cache_dir:
+        import hashlib
+
+        h = hashlib.sha1()
+        for a in (pred_rgb01, ref_rgb01):
+            arr = np.ascontiguousarray(a, np.float32)
+            h.update(arr.shape.__repr__().encode())
+            h.update(arr.tobytes())
+        h.update(f"{peak_nits}|{encoding}|{cmd_tpl}".encode())
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_file = os.path.join(cache_dir, h.hexdigest() + ".txt")
+        if os.path.isfile(cache_file):
+            try:
+                with open(cache_file) as f:
+                    return float(f.read().strip()), "ok (cached)"
+            except (ValueError, OSError):
+                pass
     import cv2
 
     with tempfile.TemporaryDirectory(prefix="hdrvdp3_") as td:
@@ -67,4 +92,11 @@ def hdrvdp3_score(
         floats = re.findall(r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?", cp.stdout)
         if not floats:
             return None, "no score in output"
-        return float(floats[-1]), "ok"
+        score = float(floats[-1])
+        if cache_file:
+            try:
+                with open(cache_file, "w") as f:
+                    f.write(repr(score))
+            except OSError:
+                pass
+        return score, "ok"

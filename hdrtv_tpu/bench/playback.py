@@ -43,6 +43,7 @@ class PlaybackResult:
     realtime_factor: float
     artifact_mb: float
     wall_s: float
+    ring_ms: float = 0.0  # submit→fetched latency incl. queue residency
 
 
 def run_playback_benchmark(cfg: PlaybackRunConfig, processor, out_dir: str | None = None) -> PlaybackResult:
@@ -90,6 +91,7 @@ def run_playback_benchmark(cfg: PlaybackRunConfig, processor, out_dir: str | Non
         realtime_factor=round(metrics.realtime_factor, 3),
         artifact_mb=round(artifact_mb, 2),
         wall_s=round(wall, 2),
+        ring_ms=round(metrics.ring_ms, 2),
     )
     if out_dir:
         write_session(out_dir, result)

@@ -149,8 +149,8 @@ def run_quality_benchmark(
     *,
     source_name: str = "source",
     gt_frame_map=None,
-    post_verify: bool = True,
-    verify_window: int = 2,
+    post_verify: bool | None = None,
+    verify_window: int | None = None,
     save_artifacts: bool = True,
 ) -> dict:
     """Run the benchmark; returns the session summary dict.
@@ -165,6 +165,15 @@ def run_quality_benchmark(
     ``hdr_gt.tiff`` / ``hdr_convert.tiff`` (:2128-2309).
     """
     from hdrtv_tpu.bench import hdr_io
+    from hdrtv_tpu.utils.env import env_bool, env_int
+
+    # reference benchmark env family (README.md:271-317 benchmark section)
+    if post_verify is None:
+        post_verify = env_bool("HDRTVNET_BENCHMARK_AUTO_POST_VERIFY", True)
+    if verify_window is None:
+        verify_window = env_int("HDRTVNET_BENCHMARK_GT_LOCAL_SEARCH_FRAMES", 2, lo=0, hi=30)
+    verify_max_items = env_int("HDRTVNET_BENCHMARK_AUTO_POST_VERIFY_MAX_ITEMS", 0, lo=0)
+    verified_items = 0
 
     ts = time.strftime("%Y%m%d_%H%M%S")
     session_dir = os.path.join(
@@ -193,10 +202,11 @@ def run_quality_benchmark(
         gt_idx = gt_frame_map(fidx) if gt_frame_map else fidx
 
         offset, score = 0, 0.0
-        if post_verify:
+        if post_verify and (verify_max_items == 0 or verified_items < verify_max_items):
             offset, score = post_verify_alignment(
                 sdr_rgb01, gt_read, gt_idx, window=verify_window
             )
+            verified_items += 1
         gt = gt_read(gt_idx + offset)
         if gt is None:
             continue

@@ -24,12 +24,33 @@ import sys
 import numpy as np
 
 
-def _add_model_args(p: argparse.ArgumentParser) -> None:
+def _add_model_args(p: argparse.ArgumentParser, *, prefs_defaults: bool = False) -> None:
+    # prefs_defaults=True (convert): unset flags restore the last-used
+    # settings from prefs.json — the reference's .gui_prefs.json startup
+    # restore (gui_settings_preview.py); explicit flags always win.
     p.add_argument("--model", default=None, help="checkpoint path (.pt or .npz); default: preset table")
-    p.add_argument("--precision", default="FP16", help="precision preset key (config.PRECISIONS)")
-    p.add_argument("--resolution", default="1080p", choices=["540p", "720p", "1080p", "4K"])
-    p.add_argument("--use-hg", action="store_true", help="enable highlight generation composite")
+    p.add_argument("--precision", default=None if prefs_defaults else "FP16",
+                   help="precision preset key (config.PRECISIONS)")
+    p.add_argument("--resolution", default=None if prefs_defaults else "1080p",
+                   choices=["540p", "720p", "1080p", "4K"])
+    p.add_argument("--use-hg", action="store_true", default=None if prefs_defaults else False,
+                   help="enable highlight generation composite")
     p.add_argument("--hg-weights", default=None)
+
+
+def _apply_prefs(args) -> None:
+    """Fill convert's unset model/display flags from prefs.json."""
+    from hdrtv_tpu.utils.prefs import load_prefs
+
+    prefs = load_prefs()
+    if args.precision is None:
+        args.precision = prefs.get("precision") or "FP16"
+    if args.resolution is None:
+        args.resolution = prefs.get("resolution") or "1080p"
+    if args.use_hg is None:
+        args.use_hg = bool(prefs.get("use_hg", False))
+    if getattr(args, "display", None) is None:
+        args.display = prefs.get("display") or "null"
 
 
 def _make_processor(args):
@@ -74,6 +95,7 @@ def cmd_convert(args) -> int:
     from hdrtv_tpu.pipeline.sinks import make_sink
     from hdrtv_tpu.pipeline.source import SyntheticSource, VideoSource
 
+    _apply_prefs(args)
     proc = _make_processor(args)
     w, h = processing_dims(args.resolution)
     bypass = False
@@ -177,6 +199,16 @@ def cmd_convert(args) -> int:
     sink.close()
     if audio is not None:
         audio.close()
+    # persist last-used settings (.gui_prefs.json role); the shell may have
+    # hot-swapped precision/resolution — save what the session ended with
+    from hdrtv_tpu.utils.prefs import save_prefs
+
+    save_prefs(
+        precision=(controller.precision if controller else args.precision),
+        resolution=(controller.resolution if controller else args.resolution),
+        use_hg=bool(args.use_hg),
+        display=args.display,
+    )
     print(
         f"frames={m.frames} dropped={m.dropped} fps={m.fps:.2f} "
         f"1%low={m.fps_1pct_low:.2f} model={m.model_ms:.2f}ms rt×={m.realtime_factor:.2f} "
@@ -701,9 +733,9 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("convert", help="play/convert video")
-    _add_model_args(c)
+    _add_model_args(c, prefs_defaults=True)
     c.add_argument("--video", default=None)
-    c.add_argument("--display", default="null", choices=["mpv", "side-by-side", "file", "null"])
+    c.add_argument("--display", default=None, choices=["mpv", "side-by-side", "file", "null"])
     c.add_argument("--output", default=None)
     c.add_argument("--frames", type=int, default=None)
     c.add_argument("--no-realtime", action="store_true")

@@ -56,27 +56,44 @@ class FileSink:
 def _quality_args() -> list[str]:
     """Display-quality mpv options (env-configurable, the reference's
     deband/dither/tscale set — gui_mpv_widget.py:80-230 defaults)."""
-    from hdrtv_tpu.utils.env import env_bool, env_int
+    from hdrtv_tpu.utils.env import env_bool, env_int, env_str
 
     args = []
     if env_bool("HDRTVNET_MPV_DEBAND", True):
-        args.append("--deband=yes")
-    dither = env_int("HDRTVNET_MPV_DITHER_DEPTH", 10, lo=0, hi=16)
-    if dither:
-        args.append(f"--dither-depth={dither}")
+        args += [
+            "--deband=yes",
+            f"--deband-iterations={env_int('HDRTVNET_MPV_DEBAND_ITERATIONS', 3, lo=1, hi=16)}",
+            f"--deband-threshold={env_int('HDRTVNET_MPV_DEBAND_THRESHOLD', 100, lo=0, hi=4096)}",
+            f"--deband-range={env_int('HDRTVNET_MPV_DEBAND_RANGE', 32, lo=1, hi=64)}",
+            f"--deband-grain={env_int('HDRTVNET_MPV_DEBAND_GRAIN', 8, lo=0, hi=4096)}",
+        ]
+    if env_bool("HDRTVNET_MPV_DITHER", True):
+        depth = env_str("HDRTVNET_MPV_DITHER_DEPTH", "10").strip() or "auto"
+        if depth != "0":
+            algo = env_str("HDRTVNET_MPV_DITHER_ALGO", "fruit").strip() or "fruit"
+            args += [f"--dither-depth={depth}", f"--dither={algo}"]
+            if algo == "fruit":
+                args.append(
+                    f"--dither-size-fruit={env_int('HDRTVNET_MPV_DITHER_SIZE_FRUIT', 6, lo=2, hi=8)}"
+                )
+            if env_bool("HDRTVNET_MPV_TEMPORAL_DITHER", True):
+                args += [
+                    "--temporal-dither=yes",
+                    f"--temporal-dither-period={env_int('HDRTVNET_MPV_TEMPORAL_DITHER_PERIOD', 1, lo=1, hi=128)}",
+                ]
     if env_bool("HDRTVNET_MPV_INTERPOLATION", False):
         args += ["--interpolation=yes", "--tscale=oversample"]
     return args
 
 
 def _drop_dither(args: list[str]) -> list[str]:
-    return [a for a in args if not a.startswith("--dither")]
+    return [a for a in args if not a.startswith(("--dither", "--temporal-dither"))]
 
 
 def _drop_display_quality(args: list[str]) -> list[str]:
     return [
         a for a in args
-        if not a.startswith(("--dither", "--deband", "--interpolation", "--tscale"))
+        if not a.startswith(("--dither", "--temporal-dither", "--deband", "--interpolation", "--tscale"))
     ]
 
 
@@ -112,6 +129,7 @@ class MpvPipeSink:
         drop_to_latest: bool = False,
         out_size: tuple[int, int] | None = None,
         upscaler: str | None = None,
+        jitter_buffer_frames: int | None = None,
     ):
         if shutil.which("mpv") is None:
             raise RuntimeError("mpv not found on PATH")
@@ -140,6 +158,15 @@ class MpvPipeSink:
             *scale_args,
             *extra_args,
         ]
+        if jitter_buffer_frames:
+            # live jitter buffer: short pipe-write stalls repeat a frame
+            # instead of underflowing (HDRTVNET_LIVE_CAPTURE_MPV_BUFFER_FRAMES,
+            # reference README live-capture tuning)
+            frame_bytes = width * height * 6
+            base += [
+                f"--demuxer-max-bytes={jitter_buffer_frames * frame_bytes}",
+                f"--demuxer-readahead-secs={jitter_buffer_frames / max(fps, 1.0):.3f}",
+            ]
         quality = _quality_args()
         ladders = [
             (quality, None),
@@ -315,9 +342,16 @@ def make_sink(
     instead of backpressure — gui_pipeline_worker_feeders.py:73-104)."""
     kind = (kind or "null").lower()
     if kind in ("mpv", "side-by-side"):
+        from hdrtv_tpu.utils.env import env_int
+
         cls = SideBySideSink if kind == "side-by-side" else MpvPipeSink
+        kwargs = {}
+        if live and cls is MpvPipeSink:
+            kwargs["jitter_buffer_frames"] = env_int(
+                "HDRTVNET_LIVE_CAPTURE_MPV_BUFFER_FRAMES", 8, lo=1, hi=64
+            )
         try:
-            return cls(width, height, fps, drop_to_latest=live)
+            return cls(width, height, fps, drop_to_latest=live, **kwargs)
         except Exception:
             kind = "null"
     if kind == "file":

@@ -203,13 +203,16 @@ def validate_timing_compatibility(
         return False, f"FPS mismatch: {source_label} {src.fps:.3f} vs {gt_label} {gt.fps:.3f}.", []
 
     notes: list[str] = []
+    from hdrtv_tpu.utils.env import env_float
+
+    sync_tol_s = env_float("HDRTVNET_GT_SYNC_TOLERANCE_S", _GT_SYNC_TOLERANCE_S)
     delta = duration_delta_s(src, gt)
     if (
         src.frame_count > 0
         and gt.frame_count > 0
         and abs(src.frame_count - gt.frame_count) > _GT_EXACT_FRAME_TOLERANCE
     ):
-        if delta <= 0.0 or delta > _GT_SYNC_TOLERANCE_S:
+        if delta <= 0.0 or delta > sync_tol_s:
             if not enforce_sync_tolerance and delta > 0.0:
                 notes.append(f"length differs by {delta:.2f}s; using content sync")
             elif not enforce_sync_tolerance:
@@ -230,7 +233,7 @@ def validate_timing_compatibility(
     src_d = src.frame_count / src.fps if src.frame_count > 0 and src.fps > 0 else 0.0
     gt_d = gt.frame_count / gt.fps if gt.frame_count > 0 and gt.fps > 0 else 0.0
     if src_d > 0 and gt_d > 0 and abs(src_d - gt_d) > _DURATION_TOLERANCE_S:
-        if delta > _GT_SYNC_TOLERANCE_S:
+        if delta > sync_tol_s:
             if enforce_sync_tolerance:
                 return (
                     False,

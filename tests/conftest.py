@@ -39,3 +39,10 @@ def cpu_devices():
     devs = jax.devices("cpu")
     assert len(devs) >= 8, "conftest failed to create 8 virtual CPU devices"
     return devs
+
+
+@pytest.fixture(autouse=True)
+def _isolated_prefs(tmp_path, monkeypatch):
+    # keep .gui_prefs.json-analog writes out of the real home dir, and keep
+    # tests independent of any previously-persisted settings
+    monkeypatch.setenv("HDRTVNET_PREFS_PATH", str(tmp_path / "prefs.json"))

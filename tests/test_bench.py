@@ -258,3 +258,137 @@ class TestQualityPostVerify:
         assert len(fdirs) == len(summary["frames"])
         one = os.path.join(summary["session_dir"], "frames", fdirs[0])
         assert sorted(os.listdir(one)) == ["hdr_convert.tiff", "hdr_gt.tiff", "sdr.png"]
+
+
+class TestEnvKnobs:
+    """Reference env-var families (README.md:271-317): GT-sync search,
+    frame cache, post-verify, timing tolerance, HDR-VDP cache."""
+
+    def test_sync_window_and_min_gain_from_env(self, monkeypatch):
+        from hdrtv_tpu.bench.gt_sync import find_sync_offset, make_frame_map
+
+        rng = np.random.RandomState(1)
+        clip = [rng.rand(32, 48, 3).astype(np.float32) for _ in range(60)]
+        true_offset = 4
+
+        class Reader:
+            fps = 1.0  # 1 fps ⇒ SEARCH_S maps 1:1 to frames
+
+            def read_unit_rgb(self, idx):
+                j = idx - true_offset
+                return clip[j] if 0 <= j < len(clip) else None
+
+        sdr_frames = {i: clip[i] for i in (10, 20, 30)}
+        args = (sdr_frames, Reader(), make_frame_map(30, 30))
+        # window smaller than the true offset ⇒ not found
+        monkeypatch.setenv("HDRTVNET_GT_SYNC_OFFSET_SEARCH_S", "2")
+        off, _ = find_sync_offset(*args)
+        assert off == 0
+        # wide enough ⇒ found
+        monkeypatch.setenv("HDRTVNET_GT_SYNC_OFFSET_SEARCH_S", "8")
+        off, _ = find_sync_offset(*args)
+        assert off == true_offset
+        # absurd min-gain ⇒ offset rejected back to 0
+        monkeypatch.setenv("HDRTVNET_GT_SYNC_OFFSET_MIN_GAIN", "10.0")
+        off, _ = find_sync_offset(*args)
+        assert off == 0
+
+    def test_gt_reader_cache_cap(self, monkeypatch, tmp_path):
+        import cv2
+
+        from hdrtv_tpu.bench.gt_sync import HDRGroundTruthReader
+
+        path = str(tmp_path / "gt.avi")
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(8):
+            wr.write(rng.randint(0, 255, (48, 64, 3), np.uint8))
+        wr.release()
+
+        monkeypatch.setenv("HDRTVNET_SDR_FRAME_CACHE_MAX", "2")
+        r = HDRGroundTruthReader(path, exact=True)  # exact cache path
+        r._hdr_io = type(
+            "H", (), {"read_frames_exact": staticmethod(
+                lambda p, idxs: {i: np.full((48, 64, 3), i, np.uint16) for i in idxs}
+            ), "read_frame_fast": staticmethod(lambda p, i: None)},
+        )
+        for i in range(5):
+            assert r.read_unit_rgb(i) is not None
+        assert len(r._exact_cache) <= 2
+        r.close()
+
+    def test_post_verify_env_gate_and_cap(self, monkeypatch):
+        from hdrtv_tpu.bench.quality import QualityRunConfig, run_quality_benchmark
+
+        calls = {"n": 0}
+
+        class _Src:
+            fps = 30.0
+            frame_count = 30
+
+            def __init__(self):
+                self._idx = 0
+
+            def read_with_meta(self):
+                f = np.full((48, 64, 3), self._idx * 7 % 255, np.uint8)
+                self._idx += 1
+                return f, self._idx - 1, (self._idx - 1) / 30.0
+
+            def seek(self, i):
+                self._idx = int(i)
+
+        def gt_read(idx):
+            calls["n"] += 1
+            return np.full((48, 64, 3), (idx * 7 % 255) / 255.0, np.float32)
+
+        class _Identity:
+            def process_rgb48(self, frame_bgr):
+                return frame_bgr[..., ::-1].astype(np.uint16) * 257
+
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_AUTO_POST_VERIFY", "0")
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            s = run_quality_benchmark(
+                QualityRunConfig(frame_count=3), _Identity(), _Src(), gt_read, td,
+                save_artifacts=False,
+            )
+        assert not s["post_verify"]["enabled"]
+        # with verify off, exactly one gt read per row
+        assert calls["n"] == len(s["frames"])
+
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_AUTO_POST_VERIFY", "1")
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_GT_LOCAL_SEARCH_FRAMES", "1")
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_AUTO_POST_VERIFY_MAX_ITEMS", "1")
+        calls["n"] = 0
+        with tempfile.TemporaryDirectory() as td:
+            s = run_quality_benchmark(
+                QualityRunConfig(frame_count=3), _Identity(), _Src(), gt_read, td,
+                save_artifacts=False,
+            )
+        n = len(s["frames"])
+        # row 1: ±1 search (3 reads) + final read; rows 2..n: 1 read each
+        assert calls["n"] == 4 + (n - 1)
+
+    def test_timing_tolerance_env(self, monkeypatch):
+        from hdrtv_tpu.runtime.probe import MediaInfo, validate_timing_compatibility
+
+        src = MediaInfo(64, 48, 30.0, 300, False)
+        gt = MediaInfo(64, 48, 30.0, 420, False)  # 4 s longer
+        ok, _err, _notes = validate_timing_compatibility(src, gt)
+        assert not ok  # beyond the default 2 s tolerance
+        monkeypatch.setenv("HDRTVNET_GT_SYNC_TOLERANCE_S", "5.0")
+        ok, _err, notes = validate_timing_compatibility(src, gt)
+        assert ok and any("overlap sync" in n for n in notes)
+
+    def test_hdrvdp3_cache_dir(self, monkeypatch, tmp_path):
+        from hdrtv_tpu.bench import hdrvdp3
+
+        monkeypatch.setenv("HDRTVNET_HDRVDP3_CMD", "echo {test} {reference} 7.25")
+        monkeypatch.setenv("HDRTVNET_HDRVDP_CACHE_DIR", str(tmp_path / "vdp"))
+        a = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+        b = np.random.RandomState(1).rand(16, 16, 3).astype(np.float32)
+        score, status = hdrvdp3.hdrvdp3_score(a, b)
+        assert status == "ok" and score is not None
+        score2, status2 = hdrvdp3.hdrvdp3_score(a, b)
+        assert status2 == "ok (cached)" and score2 == score

@@ -151,3 +151,55 @@ class TestBenchTrace:
         out = capsys.readouterr().out
         assert "device trace written" in out
         assert os.path.isdir(tmp_path / "trace")
+
+
+class TestPrefsPersistence:
+    """.gui_prefs.json analog: convert restores unset flags from prefs and
+    persists the settings a session ended with (gui_settings_preview.py)."""
+
+    def test_save_load_roundtrip(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.utils.prefs import load_prefs, prefs_path, save_prefs
+
+        monkeypatch.setenv("HDRTVNET_PREFS_PATH", str(tmp_path / "p.json"))
+        assert load_prefs() == {}
+        save_prefs(precision="INT8 Full (QAT)", resolution="720p")
+        assert load_prefs()["precision"] == "INT8 Full (QAT)"
+        save_prefs(display="null")  # merge keeps earlier keys
+        got = load_prefs()
+        assert got["resolution"] == "720p" and got["display"] == "null"
+        assert prefs_path() == str(tmp_path / "p.json")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            save_prefs(nonsense=1)
+
+    def test_convert_persists_and_restores(self, tmp_path, monkeypatch, capsys):
+        from hdrtv_tpu.utils.prefs import load_prefs
+
+        monkeypatch.setenv("HDRTVNET_PREFS_PATH", str(tmp_path / "p.json"))
+        rc = main([
+            "convert", "--model", WEIGHTS, "--display", "null",
+            "--resolution", "540p", "--frames", "2", "--no-realtime",
+        ])
+        assert rc == 0
+        assert load_prefs()["resolution"] == "540p"
+        capsys.readouterr()
+        # second run without --resolution restores 540p from prefs
+        rc = main([
+            "convert", "--model", WEIGHTS, "--display", "null",
+            "--frames", "2", "--no-realtime",
+        ])
+        assert rc == 0
+        assert "960x540" in capsys.readouterr().out
+
+    def test_explicit_flags_beat_prefs(self, tmp_path, monkeypatch, capsys):
+        from hdrtv_tpu.utils.prefs import save_prefs
+
+        monkeypatch.setenv("HDRTVNET_PREFS_PATH", str(tmp_path / "p.json"))
+        save_prefs(resolution="1080p")
+        rc = main([
+            "convert", "--model", WEIGHTS, "--display", "null",
+            "--resolution", "540p", "--frames", "2", "--no-realtime",
+        ])
+        assert rc == 0
+        assert "960x540" in capsys.readouterr().out

@@ -180,3 +180,38 @@ class TestSideBySide:
         assert m.frames == 4
         assert len(sink.hdr) == 4 and len(sink.sdr) == 4
         assert sink.sdr[0] == (32, 64, 3)
+
+
+class TestMpvQualityKnobs:
+    def test_quality_arg_families(self, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import _quality_args
+
+        args = _quality_args()
+        assert "--deband=yes" in args and "--deband-iterations=3" in args
+        assert "--dither-depth=10" in args and "--dither=fruit" in args
+        assert "--dither-size-fruit=6" in args and "--temporal-dither=yes" in args
+
+        monkeypatch.setenv("HDRTVNET_MPV_DEBAND_THRESHOLD", "64")
+        monkeypatch.setenv("HDRTVNET_MPV_DITHER_ALGO", "ordered")
+        monkeypatch.setenv("HDRTVNET_MPV_TEMPORAL_DITHER", "0")
+        args = _quality_args()
+        assert "--deband-threshold=64" in args and "--dither=ordered" in args
+        assert not any(a.startswith("--dither-size-fruit") for a in args)
+        assert not any(a.startswith("--temporal-dither") for a in args)
+
+        monkeypatch.setenv("HDRTVNET_MPV_DITHER", "0")
+        monkeypatch.setenv("HDRTVNET_MPV_DEBAND", "0")
+        args = _quality_args()
+        assert not any(a.startswith(("--dither", "--deband", "--temporal-dither")) for a in args)
+
+    def test_live_jitter_buffer_args(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import make_sink
+
+        _install_fake_mpv(tmp_path, monkeypatch, refuse="--never-refused")
+        monkeypatch.setenv("HDRTVNET_LIVE_CAPTURE_MPV_BUFFER_FRAMES", "4")
+        sink = make_sink("mpv", 64, 32, 30.0, live=True)
+        try:
+            joined = " ".join(sink.proc.args if isinstance(sink.proc.args, list) else [])
+            assert f"--demuxer-max-bytes={4 * 64 * 32 * 6}" in joined
+        finally:
+            sink.close()

@@ -100,6 +100,12 @@ def main() -> None:
     ap.add_argument("--precision", default="bf16")
     ap.add_argument("--trace", metavar="DIR", default=None, help="jax.profiler trace dir")
     ap.add_argument(
+        "--batch", type=int, default=0, metavar="B",
+        help="batched-export throughput: keep B device-resident frame chains "
+        "in flight (the cli export --batch dispatch pattern, "
+        "processor._process_rgb48_batch_jit) and report frames/sec",
+    )
+    ap.add_argument(
         "--fold-chain", action="store_true",
         help="fold the next-frame derivation into the model jit (bench.py "
         "methodology — the %%256 chain op otherwise runs as separate jits, "
@@ -149,6 +155,47 @@ def main() -> None:
     frame = jax.device_put(
         jnp.asarray((np.random.RandomState(0).rand(h, w * 3) * 255).astype(np.uint8))
     )
+    if args.batch:
+        # Batched-export throughput: B independent device-resident chains,
+        # dispatched round-robin exactly like _process_rgb48_batch_jit
+        # (async per-frame programs — XLA pipelines the B in-flight chains).
+        b = args.batch
+        rng = np.random.RandomState(0)
+        outs = [
+            proc.process_rgb48_device(
+                jax.device_put(jnp.asarray((rng.rand(h, w * 3) * 255).astype(np.uint8)))
+            )
+            for _ in range(b)
+        ]
+        _ = [np.asarray(o[:2, :2]) for o in outs]  # compile + settle
+
+        def batch_rounds(n):
+            t0 = time.perf_counter()
+            cur = outs
+            for _ in range(n):
+                cur = [
+                    proc.process_rgb48_device((o % 256).astype(jnp.uint8)) for o in cur
+                ]
+            _ = [np.asarray(o[:2, :2]) for o in cur]
+            return (time.perf_counter() - t0) / (n * b)
+
+        batch_rounds(2)
+        dt = batch_rounds(max(4, args.n // b))
+        print(
+            json.dumps(
+                {
+                    "mode": "batch-export",
+                    "batch": b,
+                    "precision": args.precision,
+                    "native_int8": proc.native_int8,
+                    "resolution": f"{w}x{h}",
+                    "ms_per_frame": round(dt * 1e3, 2),
+                    "frames_per_sec": round(1.0 / dt, 2),
+                }
+            ),
+            flush=True,
+        )
+        return
     if args.fold_chain:
         if proc._hg_split_active(h, w * 3):
             raise SystemExit("--fold-chain supports the single-program (no-HG) path")
