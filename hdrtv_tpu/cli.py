@@ -703,6 +703,45 @@ def cmd_preview(args) -> int:
     return 0
 
 
+def cmd_figures(args) -> int:
+    """Benchmark-artifact figure renderer — the
+    scripts/render_mpv_preview_figures.py role: walk a benchmark session
+    for sdr.png/hdr_gt.tiff/hdr_convert.tiff frame dirs, replay each
+    through the numeric display path (BT.2390 tone-map + scale policy),
+    and save presentation PNGs + labeled contact sheets + a manifest."""
+    from hdrtv_tpu.bench.figures import render_session
+
+    render_size = None
+    if args.render_size:
+        try:
+            w, h = args.render_size.lower().split("x")
+            render_size = (int(w), int(h))
+        except ValueError:
+            print(f"render size must look like 1920x1080: {args.render_size!r}")
+            return 2
+        if render_size[0] <= 0 or render_size[1] <= 0:
+            print("render size must be positive")
+            return 2
+    kinds = [k.strip() for k in args.kinds.split(",") if k.strip()]
+    manifest = render_session(
+        args.input,
+        args.out,
+        kinds=kinds,
+        render_size=render_size,
+        scale=args.scale,
+        png_depth=args.png_depth,
+        sheet=not args.no_sheet,
+        target_nits=args.target_nits,
+        source_peak_nits=args.source_peak,
+    )
+    print(json.dumps({
+        "out": args.out,
+        "frames": len(manifest["frames"]),
+        "kinds": manifest["kinds"],
+    }))
+    return 0 if manifest["frames"] else 1
+
+
 def cmd_mine_hard_frames(args) -> int:
     from hdrtv_tpu.data.curate import mine_hard_frames
 
@@ -863,6 +902,21 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--thumb-width", type=int, default=320)
     pv.add_argument("--out", default=None)
     pv.set_defaults(fn=cmd_preview)
+
+    fg = sub.add_parser(
+        "figures",
+        help="render benchmark session frames to presentation PNGs + contact sheets",
+    )
+    fg.add_argument("--input", required=True, help="benchmark session dir (or one frame dir)")
+    fg.add_argument("--out", default="docs/images/figures")
+    fg.add_argument("--kinds", default="sdr,hdr_convert,hdr_gt")
+    fg.add_argument("--render-size", default=None, metavar="WxH")
+    fg.add_argument("--scale", default=None, help="presentation scaler (fsr/ssim_superres)")
+    fg.add_argument("--png-depth", type=int, default=8, choices=[8, 16])
+    fg.add_argument("--no-sheet", action="store_true")
+    fg.add_argument("--target-nits", type=float, default=203.0)
+    fg.add_argument("--source-peak", type=float, default=1000.0)
+    fg.set_defaults(fn=cmd_figures)
 
     mh = sub.add_parser(
         "mine-hard-frames",

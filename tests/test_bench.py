@@ -392,3 +392,103 @@ class TestEnvKnobs:
         assert status == "ok" and score is not None
         score2, status2 = hdrvdp3.hdrvdp3_score(a, b)
         assert status2 == "ok (cached)" and score2 == score
+
+
+class TestFigures:
+    """Figure renderer — the scripts/render_mpv_preview_figures.py role:
+    session discovery, PQ display transform, contact sheets, manifest."""
+
+    @staticmethod
+    def _make_session(root):
+        import cv2
+
+        from hdrtv_tpu.bench import hdr_io
+
+        rng = np.random.RandomState(3)
+        dirs = []
+        for name in ("frames/f000012", "frames/f000044"):
+            d = os.path.join(root, name)
+            os.makedirs(d)
+            cv2.imwrite(os.path.join(d, "sdr.png"),
+                        rng.randint(0, 255, (36, 64, 3), np.uint8))
+            for k in ("hdr_gt.tiff", "hdr_convert.tiff"):
+                hdr_io.write_tiff16(
+                    os.path.join(d, k),
+                    rng.randint(0, 65535, (36, 64, 3)).astype(np.uint16),
+                )
+            dirs.append(d)
+        return dirs
+
+    def test_discovery_modes(self, tmp_path):
+        from hdrtv_tpu.bench.figures import discover_frame_dirs
+
+        dirs = self._make_session(str(tmp_path))
+        found, _root = discover_frame_dirs(str(tmp_path))
+        assert found == sorted(dirs)
+        # a frame dir itself
+        found, _ = discover_frame_dirs(dirs[0])
+        assert found == [dirs[0]]
+        # a file selects its parent
+        found, _ = discover_frame_dirs(os.path.join(dirs[1], "sdr.png"))
+        assert found == [dirs[1]]
+        # kind subset still matches
+        found, _ = discover_frame_dirs(str(tmp_path), kinds=("sdr",))
+        assert len(found) == 2
+
+    def test_tone_map_properties(self):
+        from hdrtv_tpu.bench.figures import tone_map_pq
+        from hdrtv_tpu.ops.color import pq_oetf
+
+        # black maps to black, monotone ramp stays monotone, in-range
+        ramp = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8, 1)
+        code = np.repeat(ramp, 3, axis=-1)
+        out = tone_map_pq(code)
+        assert out.shape == code.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        gray = out[..., 0].ravel()
+        assert np.all(np.diff(gray) >= -1e-4)
+        assert gray[0] < 1e-3
+        # reference-white PQ code (203 nits) should land near display white
+        ref_white = float(np.asarray(pq_oetf(np.float32(203.0))))
+        w = tone_map_pq(np.full((4, 4, 3), ref_white, np.float32))
+        assert w.mean() > 0.8
+
+    def test_render_session_manifest_and_outputs(self, tmp_path):
+        import cv2
+
+        from hdrtv_tpu.bench.figures import render_session
+
+        self._make_session(str(tmp_path / "sess"))
+        out = str(tmp_path / "figs")
+        m = render_session(str(tmp_path / "sess"), out,
+                           render_size=(128, 72), scale="fsr")
+        assert len(m["frames"]) == 2
+        one = m["frames"][0]["outputs"]
+        img = cv2.imread(one["hdr_convert"], cv2.IMREAD_UNCHANGED)
+        assert img.shape == (72, 128, 3) and img.dtype == np.uint8
+        sheet = cv2.imread(one["contact_sheet"], cv2.IMREAD_UNCHANGED)
+        assert sheet.shape[1] == 3 * 128 + 2 * 4  # 3 columns + separators
+        assert os.path.isfile(os.path.join(out, "manifest.json"))
+
+    def test_png_depth_16(self, tmp_path):
+        import cv2
+
+        from hdrtv_tpu.bench.figures import render_session
+
+        self._make_session(str(tmp_path / "sess"))
+        m = render_session(str(tmp_path / "sess"), str(tmp_path / "figs"),
+                           kinds=("hdr_convert",), png_depth=16, sheet=False)
+        img = cv2.imread(m["frames"][0]["outputs"]["hdr_convert"],
+                         cv2.IMREAD_UNCHANGED)
+        assert img.dtype == np.uint16
+
+    def test_cas_sharpen_edges(self):
+        from hdrtv_tpu.bench.figures import cas_sharpen
+
+        x = np.zeros((8, 8, 3), np.float32)
+        x[:, 4:] = 1.0
+        y = cas_sharpen(x, 0.2)
+        assert y.shape == x.shape and y.min() >= 0.0 and y.max() <= 1.0
+        # flat regions unchanged, zero strength is identity
+        assert np.allclose(y[:, :2], 0.0) and np.allclose(y[:, 6:], 1.0)
+        np.testing.assert_array_equal(cas_sharpen(x, 0.0), x)

@@ -203,3 +203,35 @@ class TestPrefsPersistence:
         ])
         assert rc == 0
         assert "960x540" in capsys.readouterr().out
+
+
+class TestFiguresCommand:
+    """cli figures — the scripts/render_mpv_preview_figures.py role."""
+
+    def test_figures_end_to_end(self, tmp_path, capsys):
+        import cv2
+
+        from hdrtv_tpu.bench import hdr_io
+
+        d = tmp_path / "sess" / "frames" / "f000003"
+        d.mkdir(parents=True)
+        rng = np.random.RandomState(5)
+        cv2.imwrite(str(d / "sdr.png"), rng.randint(0, 255, (36, 64, 3), np.uint8))
+        for k in ("hdr_gt.tiff", "hdr_convert.tiff"):
+            hdr_io.write_tiff16(str(d / k),
+                                rng.randint(0, 65535, (36, 64, 3)).astype(np.uint16))
+        rc = main([
+            "figures", "--input", str(tmp_path / "sess"),
+            "--out", str(tmp_path / "figs"), "--render-size", "128x72",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["frames"] == 1
+        sheet = cv2.imread(
+            str(tmp_path / "figs" / "frames__f000003" / "contact_sheet.png"))
+        assert sheet is not None and sheet.shape[1] == 3 * 128 + 8
+
+    def test_figures_bad_render_size(self, tmp_path):
+        rc = main(["figures", "--input", str(tmp_path), "--out",
+                   str(tmp_path / "o"), "--render-size", "x"])
+        assert rc == 2
