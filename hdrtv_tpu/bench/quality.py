@@ -26,6 +26,15 @@ import numpy as np
 from hdrtv_tpu.ops.metrics import crop_shared_black_borders, full_reference_metrics
 
 
+# bounded queued-benchmark alignment cache (the reference bounds its
+# in-memory post-verify GT cache the same way — FIFO once full)
+_VERIFY_CACHE_MAX = 512
+
+# the reference's one-click "main set" queue (README.md: FP32/FP16/
+# Mixed QAT/Full QAT); "all" expands to every registered preset
+QUEUE_MAIN_SET = ("FP32", "FP16", "INT8 Mixed (QAT)", "INT8 Full (QAT)")
+
+
 @dataclasses.dataclass
 class QualityRunConfig:
     precision_key: str = "FP16"
@@ -44,6 +53,11 @@ def select_distinct_frames(
     keeps frames that differ from already-chosen ones (content-ranked
     deterministic selection role, gui_benchmark.py:746-1006).
     """
+    # always scan from the start: selection must be deterministic no matter
+    # where a previous (queued) run left the source positioned
+    seek = getattr(source, "seek", None)
+    if seek is not None:
+        seek(0)
     probes: list[tuple[int, np.ndarray, float]] = []
     idx = 0
     while len(probes) < max_probes:
@@ -152,6 +166,8 @@ def run_quality_benchmark(
     post_verify: bool | None = None,
     verify_window: int | None = None,
     save_artifacts: bool = True,
+    verify_cache: dict | None = None,
+    frame_ids: list[int] | None = None,
 ) -> dict:
     """Run the benchmark; returns the session summary dict.
 
@@ -190,7 +206,8 @@ def run_quality_benchmark(
         gt_read = gt_reader.read_unit_rgb
         gt_decode = getattr(gt_reader, "decode_method", "unknown")
 
-    frame_ids = select_distinct_frames(sdr_source, cfg.frame_count)
+    if frame_ids is None:
+        frame_ids = select_distinct_frames(sdr_source, cfg.frame_count)
     results: list[FrameResult] = []
     for fidx in frame_ids:
         sdr_source.seek(fidx)
@@ -202,11 +219,22 @@ def run_quality_benchmark(
         gt_idx = gt_frame_map(fidx) if gt_frame_map else fidx
 
         offset, score = 0, 0.0
-        if post_verify and (verify_max_items == 0 or verified_items < verify_max_items):
+        cache_key = (fidx, gt_idx, verify_window)
+        if verify_cache is not None and cache_key in verify_cache:
+            # queued-benchmark reuse: same SDR/GT/frame pair was already
+            # aligned by an earlier run in this queue (the reference's
+            # bounded in-memory post-verify GT cache, README.md benchmark
+            # queue notes) — skip the exact re-decode/re-search
+            offset, score = verify_cache[cache_key]
+        elif post_verify and (verify_max_items == 0 or verified_items < verify_max_items):
             offset, score = post_verify_alignment(
                 sdr_rgb01, gt_read, gt_idx, window=verify_window
             )
             verified_items += 1
+            if verify_cache is not None:
+                if len(verify_cache) >= _VERIFY_CACHE_MAX:
+                    verify_cache.pop(next(iter(verify_cache)))
+                verify_cache[cache_key] = (offset, score)
         gt = gt_read(gt_idx + offset)
         if gt is None:
             continue
@@ -261,3 +289,53 @@ def run_quality_benchmark(
             ])
     summary["session_dir"] = session_dir
     return summary
+
+
+def run_quality_queue(
+    base_cfg: QualityRunConfig,
+    precision_keys,
+    make_processor,
+    sdr_source,
+    gt_reader,
+    out_root: str,
+    *,
+    source_name: str = "source",
+    gt_frame_map=None,
+    save_artifacts: bool = True,
+    progress=None,
+) -> list[dict]:
+    """Run the quality benchmark for each precision preset in sequence.
+
+    The reference's benchmark queue (gui_benchmark.py queue + the
+    one-click precision-sweep actions): every run scores the same
+    SDR/GT/frame set, and the exact-GT post-verify alignment results are
+    shared across runs through a bounded cache, so only the first run pays
+    the exact decode + local search — later presets recompute only their
+    own HDR Convert outputs and metrics. ``make_processor(precision_key)``
+    builds the per-preset model runtime.
+    """
+    verify_cache: dict = {}
+    # score the frame pool once and reuse it for every preset (the
+    # reference caches its scored pool for repeated runs the same way)
+    frame_ids = select_distinct_frames(sdr_source, base_cfg.frame_count)
+    summaries = []
+    for key in precision_keys:
+        if progress:
+            progress(key)
+        cfg = dataclasses.replace(base_cfg, precision_key=key)
+        proc = make_processor(key)
+        summaries.append(
+            run_quality_benchmark(
+                cfg,
+                proc,
+                sdr_source,
+                gt_reader,
+                out_root,
+                source_name=source_name,
+                gt_frame_map=gt_frame_map,
+                save_artifacts=save_artifacts,
+                verify_cache=verify_cache,
+                frame_ids=frame_ids,
+            )
+        )
+    return summaries

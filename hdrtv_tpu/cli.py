@@ -137,7 +137,12 @@ def cmd_convert(args) -> int:
         from hdrtv_tpu.pipeline.audio import AudioAttachment, AudioPlayer, AutoMutePolicy
 
         try:
-            audio = AudioPlayer(args.video, track=args.audio_track)
+            from hdrtv_tpu.utils.env import env_float
+
+            delay_ms = args.audio_delay_ms
+            if delay_ms is None:
+                delay_ms = env_float("HDRTVNET_AUDIO_DELAY_MS", 0.0)
+            audio = AudioPlayer(args.video, track=args.audio_track, delay_ms=delay_ms)
             attach = AudioAttachment(
                 AutoMutePolicy(target_fps=getattr(src, "fps", 30.0)), audio.set_gain
             )
@@ -291,7 +296,6 @@ def cmd_quality(args) -> int:
             print(f"GT validation failed: {res.message}")
             return 2
         print(f"GT validated: {res.message}")
-    proc = _make_processor(args)
     sdr = VideoSource(args.video)
     gt = HDRGroundTruthReader(args.gt)
     fmap = make_frame_map(sdr.fps, gt.fps)
@@ -301,13 +305,59 @@ def cmd_quality(args) -> int:
         use_hg=args.use_hg,
         frame_count=args.frames or 10,
     )
+    out_root = args.out or os.path.join("logs", "benchmark_sessions")
+    source_name = os.path.splitext(os.path.basename(args.video))[0]
+    if args.queue:
+        # benchmark queue — the reference's one-click precision sweep
+        # (gui_benchmark.py queue actions): "main" = the FP32/FP16/
+        # Mixed QAT/Full QAT set, "all" = every registered preset,
+        # else a comma list of preset keys. GT post-verify alignment is
+        # shared across runs via the bounded cache.
+        from hdrtv_tpu.bench.quality import QUEUE_MAIN_SET, run_quality_queue
+        from hdrtv_tpu.config import PRECISIONS
+
+        if args.queue.strip().lower() == "main":
+            keys = [k for k in QUEUE_MAIN_SET if k in PRECISIONS]
+        elif args.queue.strip().lower() == "all":
+            keys = list(PRECISIONS)
+        else:
+            keys = [k.strip() for k in args.queue.split(",") if k.strip()]
+        unknown = [k for k in keys if k not in PRECISIONS]
+        if unknown:
+            print(f"unknown precision presets: {unknown}; known: {list(PRECISIONS)}")
+            return 2
+
+        def make_proc(key):
+            import copy
+
+            a = copy.copy(args)
+            a.precision = key
+            return _make_processor(a)
+
+        summaries = run_quality_queue(
+            cfg, keys, make_proc, sdr, gt.read_unit_rgb, out_root,
+            source_name=source_name, gt_frame_map=fmap,
+            progress=lambda k: print(f"queue: {k}", flush=True),
+        )
+        sdr.close()
+        gt.close()
+        for s in summaries:
+            print(json.dumps({
+                "precision": s["precision"],
+                "mean_psnr": s["mean_psnr"],
+                "mean_ssim": s["mean_ssim"],
+                "mean_delta_e_itp": s["mean_delta_e_itp"],
+                "session_dir": s["session_dir"],
+            }))
+        return 0
+    proc = _make_processor(args)
     summary = run_quality_benchmark(
         cfg,
         proc,
         sdr,
         gt.read_unit_rgb,
-        args.out or os.path.join("logs", "benchmark_sessions"),
-        source_name=os.path.splitext(os.path.basename(args.video))[0],
+        out_root,
+        source_name=source_name,
         gt_frame_map=fmap,
     )
     sdr.close()
@@ -782,6 +832,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--hdr-input", default="reject", choices=["reject", "bypass"])
     c.add_argument("--audio", action="store_true", help="attach source audio (mpv, auto-mute on slow FPS)")
     c.add_argument("--audio-track", type=int, default=None, help="audio stream ordinal (probe_audio_streams)")
+    c.add_argument("--audio-delay-ms", type=float, default=None,
+                   help="audio delay 0-2000 ms (the reference's slider; env HDRTVNET_AUDIO_DELAY_MS)")
     c.add_argument("--interactive", action="store_true",
                    help="terminal shell: pause/seek/precision/resolution hot-keys + live metrics")
     c.add_argument("--stages", action="store_true", help="print the per-stage timing table")
@@ -816,6 +868,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--out", default=None)
     q.add_argument("--no-validate-gt", action="store_true",
                    help="skip the GT pair validation gate (synthetic/test material)")
+    q.add_argument("--queue", default=None, metavar="PRESETS",
+                   help="benchmark queue: 'main' (FP32/FP16/Mixed QAT/Full QAT), "
+                        "'all', or a comma list of precision presets; GT alignment "
+                        "is computed once and shared across runs")
     q.set_defaults(fn=cmd_quality)
 
     e = sub.add_parser("engines", help="engine cache tools")

@@ -91,10 +91,16 @@ class AudioPlayer:
     :func:`hdrtv_tpu.runtime.probe.probe_audio_streams` ordinals."""
 
     def __init__(self, media_path: str, *, track: int | None = None, start_s: float = 0.0,
-                 volume: float = 1.0):
+                 volume: float = 1.0, delay_ms: float = 0.0):
         if shutil.which("mpv") is None:
             raise RuntimeError("mpv not found on PATH")
         self.media_path = media_path
+        # audio-delay: positive values make the audio lag the video by that
+        # much (the reference's 0-2000 ms slider, README.md:250). With a
+        # separate audio-only mpv there is no shared clock, so the delay is
+        # applied as a playhead offset: every absolute position maps to
+        # position - delay.
+        self.delay_s = max(0.0, min(2.0, float(delay_ms) / 1000.0))
         self._dir = tempfile.mkdtemp(prefix="hdrtv_audio_")
         self.ipc_path = os.path.join(self._dir, "mpv.sock")
         args = [
@@ -104,8 +110,9 @@ class AudioPlayer:
         ]
         if track is not None:
             args.append(f"--aid={int(track) + 1}")  # mpv track ids are 1-based
-        if start_s > 0:
-            args.append(f"--start={start_s:.3f}")
+        eff_start = max(0.0, start_s - self.delay_s)
+        if eff_start > 0:
+            args.append(f"--start={eff_start:.3f}")
         self.proc = subprocess.Popen(
             [*args, media_path],
             stdin=subprocess.DEVNULL, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -136,7 +143,17 @@ class AudioPlayer:
         return self._ipc(["set_property", "pause", bool(paused)])
 
     def seek(self, seconds: float) -> bool:
-        return self._ipc(["seek", float(seconds), "absolute"])
+        return self._ipc(["seek", max(0.0, float(seconds) - self.delay_s), "absolute"])
+
+    def set_delay(self, delay_ms: float) -> bool:
+        """Live delay change (the slider): shift the playhead by the delta so
+        the new offset takes effect without a full reseek from the caller."""
+        new = max(0.0, min(2.0, float(delay_ms) / 1000.0))
+        delta = self.delay_s - new  # more delay → playhead moves back
+        self.delay_s = new
+        if abs(delta) < 1e-6:
+            return True
+        return self._ipc(["seek", delta, "relative"])
 
     def close(self) -> None:
         if self._sock is not None:

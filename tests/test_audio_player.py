@@ -144,3 +144,46 @@ class TestRunnerStageTimers:
         assert d["decode"]["count"] >= 6 and d["render"]["count"] == 6
         report = r.timers.report()
         assert "decode" in report and "p99" in report
+
+
+class TestAudioDelay:
+    """Audio delay (the reference's 0-2000 ms slider, README.md:250):
+    playhead-offset mapping in the split-process audio player."""
+
+    def test_delay_offsets_start_and_seek(self, fake_mpv, tmp_path):
+        from hdrtv_tpu.pipeline.audio import AudioPlayer
+
+        media = tmp_path / "clip.mp4"
+        media.write_bytes(b"x")
+        p = AudioPlayer(str(media), start_s=5.0, delay_ms=500)
+        try:
+            assert "--start=4.500" in p.proc.args
+            p.seek(10.0)
+            p.seek(0.1)  # clamped at 0
+            cmds = TestAudioPlayer._read_log(self, p)
+        finally:
+            p.close()
+        seeks = [c["command"] for c in cmds if c["command"][0] == "seek"]
+        assert ["seek", 9.5, "absolute"] in seeks
+        assert ["seek", 0.0, "absolute"] in seeks
+
+    def test_set_delay_shifts_relative(self, fake_mpv, tmp_path):
+        from hdrtv_tpu.pipeline.audio import AudioPlayer
+
+        media = tmp_path / "clip.mp4"
+        media.write_bytes(b"x")
+        p = AudioPlayer(str(media), delay_ms=0)
+        try:
+            assert p.set_delay(400)      # 0 → 0.4 s: playhead back 0.4
+            assert p.set_delay(400)      # no-op
+            assert p.set_delay(9999)     # clamps to 2.0 s: back 1.6 more
+            cmds = TestAudioPlayer._read_log(self, p)
+        finally:
+            p.close()
+        rel = [c["command"] for c in cmds if c["command"][0] == "seek"
+               and c["command"][2] == "relative"]
+        assert len(rel) == 2
+        assert abs(rel[0][1] + 0.4) < 1e-9
+        assert abs(rel[1][1] + 1.6) < 1e-9
+        # delay is clamped to the slider range
+        assert p.delay_s == 2.0

@@ -492,3 +492,69 @@ class TestFigures:
         # flat regions unchanged, zero strength is identity
         assert np.allclose(y[:, :2], 0.0) and np.allclose(y[:, 6:], 1.0)
         np.testing.assert_array_equal(cas_sharpen(x, 0.0), x)
+
+
+class TestQualityQueue:
+    """Benchmark queue (reference one-click precision sweep): the GT
+    post-verify alignment is computed once and reused across presets."""
+
+    class _Src:
+        fps = 30.0
+        frame_count = 30
+
+        def __init__(self):
+            self._idx = 0
+
+        def read_with_meta(self):
+            f = np.full((48, 64, 3), self._idx * 7 % 255, np.uint8)
+            self._idx += 1
+            return f, self._idx - 1, (self._idx - 1) / 30.0
+
+        def seek(self, i):
+            self._idx = int(i)
+
+    class _Identity:
+        def process_rgb48(self, frame_bgr):
+            return frame_bgr[..., ::-1].astype(np.uint16) * 257
+
+    def test_queue_shares_alignment(self, tmp_path):
+        from hdrtv_tpu.bench.quality import QualityRunConfig, run_quality_queue
+
+        calls = {"n": 0}
+
+        def gt_read(idx):
+            calls["n"] += 1
+            return np.full((48, 64, 3), (idx * 7 % 255) / 255.0, np.float32)
+
+        ran = []
+        summaries = run_quality_queue(
+            QualityRunConfig(frame_count=3),
+            ["FP16", "FP32"],
+            lambda key: self._Identity(),
+            self._Src(),
+            gt_read,
+            str(tmp_path),
+            save_artifacts=False,
+            progress=ran.append,
+        )
+        assert ran == ["FP16", "FP32"]
+        assert [s["precision"] for s in summaries] == ["FP16", "FP32"]
+        n = len(summaries[0]["frames"])
+        assert n == len(summaries[1]["frames"])
+        # run 1: ±2 search (5 reads) + final read per row; run 2 reuses the
+        # cached offsets — exactly one read per row
+        assert calls["n"] == 6 * n + n
+        # both runs produced their own session dirs
+        assert summaries[0]["session_dir"] != summaries[1]["session_dir"]
+
+    def test_cache_bound(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.bench import quality as q
+
+        monkeypatch.setattr(q, "_VERIFY_CACHE_MAX", 2)
+        cache = {}
+        gt_read = lambda idx: np.full((48, 64, 3), 0.5, np.float32)
+        q.run_quality_benchmark(
+            q.QualityRunConfig(frame_count=4), self._Identity(), self._Src(),
+            gt_read, str(tmp_path), save_artifacts=False, verify_cache=cache,
+        )
+        assert len(cache) <= 2

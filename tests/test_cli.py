@@ -235,3 +235,41 @@ class TestFiguresCommand:
         rc = main(["figures", "--input", str(tmp_path), "--out",
                    str(tmp_path / "o"), "--render-size", "x"])
         assert rc == 2
+
+
+class TestQualityQueueCommand:
+    """cli quality --queue — the reference's benchmark-queue sweep."""
+
+    @staticmethod
+    def _clip(tmp_path, name="clip.avi"):
+        import cv2
+
+        path = str(tmp_path / name)
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25.0, (64, 32))
+        rng = np.random.RandomState(2)
+        for i in range(30):
+            w.write(rng.randint(0, 255, (32, 64, 3), np.uint8))
+        w.release()
+        return path
+
+    def test_queue_runs_presets(self, tmp_path, capsys):
+        path = self._clip(tmp_path)
+        rc = main([
+            "quality", "--model", WEIGHTS, "--video", path, "--gt", path,
+            "--resolution", "540p", "--frames", "2", "--no-validate-gt",
+            "--out", str(tmp_path / "out"), "--queue", "FP16",
+        ])
+        assert rc == 0
+        lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()
+                 if ln.startswith("{")]
+        assert [s["precision"] for s in lines] == ["FP16"]
+        assert os.path.isdir(lines[0]["session_dir"])
+
+    def test_queue_rejects_unknown_preset(self, tmp_path, capsys):
+        path = self._clip(tmp_path)
+        rc = main([
+            "quality", "--model", WEIGHTS, "--video", path, "--gt", path,
+            "--frames", "1", "--no-validate-gt", "--queue", "NOPE",
+        ])
+        assert rc == 2
+        assert "unknown precision presets" in capsys.readouterr().out
