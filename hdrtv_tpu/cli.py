@@ -753,6 +753,76 @@ def cmd_preview(args) -> int:
     return 0
 
 
+def cmd_sessions(args) -> int:
+    """Benchmark-session viewer (CLI form of the reference's result viewer:
+    run metadata + summary reloading; previews come from ``cli figures``).
+    Scans quality ``summary.json`` and playback ``session.json`` files."""
+    rows = []
+    for root in args.roots:
+        for dirpath, _dirs, files in os.walk(root):
+            if "summary.json" in files:
+                try:
+                    with open(os.path.join(dirpath, "summary.json")) as f:
+                        s = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                if "mean_psnr" in s:  # quality session
+                    rows.append({
+                        "kind": "quality",
+                        "dir": dirpath,
+                        "source": s.get("source"),
+                        "precision": s.get("precision"),
+                        "resolution": s.get("resolution"),
+                        "frames": len(s.get("frames", [])),
+                        "mean_psnr": s.get("mean_psnr"),
+                        "mean_ssim": s.get("mean_ssim"),
+                        "mean_delta_e_itp": s.get("mean_delta_e_itp"),
+                        "gt_decode": s.get("gt_decode"),
+                    })
+            if "session.json" in files:
+                try:
+                    with open(os.path.join(dirpath, "session.json")) as f:
+                        s = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                if "fps" in s:  # playback session
+                    cfgd = s.get("config", {})
+                    rows.append({
+                        "kind": "playback",
+                        "dir": dirpath,
+                        "precision": cfgd.get("precision_key"),
+                        "resolution": cfgd.get("resolution_key"),
+                        "frames": s.get("frames"),
+                        "fps": s.get("fps"),
+                        "fps_1pct_low": s.get("fps_1pct_low"),
+                        "model_ms": s.get("model_ms"),
+                        "dropped": s.get("dropped"),
+                    })
+    rows.sort(key=lambda r: r["dir"], reverse=True)
+    if args.limit:
+        rows = rows[: args.limit]
+    if args.json:
+        print(json.dumps(rows, indent=2))
+        return 0
+    if not rows:
+        print("no sessions found")
+        return 1
+    for r in rows:
+        if r["kind"] == "quality":
+            print(
+                f"quality  {r['precision']:<22} {r['resolution']:<6} "
+                f"n={r['frames']:<3} psnr={r['mean_psnr']} ssim={r['mean_ssim']} "
+                f"dEitp={r['mean_delta_e_itp']}  {r['dir']}"
+            )
+        else:
+            print(
+                f"playback {str(r['precision']):<22} {str(r['resolution']):<6} "
+                f"n={r['frames']:<4} fps={r['fps']} 1%low={r['fps_1pct_low']} "
+                f"model={r['model_ms']}ms drop={r['dropped']}  {r['dir']}"
+            )
+    return 0
+
+
 def cmd_figures(args) -> int:
     """Benchmark-artifact figure renderer — the
     scripts/render_mpv_preview_figures.py role: walk a benchmark session
@@ -958,6 +1028,15 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--thumb-width", type=int, default=320)
     pv.add_argument("--out", default=None)
     pv.set_defaults(fn=cmd_preview)
+
+    ss = sub.add_parser(
+        "sessions",
+        help="list past benchmark sessions (quality + playback) with summaries",
+    )
+    ss.add_argument("--roots", nargs="*", default=["logs"])
+    ss.add_argument("--limit", type=int, default=0)
+    ss.add_argument("--json", action="store_true")
+    ss.set_defaults(fn=cmd_sessions)
 
     fg = sub.add_parser(
         "figures",

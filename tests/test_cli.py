@@ -273,3 +273,36 @@ class TestQualityQueueCommand:
         ])
         assert rc == 2
         assert "unknown precision presets" in capsys.readouterr().out
+
+
+class TestSessionsCommand:
+    """cli sessions — result-viewer analog (metadata + summary reloading)."""
+
+    def test_lists_quality_and_playback(self, tmp_path, capsys):
+        qdir = tmp_path / "benchmark_sessions" / "clip" / "x__FP16__540p__n2"
+        qdir.mkdir(parents=True)
+        (qdir / "summary.json").write_text(json.dumps({
+            "source": "clip", "precision": "FP16", "resolution": "540p",
+            "frames": [1, 2], "mean_psnr": 41.2, "mean_ssim": 0.99,
+            "mean_delta_e_itp": 1.5, "gt_decode": "cv2",
+        }))
+        pdir = tmp_path / "playback_sessions" / "cli"
+        pdir.mkdir(parents=True)
+        (pdir / "session.json").write_text(json.dumps({
+            "config": {"precision_key": "FP16", "resolution_key": "1080p"},
+            "fps": 47.0, "fps_1pct_low": 40.1, "model_ms": 20.0,
+            "frames": 700, "dropped": 0,
+        }))
+        rc = main(["sessions", "--roots", str(tmp_path), "--json"])
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out)
+        kinds = sorted(r["kind"] for r in rows)
+        assert kinds == ["playback", "quality"]
+        rc = main(["sessions", "--roots", str(tmp_path)])
+        out = capsys.readouterr().out
+        assert rc == 0 and "psnr=41.2" in out and "fps=47.0" in out
+
+    def test_empty(self, tmp_path, capsys):
+        rc = main(["sessions", "--roots", str(tmp_path / "nope")])
+        assert rc == 1
+        assert "no sessions" in capsys.readouterr().out
