@@ -51,6 +51,10 @@ def _apply_prefs(args) -> None:
         args.use_hg = bool(prefs.get("use_hg", False))
     if getattr(args, "display", None) is None:
         args.display = prefs.get("display") or "null"
+    if getattr(args, "upscale", None) is None:
+        args.upscale = prefs.get("upscale") or None
+    if getattr(args, "film_grain", None) is None:
+        args.film_grain = bool(prefs.get("film_grain", False))
 
 
 def _make_processor(args):
@@ -127,7 +131,18 @@ def cmd_convert(args) -> int:
                 return self._p.passthrough_rgb48_device(frame)
 
         proc = _Bypass(proc)
-    sink = make_sink(args.display, w, h, getattr(src, "fps", 30.0), path=args.output)
+    out_size = None
+    if getattr(args, "display_size", None):
+        try:
+            ow, oh = (int(v) for v in str(args.display_size).lower().split("x"))
+            out_size = (ow, oh)
+        except ValueError:
+            print(f"ignoring malformed --display-size {args.display_size!r} (want WxH)")
+    sink = make_sink(
+        args.display, w, h, getattr(src, "fps", 30.0), path=args.output,
+        out_size=out_size, upscaler=getattr(args, "upscale", None),
+        film_grain=bool(getattr(args, "film_grain", False)),
+    )
     print(f"compiling {w}x{h} ({args.precision})...", flush=True)
     dt = proc.warmup_compile(w, h)
     print(f"engine ready in {dt:.1f}s", flush=True)
@@ -213,6 +228,8 @@ def cmd_convert(args) -> int:
         resolution=(controller.resolution if controller else args.resolution),
         use_hg=bool(args.use_hg),
         display=args.display,
+        upscale=getattr(args, "upscale", None),
+        film_grain=bool(getattr(args, "film_grain", False)),
     )
     print(
         f"frames={m.frames} dropped={m.dropped} fps={m.fps:.2f} "
@@ -907,6 +924,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--interactive", action="store_true",
                    help="terminal shell: pause/seek/precision/resolution hot-keys + live metrics")
     c.add_argument("--stages", action="store_true", help="print the per-stage timing table")
+    c.add_argument("--upscale", default=None,
+                   choices=["ewa_lanczossharp", "fsr", "ssim_superres"],
+                   help="display upscaler when --display-size exceeds the processing "
+                        "resolution (gui_scaling.py policy; default FSR via prefs)")
+    c.add_argument("--film-grain", action="store_true", default=None,
+                   help="append the film-grain GLSL shader to the HDR pane chain "
+                        "(gui_app_entry.py --film-grain)")
+    c.add_argument("--display-size", default=None, metavar="WxH",
+                   help="display output size for the mpv scale policy "
+                        "(the reference GUI's output preset / window size)")
     c.add_argument("--mesh", default=None, choices=["spatial"],
                    help="shard each frame's W over all devices (single-frame latency scale-out)")
     c.set_defaults(fn=cmd_convert)

@@ -101,7 +101,12 @@ def select_cas_strength(
     return base
 
 
-_SHADER_FILES = {"fsr": "FSR.glsl", "ssim_superres": "SSimSuperRes.glsl"}
+_SHADER_FILES = {
+    "fsr": "FSR.glsl",
+    "ssim_superres": "SSimSuperRes.glsl",
+    "ssim_downscaler": "SSimDownscaler.glsl",
+    "filmgrain": "filmgrain.glsl",
+}
 
 
 def shader_path(kernel: str, shader_dir: str | None = None) -> str | None:
@@ -126,28 +131,90 @@ def shader_path(kernel: str, shader_dir: str | None = None) -> str | None:
     return path if os.path.isfile(path) else None
 
 
+def downscale_kernel(*, hdr: bool = True) -> str:
+    """mpv dscale kernel policy (gui_mpv_widget.py:205-212): mitchell by
+    default; ``HDRTVNET_MPV_DSCALE`` tunes the HDR pane,
+    ``HDRTVNET_MPV_SDR_DSCALE`` the SDR pane (no cross-inheritance);
+    none/off disables."""
+    import os
+
+    fallback = os.environ.get("HDRTVNET_MPV_DSCALE", "mitchell")
+    name = "HDRTVNET_MPV_DSCALE" if hdr else "HDRTVNET_MPV_SDR_DSCALE"
+    value = str(os.environ.get(name, fallback if hdr else "mitchell"))
+    value = value.strip().lower().replace("-", "_")
+    if value in {"", "none", "no", "off"}:
+        return ""
+    return value
+
+
+def downscale_antiring(*, hdr: bool = True) -> float:
+    """dscale antiring (gui_mpv_widget.py:215-228): 0.20 default."""
+    from hdrtv_tpu.utils.env import env_float
+
+    name = "HDRTVNET_MPV_DSCALE_ANTIRING" if hdr else "HDRTVNET_MPV_SDR_DSCALE_ANTIRING"
+    return env_float(name, 0.20, lo=0.0, hi=1.0)
+
+
+def shader_chain(
+    kernel: str, *, film_grain: bool = False, shader_dir: str | None = None,
+) -> list[str]:
+    """GLSL shader paths in the reference's chain order
+    (gui_mpv_widget.py:371-388 ``_build_shader_paths``): SSimDownscaler →
+    upscaler shader (FSR / SSimSuperRes) → film grain. Each entry is included
+    only when the local file exists (the reference downloads on demand;
+    no egress here), and SSimDownscaler obeys ``HDRTVNET_MPV_SSIM_DOWNSCALER``
+    (default on, gui_mpv_widget.py:940-943)."""
+    from hdrtv_tpu.utils.env import env_bool
+
+    chain: list[str] = []
+    if env_bool("HDRTVNET_MPV_SSIM_DOWNSCALER", True):
+        p = shader_path("ssim_downscaler", shader_dir)
+        if p:
+            chain.append(p)
+    if kernel in ("fsr", "ssim_superres"):
+        p = shader_path(kernel, shader_dir)
+        if p:
+            chain.append(p)
+    if film_grain:
+        p = shader_path("filmgrain", shader_dir)
+        if p:
+            chain.append(p)
+    return chain
+
+
 def mpv_scale_args(
     proc_w: int, proc_h: int, out_w: int, out_h: int, upscale_choice: str | None = None,
-    *, shader_dir: str | None = None,
+    *, shader_dir: str | None = None, film_grain: bool = False, hdr: bool = True,
 ) -> list[str]:
     """The mpv flag set implementing the policy above. FSR/SSimSuperRes are
     shader-based: with a local GLSL file the shader chain is applied
     (``--glsl-shaders``, the reference's shader path); without one the EWA
-    kernel is the honest substitute."""
+    kernel is the honest substitute. The chain also carries SSimDownscaler
+    and the optional film-grain shader (gui_mpv_widget.py:371-388), and the
+    dscale kernel/antiring pair rides along unconditionally
+    (gui_mpv_widget.py:571-574)."""
     kernel = select_scale_kernel(proc_w, proc_h, out_w, out_h, upscale_choice)
-    shader = shader_path(kernel, shader_dir) if kernel in _SHADER_FILES else None
-    if kernel in _SHADER_FILES and shader is None:
+    upscale_shader = kernel in ("fsr", "ssim_superres")
+    chain = shader_chain(kernel, film_grain=film_grain, shader_dir=shader_dir)
+    has_upscale_shader = any(
+        c.endswith(_SHADER_FILES[kernel]) for c in chain
+    ) if upscale_shader else False
+    if upscale_shader and not has_upscale_shader:
         mpv_kernel = BEST_MPV_SCALE  # shader absent → best built-in kernel
-    elif kernel in _SHADER_FILES:
+    elif upscale_shader:
         mpv_kernel = "ewa_lanczos"  # shader does the sharpening; neutral base
     else:
         mpv_kernel = kernel
     antiring = select_scale_antiring(proc_w, proc_h, out_w, out_h, kernel)
     args = [f"--scale={mpv_kernel}"]
-    if shader is not None:
-        args.append(f"--glsl-shaders={shader}")
+    for p in chain:
+        args.append(f"--glsl-shader={p}")  # singular form appends to the chain
     if antiring > 0:
         args.append(f"--scale-antiring={antiring:.2f}")
+    dscale = downscale_kernel(hdr=hdr)
+    if dscale:
+        args.append(f"--dscale={dscale}")
+        args.append(f"--dscale-antiring={downscale_antiring(hdr=hdr):.2f}")
     return args
 
 

@@ -118,6 +118,7 @@ class MpvPipeSink:
 
     _RAW_FORMAT = "rgb48le"
     _VF = "format=colorlevels=full:primaries=bt.2020:gamma=pq"
+    _HDR_PANE = True
 
     def __init__(
         self,
@@ -129,6 +130,7 @@ class MpvPipeSink:
         drop_to_latest: bool = False,
         out_size: tuple[int, int] | None = None,
         upscaler: str | None = None,
+        film_grain: bool = False,
         jitter_buffer_frames: int | None = None,
     ):
         if shutil.which("mpv") is None:
@@ -145,7 +147,13 @@ class MpvPipeSink:
         if out_size is not None:
             from hdrtv_tpu.pipeline.scaling import mpv_scale_args
 
-            scale_args = mpv_scale_args(width, height, out_size[0], out_size[1], upscaler)
+            # Film grain rides the HDR pane's shader chain only; the SDR
+            # comparison pane gets the plain kernel policy
+            # (gui_mpv_widget.py:935, 1008-1014).
+            scale_args = mpv_scale_args(
+                width, height, out_size[0], out_size[1], upscaler,
+                film_grain=film_grain and self._HDR_PANE, hdr=self._HDR_PANE,
+            )
         base = [
             "--no-config",
             "--demuxer=rawvideo",
@@ -300,6 +308,7 @@ class SdrMpvPipeSink(MpvPipeSink):
 
     _RAW_FORMAT = "rgb24"
     _VF = "format=colorlevels=full:primaries=bt.709:gamma=bt.1886"
+    _HDR_PANE = False
 
 
 class SideBySideSink:
@@ -334,18 +343,25 @@ class SideBySideSink:
 
 
 def make_sink(
-    kind: str, width: int, height: int, fps: float, path: str | None = None, *, live: bool = False
+    kind: str, width: int, height: int, fps: float, path: str | None = None, *, live: bool = False,
+    out_size: tuple[int, int] | None = None, upscaler: str | None = None,
+    film_grain: bool = False,
 ):
     """Sink factory with the reference's fallback ladder: mpv → file → null.
 
     ``live=True`` selects the live-feeder delivery policy (drop-to-latest
-    instead of backpressure — gui_pipeline_worker_feeders.py:73-104)."""
+    instead of backpressure — gui_pipeline_worker_feeders.py:73-104).
+    ``out_size``/``upscaler``/``film_grain`` drive the display scale policy
+    + shader chain on the mpv sinks (gui_scaling.py:69-157,
+    gui_mpv_widget.py:371-388)."""
     kind = (kind or "null").lower()
     if kind in ("mpv", "side-by-side"):
         from hdrtv_tpu.utils.env import env_int
 
         cls = SideBySideSink if kind == "side-by-side" else MpvPipeSink
         kwargs = {}
+        if out_size is not None:
+            kwargs.update(out_size=out_size, upscaler=upscaler, film_grain=film_grain)
         if live and cls is MpvPipeSink:
             kwargs["jitter_buffer_frames"] = env_int(
                 "HDRTVNET_LIVE_CAPTURE_MPV_BUFFER_FRAMES", 8, lo=1, hi=64

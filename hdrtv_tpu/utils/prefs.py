@@ -21,7 +21,7 @@ from hdrtv_tpu.utils.env import env_str
 
 # the persisted subset — mirrors the reference's prefs keys that have a
 # CLI equivalent (precision/resolution/HG/display kind)
-KNOWN_KEYS = ("precision", "resolution", "use_hg", "display")
+KNOWN_KEYS = ("precision", "resolution", "use_hg", "display", "upscale", "film_grain")
 
 
 def prefs_path() -> str:

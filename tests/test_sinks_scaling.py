@@ -49,19 +49,61 @@ class TestScalingPolicy:
         args = mpv_scale_args(960, 540, 1920, 1080)
         assert args[0] == "--scale=ewa_lanczossharp"
         assert any(a.startswith("--scale-antiring=") for a in args)
-        assert mpv_scale_args(1920, 1080, 1920, 1080) == ["--scale=bicubic"]
+        same = mpv_scale_args(1920, 1080, 1920, 1080)
+        assert same[0] == "--scale=bicubic"
+        # dscale policy rides along unconditionally (gui_mpv_widget.py:571-574)
+        assert "--dscale=mitchell" in same
+        assert "--dscale-antiring=0.20" in same
+
+    def test_dscale_env_overrides(self, monkeypatch):
+        from hdrtv_tpu.pipeline.scaling import mpv_scale_args
+
+        monkeypatch.setenv("HDRTVNET_MPV_DSCALE", "hermite")
+        args = mpv_scale_args(1920, 1080, 1920, 1080)
+        assert "--dscale=hermite" in args
+        # SDR pane keeps its own kernel var with a plain mitchell default —
+        # it does NOT inherit the HDR override (gui_mpv_widget.py:205-212)
+        sdr = mpv_scale_args(1920, 1080, 1920, 1080, hdr=False)
+        assert "--dscale=mitchell" in sdr
+        monkeypatch.setenv("HDRTVNET_MPV_SDR_DSCALE", "off")
+        sdr2 = mpv_scale_args(1920, 1080, 1920, 1080, hdr=False)
+        assert not any(a.startswith("--dscale") for a in sdr2)
 
     def test_shader_chain_when_glsl_present(self, tmp_path):
         from hdrtv_tpu.pipeline.scaling import mpv_scale_args
 
         (tmp_path / "FSR.glsl").write_text("// fsr")
         args = mpv_scale_args(1280, 720, 3840, 2160, "FSR", shader_dir=str(tmp_path))
-        assert any(a.startswith("--glsl-shaders=") and a.endswith("FSR.glsl") for a in args)
+        assert any(a.startswith("--glsl-shader=") and a.endswith("FSR.glsl") for a in args)
         assert "--scale=ewa_lanczos" in args
         # absent shader → EWA fallback, no shader flag
         args2 = mpv_scale_args(1280, 720, 3840, 2160, "FSR", shader_dir=str(tmp_path / "nope"))
-        assert not any(a.startswith("--glsl-shaders") for a in args2)
+        assert not any(a.startswith("--glsl-shader") for a in args2)
         assert "--scale=ewa_lanczossharp" in args2
+
+    def test_shader_chain_order_and_film_grain(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.pipeline.scaling import mpv_scale_args, shader_chain
+
+        for name in ("SSimDownscaler.glsl", "FSR.glsl", "filmgrain.glsl"):
+            (tmp_path / name).write_text("// s")
+        chain = shader_chain("fsr", film_grain=True, shader_dir=str(tmp_path))
+        # reference order: SSimDownscaler → upscaler → film grain
+        # (gui_mpv_widget.py:371-388 _build_shader_paths)
+        assert [p.rsplit("/", 1)[1] for p in chain] == [
+            "SSimDownscaler.glsl", "FSR.glsl", "filmgrain.glsl",
+        ]
+        args = mpv_scale_args(
+            1280, 720, 3840, 2160, "FSR", shader_dir=str(tmp_path), film_grain=True
+        )
+        shaders = [a for a in args if a.startswith("--glsl-shader=")]
+        assert len(shaders) == 3 and shaders[-1].endswith("filmgrain.glsl")
+        # HDRTVNET_MPV_SSIM_DOWNSCALER=0 drops the downscaler entry
+        monkeypatch.setenv("HDRTVNET_MPV_SSIM_DOWNSCALER", "0")
+        chain2 = shader_chain("fsr", film_grain=True, shader_dir=str(tmp_path))
+        assert [p.rsplit("/", 1)[1] for p in chain2] == ["FSR.glsl", "filmgrain.glsl"]
+        # film grain alone needs no upscale shader
+        chain3 = shader_chain("bicubic", film_grain=True, shader_dir=str(tmp_path))
+        assert [p.rsplit("/", 1)[1] for p in chain3] == ["filmgrain.glsl"]
 
     def test_letterbox(self):
         from hdrtv_tpu.pipeline.scaling import letterbox_bgr
