@@ -21,49 +21,123 @@ import tempfile
 import time
 from typing import Callable
 
-from hdrtv_tpu.utils.env import env_float
+from hdrtv_tpu.utils.env import env_bool, env_float, env_int
+
+_F = dataclasses.field
 
 
 @dataclasses.dataclass
 class AutoMutePolicy:
-    """Mute when smoothed FPS dips below ``mute_below`` of target; unmute
-    with a linear fade once it recovers above ``unmute_above``."""
+    """Sustained-instability auto-mute (gui_audio_mute.py:22-352).
 
-    target_fps: float
-    mute_below: float = env_float("HDRTVNET_AUDIO_MUTE_FPS_RATIO", 0.85, lo=0.1, hi=1.0)
-    unmute_above: float = 0.95
-    fade_in_s: float = env_float("HDRTVNET_AUDIO_FADE_IN_S", 0.6, lo=0.0, hi=5.0)
-    window: int = 12
+    A sample is *stable* when ``fps >= min_fps`` and the sample-to-sample
+    delta stays within ``max(delta_abs, delta_rel · max(|prev|, |fps|, 1))``
+    (_update_fps_stability_state, :47-94). Mute triggers after
+    ``unstable_need`` accumulated unstable samples — instability-based, not
+    "FPS target missed" (:320-352). Unmute requires ``stable_need`` stable
+    samples AND ``hold_s`` of continuous stability
+    (_is_stability_hold_satisfied, :22-45), then restores through a
+    ``fade_ms`` gain ramp while re-muting stays disarmed for ``grace_s``
+    (HDRTVNET_POST_RECOVERY_MUTE_GRACE_S, gui_state_init.py:60).
+    All knobs carry the reference's env names and defaults
+    (gui_state_init.py:60-101,152).
+    """
+
+    target_fps: float = 30.0  # informational; the policy is stability-based
+    enabled: bool = _F(default_factory=lambda: env_bool("HDRTVNET_ENABLE_LOW_FPS_AUDIO_MUTE", True))
+    min_fps: float = _F(default_factory=lambda: env_float("HDRTVNET_AUDIO_STABILITY_MIN_FPS", 6.0, lo=1.0))
+    delta_abs: float = _F(default_factory=lambda: env_float("HDRTVNET_AUDIO_STABILITY_DELTA_ABS", 1.2, lo=0.05))
+    delta_rel: float = _F(default_factory=lambda: env_float("HDRTVNET_AUDIO_STABILITY_DELTA_REL", 0.10, lo=0.01))
+    stable_need: int = _F(default_factory=lambda: env_int("HDRTVNET_AUDIO_STABILITY_SAMPLES", 8, lo=1))
+    stable_need_strict: int = _F(default_factory=lambda: env_int("HDRTVNET_AUDIO_STABILITY_SAMPLES_STRICT", 12, lo=1))
+    unstable_need: int = _F(default_factory=lambda: env_int("HDRTVNET_AUDIO_UNSTABLE_SAMPLES", 4, lo=1))
+    hold_s: float = _F(default_factory=lambda: env_float("HDRTVNET_AUDIO_STABLE_HOLD_S", 0.55, lo=0.0))
+    hold_strict_s: float = _F(default_factory=lambda: env_float("HDRTVNET_AUDIO_STABLE_HOLD_STRICT_S", 0.80, lo=0.0))
+    fade_ms: float = _F(default_factory=lambda: env_float("HDRTVNET_AUDIO_RESTORE_FADE_MS", 140.0, lo=80.0))
+    grace_s: float = _F(default_factory=lambda: env_float("HDRTVNET_POST_RECOVERY_MUTE_GRACE_S", 1.6, lo=0.0))
 
     def __post_init__(self):
-        self._samples: list[float] = []
         self.muted = False
+        self._prev: float | None = None
+        self._is_stable = False
+        self._stable_count = 0
+        self._unstable_count = 0
+        self._stable_since = 0.0
+        self._rearm_until = 0.0
         self._fade_start: float | None = None
+
+    def _track_stability(self, fps: float, now: float) -> None:
+        """_update_fps_stability_state (gui_audio_mute.py:47-94)."""
+        if not (fps == fps and abs(fps) != float("inf")):  # non-finite
+            self._prev = None
+            self._is_stable = False
+            self._stable_count = 0
+            self._stable_since = 0.0
+            self._unstable_count += 1
+            return
+        prev, self._prev = self._prev, fps
+        if prev is None:
+            self._is_stable = False
+            self._stable_count = 0
+            self._unstable_count = 0
+            self._stable_since = 0.0
+            return
+        allowed = max(self.delta_abs, self.delta_rel * max(abs(prev), abs(fps), 1.0))
+        stable_now = fps >= self.min_fps and prev >= self.min_fps and abs(fps - prev) <= allowed
+        if stable_now:
+            self._stable_count += 1
+            self._unstable_count = max(0, self._unstable_count - 1)
+            if not self._is_stable or self._stable_since <= 0.0:
+                self._stable_since = now
+        else:
+            self._unstable_count += 1
+            self._stable_count = max(0, self._stable_count - 1)
+            self._stable_since = 0.0
+        self._is_stable = stable_now
+
+    def _hold_satisfied(self, now: float, *, strict: bool = False) -> bool:
+        """_is_stability_hold_satisfied (gui_audio_mute.py:22-45)."""
+        if not self._is_stable or self._stable_since <= 0.0:
+            return False
+        need = self.stable_need_strict if strict else self.stable_need
+        if self._stable_count < max(1, need):
+            return False
+        hold = self.hold_strict_s if strict else self.hold_s
+        return (now - self._stable_since) >= max(0.0, hold)
 
     def update(self, fps_sample: float, now: float | None = None) -> float:
         """Feed an FPS sample; returns current gain in [0,1]."""
         now = time.monotonic() if now is None else now
-        self._samples.append(fps_sample)
-        if len(self._samples) > self.window:
-            self._samples.pop(0)
-        smoothed = sum(self._samples) / len(self._samples)
-        ratio = smoothed / max(1e-6, self.target_fps)
+        if not self.enabled:
+            self.__post_init__()
+            return 1.0
+        try:
+            fps = float(fps_sample)
+        except (TypeError, ValueError):
+            fps = float("nan")
+        self._track_stability(fps, now)
 
-        if not self.muted and ratio < self.mute_below:
+        armed = now >= self._rearm_until
+        if not self.muted and not armed:
+            self._unstable_count = 0
+        if not self.muted and armed and self._unstable_count >= self.unstable_need:
             self.muted = True
+            self._unstable_count = 0
             self._fade_start = None
-        elif self.muted and ratio > self.unmute_above:
+        elif self.muted and self._hold_satisfied(now):
             self.muted = False
+            self._stable_count = 0
             self._fade_start = now
+            self._rearm_until = now + self.grace_s
 
         if self.muted:
             return 0.0
         if self._fade_start is not None:
-            t = now - self._fade_start
-            if t >= self.fade_in_s:
+            t = (now - self._fade_start) * 1000.0
+            if t >= self.fade_ms:
                 self._fade_start = None
                 return 1.0
-            return max(0.0, min(1.0, t / max(1e-6, self.fade_in_s)))
+            return max(0.0, min(1.0, t / max(1e-6, self.fade_ms)))
         return 1.0
 
 

@@ -80,8 +80,9 @@ class TestAudioPlayer:
         media.write_bytes(b"x")
         p = AudioPlayer(str(media))
         try:
-            attach = AudioAttachment(AutoMutePolicy(target_fps=30.0, window=1), p.set_gain)
-            attach.on_metrics(10.0)  # far below target → mute
+            attach = AudioAttachment(AutoMutePolicy(unstable_need=2), p.set_gain)
+            for fps in (30.0, 3.0, 25.0, 2.0, 20.0):  # sustained instability → mute
+                attach.on_metrics(fps)
             cmds = self._read_log(p)
         finally:
             p.close()

@@ -51,32 +51,68 @@ class TestLiveSource:
 
 
 class TestAudioPolicy:
-    def test_mute_on_low_fps_and_fade_in(self):
+    def test_mute_on_sustained_instability_and_fade_in(self):
         from hdrtv_tpu.pipeline.audio import AutoMutePolicy
 
-        p = AutoMutePolicy(target_fps=30.0, fade_in_s=1.0, window=3)
+        p = AutoMutePolicy(fade_ms=1000.0, stable_need=3, hold_s=0.45,
+                           unstable_need=4, grace_s=1.6)
         now = 100.0
         assert p.update(30.0, now) == 1.0
-        # sustained low fps → mute
-        for i in range(5):
-            g = p.update(10.0, now + i)
+        # wild FPS swings (and sub-min-FPS samples) → unstable → mute after
+        # unstable_need=4 accumulated unstable samples
+        for i, fps in enumerate([30.0, 4.0, 25.0, 3.0, 20.0]):
+            g = p.update(fps, now + i)
         assert g == 0.0 and p.muted
-        # recovery → fade-in ramp
-        for i in range(5):
-            g = p.update(30.0, now + 10)
+        # steady recovery: stable_need samples + hold_s continuous hold
+        for i in range(6):
+            g = p.update(30.0, now + 10 + i * 0.2)
         assert not p.muted
-        g_mid = p.update(30.0, now + 10.5)
+        g_mid = p.update(30.0, now + 10 + 5 * 0.2 + 0.5)
         assert 0.0 < g_mid < 1.0
-        assert p.update(30.0, now + 12.0) == 1.0
+        assert p.update(30.0, now + 10 + 5 * 0.2 + 1.1) == 1.0
+
+    def test_stability_not_target_ratio(self):
+        # steadily low-but-stable FPS above min_fps must NOT mute — the
+        # reference policy is instability-based (gui_audio_mute.py:320)
+        from hdrtv_tpu.pipeline.audio import AutoMutePolicy
+
+        p = AutoMutePolicy(target_fps=60.0)
+        for i in range(20):
+            g = p.update(12.0, 100.0 + i)
+        assert g == 1.0 and not p.muted
+
+    def test_rearm_grace_blocks_immediate_remute(self):
+        from hdrtv_tpu.pipeline.audio import AutoMutePolicy
+
+        p = AutoMutePolicy(stable_need=2, hold_s=0.1, unstable_need=2,
+                           grace_s=5.0, fade_ms=80.0)
+        now = 100.0
+        for i, fps in enumerate([30.0, 3.0, 25.0, 2.0, 22.0]):
+            p.update(fps, now + i)
+        assert p.muted
+        for i in range(4):
+            p.update(30.0, now + 10 + i)
+        assert not p.muted
+        # within grace_s: unstable swings cannot re-mute
+        for i, fps in enumerate([30.0, 3.0, 25.0, 2.0, 24.0, 1.0]):
+            p.update(fps, now + 14.0 + i * 0.1)
+        assert not p.muted
+
+    def test_disabled_never_mutes(self):
+        from hdrtv_tpu.pipeline.audio import AutoMutePolicy
+
+        p = AutoMutePolicy(enabled=False)
+        for i, fps in enumerate([30.0, 1.0, 28.0, 2.0, 25.0, 1.0]):
+            g = p.update(fps, 100.0 + i)
+        assert g == 1.0 and not p.muted
 
     def test_attachment_calls_gain_setter(self):
         from hdrtv_tpu.pipeline.audio import AudioAttachment, AutoMutePolicy
 
         gains = []
-        att = AudioAttachment(AutoMutePolicy(target_fps=30.0, window=2), gains.append)
-        att.on_metrics(30.0)
-        att.on_metrics(5.0)
-        att.on_metrics(5.0)
+        att = AudioAttachment(AutoMutePolicy(unstable_need=2), gains.append)
+        for fps in (30.0, 3.0, 25.0, 2.0, 20.0):
+            att.on_metrics(fps)
         assert gains and gains[-1] == 0.0
 
 
