@@ -115,9 +115,13 @@ def parse_showinfo(stderr_text: str) -> list[tuple[int, float]]:
 
 
 def match_pts_frame(infos: list[tuple[int, float]], target_time: float, fps: float) -> int | None:
-    """Output index whose pts_time matches the target within half a frame —
-    the PTS guard that rejects keyframe-snapped misseeks."""
-    tol = 0.5 / max(fps, 1e-6)
+    """Output index whose pts_time matches the target within the tolerance —
+    the PTS guard that rejects keyframe-snapped misseeks. Tolerance is
+    ``HDRTVNET_HDR_FAST_SEEK_PTS_TOL_FRAMES`` frame periods (default 0.60,
+    gui_hdr_io.py:29-34)."""
+    from hdrtv_tpu.utils.env import env_float
+
+    tol = env_float("HDRTVNET_HDR_FAST_SEEK_PTS_TOL_FRAMES", 0.60, lo=0.05) / max(fps, 1e-6)
     best, best_err = None, tol
     for n, pts in infos:
         err = abs(pts - target_time)
@@ -127,36 +131,51 @@ def match_pts_frame(infos: list[tuple[int, float]], target_time: float, fps: flo
 
 
 def read_frames_exact(path: str, indices: list[int], *, timeout: float = 600.0) -> dict[int, np.ndarray]:
-    """Decode exact frame numbers to u16 RGB arrays (one FFmpeg pass)."""
+    """Decode exact frame numbers to u16 RGB arrays. Requests are split into
+    batches of ``HDRTVNET_HDR_EXACT_BATCH_MAX_FRAMES`` (default 20, max 64)
+    per FFmpeg pass to bound decoder memory (gui_hdr_io.py:36-41)."""
+    from hdrtv_tpu.utils.env import env_int
+
     info = probe_video(path)
     w, h = info["width"], info["height"]
     uniq = sorted(set(int(i) for i in indices))
-    proc = subprocess.run(
-        build_exact_decode_cmd(path, uniq), capture_output=True, timeout=timeout
-    )
+    batch_max = env_int("HDRTVNET_HDR_EXACT_BATCH_MAX_FRAMES", 20, lo=1, hi=64)
     frame_bytes = w * h * 6
-    data = proc.stdout
     out: dict[int, np.ndarray] = {}
-    for k, idx in enumerate(uniq):
-        chunk = data[k * frame_bytes : (k + 1) * frame_bytes]
-        if len(chunk) < frame_bytes:
-            break
-        out[idx] = np.frombuffer(chunk, np.uint16).reshape(h, w, 3).copy()
+    for b in range(0, len(uniq), batch_max):
+        batch = uniq[b : b + batch_max]
+        proc = subprocess.run(
+            build_exact_decode_cmd(path, batch), capture_output=True, timeout=timeout
+        )
+        data = proc.stdout
+        for k, idx in enumerate(batch):
+            chunk = data[k * frame_bytes : (k + 1) * frame_bytes]
+            if len(chunk) < frame_bytes:
+                break
+            out[idx] = np.frombuffer(chunk, np.uint16).reshape(h, w, 3).copy()
     return out
 
 
 def read_frame_fast(path: str, frame_idx: int, *, timeout: float = 120.0) -> np.ndarray | None:
     """Fast-seek decode of one frame with PTS verification; None if the
-    guard cannot confirm the requested frame."""
+    guard cannot confirm the requested frame (or fast seeking is disabled
+    via ``HDRTVNET_HDR_FAST_SEEK=0`` — callers then fall back to the exact
+    batched decode, gui_hdr_io.py:22-24)."""
+    from hdrtv_tpu.utils.env import env_bool
+
+    if not env_bool("HDRTVNET_HDR_FAST_SEEK", True):
+        return None
     info = probe_video(path)
     w, h, fps = info["width"], info["height"], info["fps"]
     proc = subprocess.run(
         build_fast_decode_cmd(path, frame_idx, fps), capture_output=True, timeout=timeout
     )
     infos = parse_showinfo(proc.stderr.decode(errors="replace"))
-    from hdrtv_tpu.utils.env import env_bool
-
-    if env_bool("HDRTVNET_SDR_FRAME_FAST_SEEK_PTS_GUARD", True):
+    # Both guard names accepted: the reference keeps separate HDR/SDR knobs
+    # (gui_hdr_io.py:25-28; the SDR variant mirrors it for the GT-sync path)
+    if env_bool("HDRTVNET_HDR_FAST_SEEK_PTS_GUARD", True) and env_bool(
+        "HDRTVNET_SDR_FRAME_FAST_SEEK_PTS_GUARD", True
+    ):
         pick = match_pts_frame(infos, frame_idx / max(fps, 1e-6), fps)
     else:  # guard off: trust the seek, take the first decoded frame
         pick = 0 if infos or proc.stdout else None

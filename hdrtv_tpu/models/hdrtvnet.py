@@ -51,12 +51,29 @@ class ModelConfig:
     hg_arch: str = "pixelshuffle"
     post_correction: str = ""
 
+    # Env-var arch overrides consulted when neither the checkpoint's
+    # ``architecture`` dict nor an explicit override names the field
+    # (hdrtvnet_torch.py:2093-2110, :1793, :3717-3718).
+    _ENV_FIELDS = {
+        "classifier": "HDRTVNET_CLASSIFIER",
+        "le_arch": "HDRTVNET_LE_ARCH",
+        "hg_arch": "HDRTVNET_HG_ARCH",
+        "post_correction": "HDRTVNET_POST_CORRECTION",
+    }
+
     @classmethod
     def from_arch_dict(cls, arch: dict | None, **overrides) -> "ModelConfig":
+        import os
+
         arch = dict(arch or {})
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in arch.items() if k in known}
         kwargs.update(overrides)
+        for field, var in cls._ENV_FIELDS.items():
+            if field not in kwargs:
+                v = os.environ.get(var, "").strip()
+                if v:
+                    kwargs[field] = v
         if "classifier" in kwargs:
             kwargs["classifier"] = normalize_classifier_name(kwargs["classifier"])
         return cls(**kwargs)

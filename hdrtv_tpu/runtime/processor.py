@@ -75,9 +75,16 @@ class HDRTVNetTPU:
         self.proc_resolution = tuple(proc_resolution) if proc_resolution else None
         self.policy: Policy = policy_for(precision)
         if fast_condition_resize is None:
-            fast_condition_resize = env_bool("HDRTVNET_FAST_CONDITION_RESIZE", False)
+            # reference name HDRTVNET_FAST_COND_RESIZE (hdrtvnet_torch.py:1541);
+            # the long form is kept for back-compat with earlier rounds
+            fast_condition_resize = env_bool("HDRTVNET_FAST_COND_RESIZE", False) or env_bool(
+                "HDRTVNET_FAST_CONDITION_RESIZE", False
+            )
         if fast_zero_condition is None:
-            fast_zero_condition = env_bool("HDRTVNET_FAST_ZERO_CONDITION", False)
+            # reference name HDRTVNET_ZERO_COND (hdrtvnet_torch.py:1544)
+            fast_zero_condition = env_bool("HDRTVNET_ZERO_COND", False) or env_bool(
+                "HDRTVNET_FAST_ZERO_CONDITION", False
+            )
         self.fast_condition_resize = fast_condition_resize
         self.fast_zero_condition = fast_zero_condition
 

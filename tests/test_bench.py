@@ -166,6 +166,46 @@ class TestHdrIO:
         # a time far from any decoded pts is rejected (keyframe mis-seek)
         assert match_pts_frame(infos, 5.0, 30.0) is None
 
+    def test_pts_tolerance_env(self, monkeypatch):
+        from hdrtv_tpu.bench.hdr_io import match_pts_frame
+
+        infos = [(0, 0.400), (1, 0.500)]
+        # target 0.44 is 0.04s (=1.2 frame periods at 30fps) past 0.400:
+        # outside the default 0.60-frame tolerance...
+        assert match_pts_frame(infos, 0.44, 30.0) is None
+        # ...inside a widened HDRTVNET_HDR_FAST_SEEK_PTS_TOL_FRAMES
+        monkeypatch.setenv("HDRTVNET_HDR_FAST_SEEK_PTS_TOL_FRAMES", "1.5")
+        assert match_pts_frame(infos, 0.44, 30.0) == 0
+
+    def test_exact_decode_batching_env(self, monkeypatch, tmp_path):
+        # HDRTVNET_HDR_EXACT_BATCH_MAX_FRAMES bounds frames per FFmpeg pass
+        # (gui_hdr_io.py:36-41): 5 indices at batch max 2 → 3 subprocess runs
+        import hdrtv_tpu.bench.hdr_io as hdr_io
+
+        calls = []
+
+        def fake_run(cmd, capture_output=True, timeout=0):
+            calls.append(cmd)
+            sel = cmd[cmd.index("-vf") + 1]
+            n = sel.count("eq(")
+            class R:
+                stdout = b"\x00" * (4 * 4 * 6 * n)
+                stderr = b""
+            return R()
+
+        monkeypatch.setattr(hdr_io, "probe_video",
+                            lambda p: {"width": 4, "height": 4, "fps": 30.0, "frames": 99})
+        monkeypatch.setattr(hdr_io.subprocess, "run", fake_run)
+        monkeypatch.setenv("HDRTVNET_HDR_EXACT_BATCH_MAX_FRAMES", "2")
+        out = hdr_io.read_frames_exact("x.mkv", [1, 2, 3, 4, 5])
+        assert len(calls) == 3 and sorted(out) == [1, 2, 3, 4, 5]
+
+    def test_fast_seek_disable_env(self, monkeypatch):
+        from hdrtv_tpu.bench.hdr_io import read_frame_fast
+
+        monkeypatch.setenv("HDRTVNET_HDR_FAST_SEEK", "0")
+        assert read_frame_fast("does_not_exist.mkv", 3) is None
+
     def test_probe_video_na_fields_fall_back_to_cv2(self, monkeypatch, tmp_path):
         """ffprobe emitting empty/N/A fields (audio-only or broken streams)
         must fall through to the cv2 probe, not crash on int() (ADVICE r2)."""

@@ -172,3 +172,35 @@ class TestFP8Import:
         err = np.abs(y8 - y32)
         assert err.max() < 0.1 and err.mean() < 0.01  # fp8 weight noise only
         assert err.max() > 0  # emulation actually changed numerics
+
+
+class TestArchEnvOverrides:
+    def test_env_fills_silent_fields(self, monkeypatch):
+        # env arch overrides apply only when the checkpoint's architecture
+        # dict is silent (hdrtvnet_torch.py:2093-2110)
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+
+        monkeypatch.setenv("HDRTVNET_CLASSIFIER", "color_condition_lite")
+        monkeypatch.setenv("HDRTVNET_LE_ARCH", "sft_lite")
+        monkeypatch.setenv("HDRTVNET_POST_CORRECTION", "spatial")
+        cfg = ModelConfig.from_arch_dict({})
+        assert cfg.classifier == "color_condition_lite"
+        assert cfg.le_arch == "sft_lite"
+        assert cfg.post_correction == "spatial"
+
+    def test_checkpoint_arch_wins_over_env(self, monkeypatch):
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+
+        monkeypatch.setenv("HDRTVNET_LE_ARCH", "sft_lite")
+        cfg = ModelConfig.from_arch_dict({"le_arch": "sft"})
+        assert cfg.le_arch == "sft"
+
+    def test_defaults_without_env(self, monkeypatch):
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+
+        for var in ("HDRTVNET_CLASSIFIER", "HDRTVNET_LE_ARCH",
+                    "HDRTVNET_HG_ARCH", "HDRTVNET_POST_CORRECTION"):
+            monkeypatch.delenv(var, raising=False)
+        cfg = ModelConfig.from_arch_dict({})
+        assert cfg.classifier == "color_condition" and cfg.le_arch == "sft"
+        assert cfg.hg_arch == "pixelshuffle" and cfg.post_correction == ""
