@@ -47,30 +47,42 @@ class QualityRunConfig:
 def select_distinct_frames(
     source, count: int, *, probe_stride: int = 24, max_probes: int = 400
 ) -> list[int]:
-    """Deterministic visually-distinct frame selection.
+    """Deterministic visually-distinct frame selection with QC.
 
-    Scores probe frames by luminance variance + mid-tone coverage, greedily
-    keeps frames that differ from already-chosen ones (content-ranked
-    deterministic selection role, gui_benchmark.py:746-1006).
+    Probe frames are restricted to the movie's credit-free region
+    (frame_select.movie_frame_bounds), filtered through the per-frame QC
+    gates (too-dark/too-bright/flat/logo-or-credits,
+    gui_benchmark.py:831-919), scored by the visual-interest proxy, and
+    greedily deduplicated against already-chosen frames (content-ranked
+    deterministic selection, gui_benchmark.py:746-1006). QC never empties
+    the pool: if every probe is rejected, the rejected set is used so a
+    pathological source still benchmarks.
     """
+    from hdrtv_tpu.bench.frame_select import frame_qc, movie_frame_bounds, visual_interest
+
     # always scan from the start: selection must be deterministic no matter
     # where a previous (queued) run left the source positioned
     seek = getattr(source, "seek", None)
     if seek is not None:
         seek(0)
+    total = getattr(source, "frame_count", None) or 0
+    fps = getattr(source, "fps", None)
+    lo, hi = movie_frame_bounds(total, fps) if total else (0, 1 << 62)
     probes: list[tuple[int, np.ndarray, float]] = []
-    idx = 0
+    rejected: list[tuple[int, np.ndarray, float]] = []
     while len(probes) < max_probes:
         meta = source.read_with_meta()
         if meta is None:
             break
         frame, fidx, _ = meta
-        if fidx % probe_stride == 0:
+        if fidx > hi:
+            break
+        if fidx % probe_stride == 0 and fidx >= lo:
             small = frame[::8, ::8].astype(np.float32) / 255.0
-            lum = small.mean(axis=-1)
-            interest = float(lum.std()) + float(((lum > 0.2) & (lum < 0.9)).mean()) * 0.25
-            probes.append((fidx, small, interest))
-        idx = fidx
+            ok, _reason = frame_qc(frame)
+            (probes if ok else rejected).append((fidx, small, visual_interest(frame)))
+    if not probes:
+        probes = rejected
     probes.sort(key=lambda t: -t[2])
     chosen: list[tuple[int, np.ndarray]] = []
     for fidx, small, _ in probes:
@@ -266,7 +278,7 @@ def run_quality_benchmark(
         "precision": cfg.precision_key,
         "resolution": cfg.resolution_key,
         "use_hg": cfg.use_hg,
-        "frame_selection": "luminance-variance+midtone greedy distinct (gui_benchmark.py:746 role)",
+        "frame_selection": "QC-gated visual-interest greedy distinct (gui_benchmark.py:746-1060)",
         "gt_decode": gt_decode,
         "post_verify": {"enabled": post_verify, "window_frames": verify_window},
         "frames": [dataclasses.asdict(r) for r in results],

@@ -598,3 +598,79 @@ class TestQualityQueue:
             gt_read, str(tmp_path), save_artifacts=False, verify_cache=cache,
         )
         assert len(cache) <= 2
+
+
+class TestFrameQC:
+    def _frame(self, fill, noise=0.0, seed=0):
+        rng = np.random.RandomState(seed)
+        f = np.full((72, 96, 3), fill, np.float32)
+        if noise:
+            f += rng.randn(72, 96, 3) * noise
+        return np.clip(f, 0, 255).astype(np.uint8)
+
+    def test_qc_gates(self):
+        from hdrtv_tpu.bench.frame_select import frame_qc
+
+        ok, why = frame_qc(self._frame(2))
+        assert not ok and why == "too_dark"
+        ok, why = frame_qc(self._frame(252))
+        assert not ok and why == "too_bright"
+        ok, why = frame_qc(self._frame(120, noise=0.5))
+        assert not ok and why == "flat"
+        ok, why = frame_qc(self._frame(120, noise=40.0))
+        assert ok and why == "ok"
+        ok, why = frame_qc(None)
+        assert not ok and why == "unreadable"
+
+    def test_qc_env_thresholds(self, monkeypatch):
+        from hdrtv_tpu.bench.frame_select import frame_qc
+
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_FRAME_QC_MIN_STD", "0.0")
+        ok, why = frame_qc(self._frame(120, noise=0.5))
+        assert ok  # flat gate disabled
+
+    def test_logo_detector_on_credits_card(self):
+        import cv2
+        from hdrtv_tpu.bench.frame_select import looks_like_logo_or_credits
+
+        # near-black card with many small bright text-like blobs
+        card = np.zeros((240, 360, 3), np.uint8)
+        rng = np.random.RandomState(1)
+        for _ in range(40):
+            x, y = rng.randint(10, 340), rng.randint(10, 220)
+            cv2.rectangle(card, (x, y), (x + rng.randint(6, 24), y + 6), (230, 230, 230), -1)
+        assert looks_like_logo_or_credits(card)
+        # a textured natural frame is not a card
+        nat = np.clip(rng.randn(240, 360, 3) * 40 + 120, 0, 255).astype(np.uint8)
+        assert not looks_like_logo_or_credits(nat)
+
+    def test_movie_bounds_policy(self, monkeypatch):
+        from hdrtv_tpu.bench.frame_select import movie_frame_bounds
+
+        # short sources: policy disengaged (below SKIP_MIN_FRAMES)
+        assert movie_frame_bounds(200, 24.0) == (0, 199)
+        # feature length: head = max(2.5%, 120 s) capped at 8%,
+        # tail = max(8%, 600 s) capped at 18%
+        total = 24 * 60 * 120  # 2 h at 24 fps = 172800
+        lo, hi = movie_frame_bounds(total, 24.0)
+        assert lo == round(total * 0.025)  # ratio > 120 s here
+        assert hi == total - round(total * 0.08 * 0) - round(600 * 24) - 1 or hi <= total - 1
+        assert lo > 0 and hi < total - 1
+        # caps engage via env
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_FRAME_QC_SKIP_HEAD_SECONDS", "100000")
+        lo2, _ = movie_frame_bounds(total, 24.0)
+        assert lo2 == round(total * 0.08)  # MAX_HEAD_SKIP_RATIO cap
+
+    def test_selection_skips_credit_region(self, monkeypatch):
+        from hdrtv_tpu.bench.quality import select_distinct_frames
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_FRAME_QC_SKIP_MIN_FRAMES", "100")
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_FRAME_QC_SKIP_HEAD_RATIO", "0.2")
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_FRAME_QC_SKIP_HEAD_SECONDS", "0")
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_FRAME_QC_SKIP_TAIL_SECONDS", "0")
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_FRAME_QC_MAX_HEAD_SKIP_RATIO", "0.5")
+        src = SyntheticSource(96, 64, fps=30, frames=400)
+        frames = select_distinct_frames(src, 4)
+        assert len(frames) == 4
+        assert min(frames) >= 80  # head region skipped
