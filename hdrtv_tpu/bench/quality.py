@@ -151,18 +151,31 @@ def _alignment_score(sdr_rgb01: np.ndarray, gt_rgb01: np.ndarray) -> float:
 
 
 def post_verify_alignment(
-    sdr_rgb01: np.ndarray, gt_read, gt_idx: int, *, window: int = 2
+    sdr_rgb01: np.ndarray, gt_read, gt_idx: int, *, window: int = 2,
+    min_gain: float | None = None,
 ) -> tuple[int, float]:
     """Local ±window alignment re-search around the mapped GT frame
-    (gui_benchmark.py:2320-2439): returns (best_offset, best_score)."""
+    (gui_benchmark.py:2320-2439): returns (offset, score). A nonzero offset
+    is accepted only when it beats the mapped frame's own score by
+    ``HDRTVNET_BENCHMARK_GT_LOCAL_SEARCH_MIN_GAIN`` (default 0.035,
+    gui_benchmark.py:718-731) — near-ties keep the timing-derived mapping
+    instead of flapping between neighbors."""
+    from hdrtv_tpu.utils.env import env_float
+
+    if min_gain is None:
+        min_gain = env_float("HDRTVNET_BENCHMARK_GT_LOCAL_SEARCH_MIN_GAIN", 0.035, lo=0.0)
+    base = gt_read(gt_idx)
+    base_score = _alignment_score(sdr_rgb01, base) if base is not None else None
     best_off, best_score = 0, -2.0
     for off in range(-window, window + 1):
-        cand = gt_read(gt_idx + off)
+        cand = base if off == 0 else gt_read(gt_idx + off)
         if cand is None:
             continue
         score = _alignment_score(sdr_rgb01, cand)
         if score > best_score:
             best_off, best_score = off, score
+    if best_off != 0 and base_score is not None and best_score < base_score + min_gain:
+        return 0, base_score
     return best_off, best_score
 
 

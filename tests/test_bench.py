@@ -674,3 +674,25 @@ class TestFrameQC:
         frames = select_distinct_frames(src, 4)
         assert len(frames) == 4
         assert min(frames) >= 80  # head region skipped
+
+    def test_post_verify_min_gain_keeps_mapping(self):
+        # near-tie neighbor scores: the timing-derived mapping wins unless
+        # the neighbor beats it by MIN_GAIN (gui_benchmark.py:718-731)
+        from hdrtv_tpu.bench.quality import post_verify_alignment
+
+        rng = np.random.RandomState(0)
+        sdr = rng.rand(24, 32, 3).astype(np.float32)
+        base = sdr.copy()
+        neighbor = np.clip(sdr + rng.randn(24, 32, 3).astype(np.float32) * 0.001, 0, 1)
+
+        def gt_read(idx):
+            return {10: base, 11: neighbor}.get(idx)
+
+        off, _ = post_verify_alignment(sdr, gt_read, 10, window=1)
+        assert off == 0
+        # a decisively better neighbor is still taken
+        def gt_read2(idx):
+            return {10: rng.rand(24, 32, 3).astype(np.float32), 11: sdr}.get(idx)
+
+        off2, score2 = post_verify_alignment(sdr, gt_read2, 10, window=1)
+        assert off2 == 1 and score2 > 0.9
