@@ -40,7 +40,21 @@ class HDRGroundTruthReader:
         self._cv2 = cv2
         self._hdr_io = hdr_io
         self.path = path
-        self.exact = hdr_io.ffmpeg_available() if exact is None else exact
+        if exact is None:
+            # GT decode mode: auto = exact when ffmpeg exists, else fast
+            # (HDRTVNET_BENCHMARK_HDR_GT_MODE, gui_benchmark.py:175-180)
+            from hdrtv_tpu.utils.env import env_str
+
+            mode = env_str("HDRTVNET_BENCHMARK_HDR_GT_MODE", "auto").strip().lower()
+            if mode not in ("auto", "fast", "exact"):
+                mode = "auto"
+            if mode == "exact":
+                exact = True
+            elif mode == "fast":
+                exact = False
+            else:
+                exact = hdr_io.ffmpeg_available()
+        self.exact = exact
         self.decode_method = "ffmpeg-rgb48le-exact" if self.exact else "cv2-8bit"
         self.cap = cv2.VideoCapture(path)
         if not self.cap.isOpened():
@@ -49,16 +63,28 @@ class HDRGroundTruthReader:
         self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
         self._pos = 0
         self._exact_cache: dict[int, np.ndarray] = {}
-        # decoded-frame cache cap (HDRTVNET_SDR_FRAME_CACHE_MAX,
-        # /root/reference/README.md benchmark env family); FIFO eviction.
+        # decoded-frame cache caps: frame count AND megabytes, FIFO eviction
+        # (HDRTVNET_BENCHMARK_POST_VERIFY_CACHE_MAX_FRAMES/_MAX_MB,
+        # gui_benchmark.py:251-270; the SDR_FRAME_CACHE_MAX name is the
+        # earlier-round alias and still honored)
         from hdrtv_tpu.utils.env import env_bool, env_int
 
-        self._cache_max = env_int("HDRTVNET_SDR_FRAME_CACHE_MAX", 64, lo=1)
+        self._cache_max = env_int(
+            "HDRTVNET_BENCHMARK_POST_VERIFY_CACHE_MAX_FRAMES",
+            env_int("HDRTVNET_SDR_FRAME_CACHE_MAX", 64, lo=1),
+            lo=1,
+        )
+        self._cache_max_bytes = env_int(
+            "HDRTVNET_BENCHMARK_POST_VERIFY_CACHE_MAX_MB", 768, lo=1
+        ) * (1 << 20)
         self._fast_seek = env_bool("HDRTVNET_SDR_FRAME_FAST_SEEK", True)
 
     def _cache_put(self, items: dict[int, np.ndarray]) -> None:
         self._exact_cache.update(items)
-        while len(self._exact_cache) > self._cache_max:
+        while len(self._exact_cache) > self._cache_max or (
+            len(self._exact_cache) > 1
+            and sum(v.nbytes for v in self._exact_cache.values()) > self._cache_max_bytes
+        ):
             self._exact_cache.pop(next(iter(self._exact_cache)))
 
     def prefetch_exact(self, indices) -> None:

@@ -27,8 +27,14 @@ from hdrtv_tpu.ops.metrics import crop_shared_black_borders, full_reference_metr
 
 
 # bounded queued-benchmark alignment cache (the reference bounds its
-# in-memory post-verify GT cache the same way — FIFO once full)
-_VERIFY_CACHE_MAX = 512
+# queue task cache the same way — FIFO once full;
+# HDRTVNET_BENCHMARK_QUEUE_TASK_CACHE_MAX, gui_benchmark.py:278-284)
+
+
+def _verify_cache_max() -> int:
+    from hdrtv_tpu.utils.env import env_int
+
+    return env_int("HDRTVNET_BENCHMARK_QUEUE_TASK_CACHE_MAX", 512, lo=1)
 
 # the reference's one-click "main set" queue (README.md: FP32/FP16/
 # Mixed QAT/Full QAT); "all" expands to every registered preset
@@ -257,7 +263,7 @@ def run_quality_benchmark(
             )
             verified_items += 1
             if verify_cache is not None:
-                if len(verify_cache) >= _VERIFY_CACHE_MAX:
+                if len(verify_cache) >= _verify_cache_max():
                     verify_cache.pop(next(iter(verify_cache)))
                 verify_cache[cache_key] = (offset, score)
         gt = gt_read(gt_idx + offset)

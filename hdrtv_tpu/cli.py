@@ -688,9 +688,15 @@ def cmd_live(args) -> int:
     m = runner.run()
     src.close()
     sink.close()
+    # Recommend the extension's local audio delay from the measured pipeline
+    # latency (the live-audio delay targeting, gui_state_init.py:123-139)
+    from hdrtv_tpu.pipeline.audio import live_audio_delay_target_ms
+
+    latency_hint = (m.model_ms + 1000.0 / max(src.display_fps, 1.0)) if m.frames else None
+    delay = live_audio_delay_target_ms(latency_hint, tab_audio=True)
     print(
         f"frames={m.frames} observed={src.frames_observed} dropped={m.dropped} "
-        f"fps={m.fps:.2f} model={m.model_ms:.2f}ms"
+        f"fps={m.fps:.2f} model={m.model_ms:.2f}ms audio_delay_target={delay:.0f}ms"
     )
     return 0
 

@@ -141,6 +141,27 @@ class AutoMutePolicy:
         return 1.0
 
 
+def live_audio_delay_target_ms(
+    latency_hint_ms: float | None = None, *, tab_audio: bool = False
+) -> float:
+    """Target delay for live-capture audio (the extension's local delay).
+
+    The reference aims the browser-tab audio delay at the measured pipeline
+    latency plus a safety margin, clamped into a sane window, with a higher
+    floor when the audio comes from the captured tab itself
+    (gui_state_init.py:123-139 env family; gui_audio_playback.py:310-320
+    clamp). Without a latency hint the default target applies.
+    """
+    default = max(50.0, env_float("HDRTVNET_LIVE_AUDIO_DEFAULT_DELAY_MS", 95.0))
+    margin = max(0.0, env_float("HDRTVNET_LIVE_AUDIO_DELAY_MARGIN_MS", 10.0))
+    min_d = max(40.0, env_float("HDRTVNET_LIVE_AUDIO_MIN_DELAY_MS", 70.0))
+    max_d = max(min_d, env_float("HDRTVNET_LIVE_AUDIO_MAX_DELAY_MS", 650.0))
+    target = default if latency_hint_ms is None else float(latency_hint_ms) + margin
+    if tab_audio:
+        target = max(target, max(min_d, env_float("HDRTVNET_LIVE_TAB_AUDIO_FLOOR_DELAY_MS", 80.0)))
+    return max(min_d, min(max_d, target))
+
+
 class AudioAttachment:
     """Binds the policy to a gain callback (e.g. an mpv --volume setter)."""
 

@@ -153,6 +153,15 @@ class ShellController:
         return "space pause · ←/→ ±5s · ,/. ±1f · p precision · r resolution · m mute · q quit"
 
 
+def status_interval_s() -> float:
+    """Status-line refresh period: ``HDRTVNET_PLAYBACK_STATUS_MS`` (default
+    900, floor 250 — gui_playback_runtime.py:234-238). Key polling stays
+    fast; only the status text recomputes at this cadence."""
+    from hdrtv_tpu.utils.env import env_int
+
+    return max(250, env_int("HDRTVNET_PLAYBACK_STATUS_MS", 900)) / 1000.0
+
+
 def run_shell(controller: ShellController, *, refresh_s: float = 0.1) -> None:
     """Curses loop: render two lines, poll keys, forward to the controller.
     Returns when the controller quits or the runner finishes."""
@@ -162,19 +171,28 @@ def run_shell(controller: ShellController, *, refresh_s: float = 0.1) -> None:
         curses.curs_set(0)
         scr.nodelay(True)
         keymap = {curses.KEY_LEFT: "LEFT", curses.KEY_RIGHT: "RIGHT"}
+        status_s = status_interval_s()
+        status = controller.status_line()
+        next_status = time.monotonic()
         while not controller.quit_requested:
             try:
                 ch = scr.getch()
             except curses.error:
                 ch = -1
+            dirty = False
             if ch != -1:
                 key = keymap.get(ch, chr(ch) if 0 <= ch < 256 else "")
                 action = controller.handle_key(key)
                 if action:
                     controller.notice = action
+                dirty = True  # user input refreshes immediately
+            now = time.monotonic()
+            if dirty or now >= next_status:
+                status = controller.status_line()
+                next_status = now + status_s
             scr.erase()
             try:
-                scr.addstr(0, 0, controller.status_line())
+                scr.addstr(0, 0, status)
                 scr.addstr(1, 0, controller.help_line())
             except curses.error:
                 pass  # terminal too small

@@ -53,10 +53,10 @@ class FileSink:
         self._f.close()
 
 
-def _quality_args() -> list[str]:
+def _quality_args(live: bool = False) -> list[str]:
     """Display-quality mpv options (env-configurable, the reference's
     deband/dither/tscale set — gui_mpv_widget.py:80-230 defaults)."""
-    from hdrtv_tpu.utils.env import env_bool, env_int, env_str
+    from hdrtv_tpu.utils.env import env_bool, env_float, env_int, env_str
 
     args = []
     if env_bool("HDRTVNET_MPV_DEBAND", True):
@@ -81,7 +81,21 @@ def _quality_args() -> list[str]:
                     "--temporal-dither=yes",
                     f"--temporal-dither-period={env_int('HDRTVNET_MPV_TEMPORAL_DITHER_PERIOD', 1, lo=1, hi=128)}",
                 ]
-    if env_bool("HDRTVNET_MPV_INTERPOLATION", False):
+    if live:
+        # Live capture runs at a capped cadence; display-resample with
+        # temporal blending smooths the low-FPS feed by default
+        # (gui_mpv_widget.py:157-203: interpolation on, hermite tscale,
+        # blur 1.4, radius 3.0; HDRTVNET_LIVE_MPV_* family)
+        if env_bool("HDRTVNET_LIVE_MPV_INTERPOLATION", True):
+            tscale = (env_str("HDRTVNET_LIVE_MPV_TSCALE", "hermite").strip() or "hermite").replace("-", "_")
+            args += [
+                "--video-sync=display-resample",
+                "--interpolation=yes",
+                f"--tscale={tscale}",
+                f"--tscale-blur={env_float('HDRTVNET_LIVE_MPV_TSCALE_BLUR', 1.4, lo=0.0, hi=100.0)}",
+                f"--tscale-radius={env_float('HDRTVNET_LIVE_MPV_TSCALE_RADIUS', 3.0, lo=0.0, hi=100.0)}",
+            ]
+    elif env_bool("HDRTVNET_MPV_INTERPOLATION", False):
         args += ["--interpolation=yes", "--tscale=oversample"]
     return args
 
@@ -175,7 +189,7 @@ class MpvPipeSink:
                 f"--demuxer-max-bytes={jitter_buffer_frames * frame_bytes}",
                 f"--demuxer-readahead-secs={jitter_buffer_frames / max(fps, 1.0):.3f}",
             ]
-        quality = _quality_args()
+        quality = _quality_args(live=drop_to_latest)
         ladders = [
             (quality, None),
             (_drop_dither(quality), "mpv dither unavailable; continuing without display dither"),
@@ -354,7 +368,13 @@ def make_sink(
     ``out_size``/``upscaler``/``film_grain`` drive the display scale policy
     + shader chain on the mpv sinks (gui_scaling.py:69-157,
     gui_mpv_widget.py:371-388)."""
+    from hdrtv_tpu.utils.env import env_bool
+
     kind = (kind or "null").lower()
+    if kind in ("mpv", "side-by-side") and env_bool("HDRTVNET_DISABLE_MPV", False):
+        # forced mpv bypass (gui_playback_runtime.py:3484-3488) — fall
+        # straight to the file/null rungs of the ladder
+        kind = "file" if path else "null"
     if kind in ("mpv", "side-by-side"):
         from hdrtv_tpu.utils.env import env_int
 

@@ -63,7 +63,9 @@ def _strip_mosaic_debuginfo() -> None:
 
 
 def default_cache_root() -> str:
-    root = env_str("HDRTVNET_ENGINE_CACHE_DIR")
+    # HDRTVNET_CACHE_DIR is the reference's project cache-root override
+    # (windows_runtime.py:542-552); the engine-specific var wins when both set
+    root = env_str("HDRTVNET_ENGINE_CACHE_DIR") or env_str("HDRTVNET_CACHE_DIR")
     if root:
         return root
     return os.path.join(os.path.expanduser("~"), ".cache", "hdrtv_tpu", "engines")

@@ -173,3 +173,37 @@ class TestProbe:
 
         info = MediaInfo(1920, 1080, 24.0, 100, is_hdr=True, color_transfer="smpte2084")
         assert should_bypass_processing(info)
+
+
+class TestLiveAudioDelayPolicy:
+    def test_default_and_clamps(self, monkeypatch):
+        from hdrtv_tpu.pipeline.audio import live_audio_delay_target_ms
+
+        assert live_audio_delay_target_ms() == 95.0  # default target
+        # hint + margin, clamped to [min, max]
+        assert live_audio_delay_target_ms(200.0) == 210.0
+        assert live_audio_delay_target_ms(10.0) == 70.0   # min clamp
+        assert live_audio_delay_target_ms(5000.0) == 650.0  # max clamp
+
+    def test_tab_floor(self):
+        from hdrtv_tpu.pipeline.audio import live_audio_delay_target_ms
+
+        # tab-sourced audio never targets below the tab floor (80)
+        assert live_audio_delay_target_ms(50.0, tab_audio=True) == 80.0
+        assert live_audio_delay_target_ms(50.0, tab_audio=False) == 70.0
+
+    def test_env_overrides(self, monkeypatch):
+        from hdrtv_tpu.pipeline.audio import live_audio_delay_target_ms
+
+        monkeypatch.setenv("HDRTVNET_LIVE_AUDIO_MAX_DELAY_MS", "300")
+        monkeypatch.setenv("HDRTVNET_LIVE_AUDIO_DELAY_MARGIN_MS", "50")
+        assert live_audio_delay_target_ms(280.0) == 300.0
+
+
+class TestShellStatusInterval:
+    def test_default_and_floor(self, monkeypatch):
+        from hdrtv_tpu.pipeline.shell import status_interval_s
+
+        assert status_interval_s() == 0.9
+        monkeypatch.setenv("HDRTVNET_PLAYBACK_STATUS_MS", "100")
+        assert status_interval_s() == 0.25  # 250 ms floor

@@ -590,7 +590,7 @@ class TestQualityQueue:
     def test_cache_bound(self, tmp_path, monkeypatch):
         from hdrtv_tpu.bench import quality as q
 
-        monkeypatch.setattr(q, "_VERIFY_CACHE_MAX", 2)
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_QUEUE_TASK_CACHE_MAX", "2")
         cache = {}
         gt_read = lambda idx: np.full((48, 64, 3), 0.5, np.float32)
         q.run_quality_benchmark(
@@ -696,3 +696,40 @@ class TestFrameQC:
 
         off2, score2 = post_verify_alignment(sdr, gt_read2, 10, window=1)
         assert off2 == 1 and score2 > 0.9
+
+
+class TestGtReaderModes:
+    def _video(self, tmp_path):
+        import cv2
+
+        path = str(tmp_path / "gt.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 24, (64, 32))
+        for i in range(6):
+            w.write(np.full((32, 64, 3), 40 + i * 10, np.uint8))
+        w.release()
+        return path
+
+    def test_hdr_gt_mode_env(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.bench.gt_sync import HDRGroundTruthReader
+
+        path = self._video(tmp_path)
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_HDR_GT_MODE", "fast")
+        r = HDRGroundTruthReader(path)
+        assert not r.exact and r.decode_method == "cv2-8bit"
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_HDR_GT_MODE", "exact")
+        r2 = HDRGroundTruthReader(path)
+        assert r2.exact and r2.decode_method == "ffmpeg-rgb48le-exact"
+
+    def test_cache_mb_cap(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.bench.gt_sync import HDRGroundTruthReader
+
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_HDR_GT_MODE", "fast")
+        monkeypatch.setenv("HDRTVNET_BENCHMARK_POST_VERIFY_CACHE_MAX_MB", "1")
+        r = HDRGroundTruthReader(self._video(tmp_path))
+        # each fake entry is 1 MB; the MB cap keeps at most one (plus the
+        # newest insert before eviction rechecks)
+        mb = np.zeros((512, 1024), np.uint16)  # 1 MiB
+        for i in range(5):
+            r._cache_put({i: mb})
+        total = sum(v.nbytes for v in r._exact_cache.values())
+        assert total <= 2 * (1 << 20)

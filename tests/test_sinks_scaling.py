@@ -257,3 +257,33 @@ class TestMpvQualityKnobs:
             assert f"--demuxer-max-bytes={4 * 64 * 32 * 6}" in joined
         finally:
             sink.close()
+
+
+class TestDisableMpv:
+    def test_disable_mpv_falls_to_file_or_null(self, tmp_path, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import FileSink, NullSink, make_sink
+
+        monkeypatch.setenv("HDRTVNET_DISABLE_MPV", "1")
+        s = make_sink("mpv", 32, 32, 30.0, path=str(tmp_path / "o.rgb48"))
+        assert isinstance(s, FileSink)
+        s.close()
+        s2 = make_sink("side-by-side", 32, 32, 30.0)
+        assert isinstance(s2, NullSink)
+
+
+class TestLiveQualityArgs:
+    def test_live_interpolation_family(self, monkeypatch):
+        from hdrtv_tpu.pipeline.sinks import _quality_args
+
+        live = _quality_args(live=True)
+        assert "--interpolation=yes" in live
+        assert "--tscale=hermite" in live
+        assert any(a.startswith("--tscale-blur=1.4") for a in live)
+        assert "--video-sync=display-resample" in live
+        # file playback keeps interpolation off by default
+        assert "--interpolation=yes" not in _quality_args(live=False)
+        monkeypatch.setenv("HDRTVNET_LIVE_MPV_INTERPOLATION", "0")
+        assert "--interpolation=yes" not in _quality_args(live=True)
+        monkeypatch.setenv("HDRTVNET_LIVE_MPV_INTERPOLATION", "1")
+        monkeypatch.setenv("HDRTVNET_LIVE_MPV_TSCALE", "catmull-rom")
+        assert "--tscale=catmull_rom" in _quality_args(live=True)
