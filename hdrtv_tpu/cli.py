@@ -60,6 +60,9 @@ def _apply_prefs(args) -> None:
 def _make_processor(args):
     from hdrtv_tpu.config import PRECISIONS, processing_dims, select_model_path
     from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+    from hdrtv_tpu.utils.assets import require_assets_or_raise
+
+    require_assets_or_raise()  # HDRTVNET_REQUIRE_CLONE_ASSETS fail-fast gate
 
     model_path = args.model
     if model_path is None:
@@ -432,6 +435,25 @@ def cmd_engines(args) -> int:
         w, h = processing_dims(args.resolution)
         dt = proc.warmup_compile(w, h)
         print(f"warmed {w}x{h} in {dt:.1f}s")
+    return 0
+
+
+def cmd_assets(args) -> int:
+    """Required-asset inventory: every preset weight file, its validation
+    status, and the presets that need it (required_clone_assets.py role —
+    no downloads here; the report tells the user what to populate)."""
+    from hdrtv_tpu.utils.assets import missing_assets, required_assets
+
+    assets = required_assets()
+    for a in assets:
+        mb = a.size_bytes / (1 << 20)
+        size = f"{mb:8.1f} MB" if a.size_bytes else "      —   "
+        used = ", ".join(a.used_by[:3]) + ("…" if len(a.used_by) > 3 else "")
+        print(f"{a.status:9s} {size}  {a.path}  [{used}]")
+    missing = [a for a in assets if a.status != "ok"]
+    print(f"{len(assets) - len(missing)}/{len(assets)} present")
+    if missing and args.require:
+        return 3
     return 0
 
 
@@ -976,6 +998,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'all', or a comma list of precision presets; GT alignment "
                         "is computed once and shared across runs")
     q.set_defaults(fn=cmd_quality)
+
+    aa = sub.add_parser("assets", help="required weight files: presence + validation report")
+    aa.add_argument("--require", action="store_true",
+                    help="exit nonzero when any asset is missing/invalid")
+    aa.set_defaults(fn=cmd_assets)
 
     e = sub.add_parser("engines", help="engine cache tools")
     _add_model_args(e)

@@ -306,3 +306,51 @@ class TestSessionsCommand:
         rc = main(["sessions", "--roots", str(tmp_path / "nope")])
         assert rc == 1
         assert "no sessions" in capsys.readouterr().out
+
+
+class TestAssets:
+    def test_inventory_and_validation(self, tmp_path, monkeypatch, capsys):
+        import importlib
+
+        monkeypatch.setenv("HDRTVNET_WEIGHTS_ROOT", str(tmp_path))
+        import hdrtv_tpu.config as config
+
+        importlib.reload(config)  # weight paths re-root to tmp
+        try:
+            from hdrtv_tpu.utils.assets import missing_assets, validate_file
+
+            missing = missing_assets()
+            assert missing and all(a.status == "missing" for a in missing)
+            # validation contract: size + HTML sniff (required_clone_assets.py:194)
+            small = tmp_path / "small.pt"
+            small.write_bytes(b"x" * 10)
+            assert validate_file(str(small), min_size_bytes=1024) == "too_small"
+            html = tmp_path / "page.pt"
+            html.write_bytes(b"<!DOCTYPE html><html>err</html>" + b"\0" * 2048)
+            assert validate_file(str(html), min_size_bytes=1024) == "html_page"
+            good = tmp_path / "w.pt"
+            good.write_bytes(b"\x80\x02" + b"\0" * 2048)
+            assert validate_file(str(good), min_size_bytes=1024) == "ok"
+        finally:
+            monkeypatch.delenv("HDRTVNET_WEIGHTS_ROOT")
+            importlib.reload(config)
+
+    def test_require_gate(self, tmp_path, monkeypatch):
+        import importlib
+
+        import pytest
+
+        monkeypatch.setenv("HDRTVNET_WEIGHTS_ROOT", str(tmp_path))
+        import hdrtv_tpu.config as config
+
+        importlib.reload(config)
+        try:
+            from hdrtv_tpu.utils.assets import require_assets_or_raise
+
+            require_assets_or_raise()  # gate off → no raise
+            monkeypatch.setenv("HDRTVNET_REQUIRE_CLONE_ASSETS", "1")
+            with pytest.raises(RuntimeError, match="required weight"):
+                require_assets_or_raise()
+        finally:
+            monkeypatch.delenv("HDRTVNET_WEIGHTS_ROOT")
+            importlib.reload(config)
