@@ -457,6 +457,17 @@ def cmd_assets(args) -> int:
     return 0
 
 
+def cmd_split_sources(args) -> int:
+    """Split a composite HR+HG checkpoint into HR/HG source checkpoints
+    (scripts/quantize/split_tensorrt_sources.py role)."""
+    from hdrtv_tpu.models.import_torch import split_source_checkpoint
+
+    hr_keys, hg_keys = split_source_checkpoint(args.model, args.out_hr, args.out_hg)
+    print(f"HR: {len(hr_keys)} tensors → {args.out_hr}")
+    print(f"HG: {len(hg_keys)} tensors → {args.out_hg}")
+    return 0
+
+
 def cmd_layout(args) -> int:
     """Generate a mixed-quant layout from the stability probe
     (scripts/quantize/quantize_int8_mixed.py role)."""
@@ -998,6 +1009,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "'all', or a comma list of precision presets; GT alignment "
                         "is computed once and shared across runs")
     q.set_defaults(fn=cmd_quality)
+
+    sp = sub.add_parser("split-sources",
+                        help="split a composite HR+HG checkpoint into HR/HG source files")
+    sp.add_argument("--model", required=True, help="composite checkpoint (base.*/hg.* keys)")
+    sp.add_argument("--out-hr", required=True)
+    sp.add_argument("--out-hg", required=True)
+    sp.set_defaults(fn=cmd_split_sources)
 
     aa = sub.add_parser("assets", help="required weight files: presence + validation report")
     aa.add_argument("--require", action="store_true",

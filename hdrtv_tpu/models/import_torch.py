@@ -303,11 +303,99 @@ def load_checkpoint(
     return convert_state(state), cfg
 
 
-def save_npz(path: str, params: Mapping[str, np.ndarray]) -> None:
+def save_npz(path: str, params: Mapping[str, np.ndarray], meta: dict | None = None) -> None:
+    """Write an npz checkpoint; ``meta`` (architecture dict + quant layer
+    lists) goes into a ``<stem>.json`` sidecar so converted checkpoints keep
+    their self-description (the portable-checkpoint schema role,
+    hdrtvnet_torch.py:1102-1218)."""
+    import json
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(path, **{k: np.asarray(v) for k, v in params.items()})
+    if meta:
+        with open(_sidecar_path(path), "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True, default=str)
+
+
+def _sidecar_path(npz_path: str) -> str:
+    base = npz_path[:-4] if npz_path.endswith(".npz") else npz_path
+    return base + ".json"
 
 
 def load_npz(path: str) -> dict[str, np.ndarray]:
     with np.load(path) as z:
         return {k: z[k] for k in z.files}
+
+
+def load_npz_meta(path: str) -> dict:
+    """Sidecar metadata for an npz checkpoint ({} when absent/unreadable).
+    A flat dict of ModelConfig fields is accepted as a bare arch dict."""
+    import json
+
+    try:
+        with open(_sidecar_path(path)) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def npz_arch_dict(meta: dict) -> dict:
+    """Arch dict from sidecar meta: nested under ``architecture`` (portable
+    schema) or the whole flat dict (golden-fixture convention)."""
+    arch = meta.get("architecture")
+    if isinstance(arch, dict):
+        return arch
+    return {k: v for k, v in meta.items() if not isinstance(v, (list, dict))}
+
+
+def split_source_checkpoint(
+    path: str, out_hr: str, out_hg: str
+) -> tuple[list[str], list[str]]:
+    """Split a composite HR+HG checkpoint into HR and HG source checkpoints
+    (scripts/quantize/split_tensorrt_sources.py role).
+
+    Composite keys are ``base.*`` (Ensemble_AGCM_LE) and ``hg.*``
+    (Hallucination generator); quant-metadata layer lists filter with the
+    same prefix rules (:26-40): HR keeps non-``hg.`` entries with ``base.``
+    stripped, HG keeps ``hg.``-prefixed entries stripped. Accepts ``.pt``
+    composites and this build's ``.npz`` composites (QAT output). Outputs
+    are npz checkpoints with sidecar metadata. Returns (hr_keys, hg_keys).
+    """
+    if path.endswith(".npz"):
+        raw, meta = load_npz(path), load_npz_meta(path)
+    else:
+        raw, meta = load_torch_file(path)
+    hr_state, hg_state = {}, {}
+    for k, v in raw.items():
+        if k.startswith("hg."):
+            hg_state[k[3:]] = v
+        else:
+            hr_state[k[5:] if k.startswith("base.") else k] = v
+    if not hg_state:
+        raise ValueError(f"{path} carries no hg.* keys — not a composite checkpoint")
+
+    def _filter_list(values, *, hg: bool) -> list[str]:
+        out = []
+        for layer in values or []:
+            text = str(layer)
+            if hg:
+                if text.startswith("hg."):
+                    out.append(text[3:])
+            elif not text.startswith("hg."):
+                out.append(text[5:] if text.startswith("base.") else text)
+        return out
+
+    arch = dict(meta.get("architecture") or {})
+    common = {k: v for k, v in meta.items() if k not in ("architecture", "w8a8_layers", "fp16_layers")}
+    hr_meta = dict(common)
+    hr_meta["architecture"] = {**arch, "use_hg": False}
+    hg_meta = dict(common)
+    hg_meta["architecture"] = {k: v for k, v in arch.items() if k.startswith("hg") or k == "act_type"}
+    for key in ("w8a8_layers", "fp16_layers"):
+        if key in meta:
+            hr_meta[key] = _filter_list(meta.get(key), hg=False)
+            hg_meta[key] = _filter_list(meta.get(key), hg=True)
+    save_npz(out_hr, hr_state, hr_meta)
+    save_npz(out_hg, hg_state, hg_meta)
+    return sorted(hr_state), sorted(hg_state)

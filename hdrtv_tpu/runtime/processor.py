@@ -92,8 +92,14 @@ class HDRTVNetTPU:
             engine_mod.enable_persistent_cache()
 
         if model_path.endswith(".npz"):
+            from hdrtv_tpu.models.import_torch import load_npz_meta, npz_arch_dict
+
             params = load_npz(model_path)
-            cfg = ModelConfig.from_arch_dict({}, use_hg=bool(use_hg), **(cfg_overrides or {}))
+            # sidecar <stem>.json keeps converted checkpoints self-describing
+            arch = npz_arch_dict(load_npz_meta(model_path))
+            if use_hg is None:
+                use_hg = bool(arch.get("use_hg", False))
+            cfg = ModelConfig.from_arch_dict(arch, use_hg=bool(use_hg), **(cfg_overrides or {}))
         else:
             params, cfg = load_checkpoint(
                 model_path, hg_path=hg_path, use_hg=use_hg, **(cfg_overrides or {})

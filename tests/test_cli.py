@@ -354,3 +354,62 @@ class TestAssets:
         finally:
             monkeypatch.delenv("HDRTVNET_WEIGHTS_ROOT")
             importlib.reload(config)
+
+
+class TestSplitSources:
+    def test_split_composite(self, tmp_path):
+        import torch
+
+        from hdrtv_tpu.models.import_torch import load_npz, load_npz_meta, split_source_checkpoint
+
+        state = {
+            "base.AGCM.HRconv.weight": torch.zeros(4, 3, 1, 1),
+            "base.LE.conv_first.weight": torch.ones(8, 3, 3, 3),
+            "hg.conv1.0.weight": torch.full((8, 4, 3, 3), 2.0),
+            "hg.low_out.weight": torch.zeros(3, 8, 1, 1),
+        }
+        ckpt = {
+            "state_dict": state,
+            "architecture": {"use_hg": True, "nf": 32, "hg_nf": 64, "act_type": "relu"},
+            "w8a8_layers": ["base.LE.conv_first", "hg.conv1.0"],
+            "fp16_layers": ["base.AGCM.HRconv", "hg.low_out"],
+        }
+        src = tmp_path / "composite.pt"
+        torch.save(ckpt, str(src))
+        hr_out, hg_out = str(tmp_path / "hr.npz"), str(tmp_path / "hg.npz")
+        hr_keys, hg_keys = split_source_checkpoint(str(src), hr_out, hg_out)
+        assert hr_keys == ["AGCM.HRconv.weight", "LE.conv_first.weight"]
+        assert hg_keys == ["conv1.0.weight", "low_out.weight"]
+        # prefix-filtered quant metadata (split_tensorrt_sources.py:26-40)
+        hr_meta, hg_meta = load_npz_meta(hr_out), load_npz_meta(hg_out)
+        assert hr_meta["w8a8_layers"] == ["LE.conv_first"]
+        assert hr_meta["fp16_layers"] == ["AGCM.HRconv"]
+        assert hg_meta["w8a8_layers"] == ["conv1.0"]
+        assert hr_meta["architecture"]["use_hg"] is False
+        # tensors survive the round trip
+        hr = load_npz(hr_out)
+        assert hr["LE.conv_first.weight"].sum() == 8 * 3 * 3 * 3
+
+    def test_non_composite_rejected(self, tmp_path):
+        import pytest
+        import torch
+
+        from hdrtv_tpu.models.import_torch import split_source_checkpoint
+
+        torch.save({"state_dict": {"LE.w": torch.zeros(1)}}, str(tmp_path / "hr.pt"))
+        with pytest.raises(ValueError, match="no hg"):
+            split_source_checkpoint(str(tmp_path / "hr.pt"), str(tmp_path / "a.npz"), str(tmp_path / "b.npz"))
+
+    def test_npz_sidecar_arch_roundtrip(self, tmp_path):
+        from hdrtv_tpu.models.import_torch import (
+            load_npz_meta, npz_arch_dict, save_npz,
+        )
+        import numpy as np
+
+        p = str(tmp_path / "m.npz")
+        save_npz(p, {"w": np.zeros(3)}, {"architecture": {"nf": 16, "le_arch": "sft_lite"}})
+        arch = npz_arch_dict(load_npz_meta(p))
+        assert arch == {"nf": 16, "le_arch": "sft_lite"}
+        # flat golden-fixture sidecars read as a bare arch dict
+        save_npz(p, {"w": np.zeros(3)}, {"nf": 8, "use_hg": False})
+        assert npz_arch_dict(load_npz_meta(p))["nf"] == 8
