@@ -457,6 +457,28 @@ def cmd_assets(args) -> int:
     return 0
 
 
+def cmd_presets(args) -> int:
+    """Precision-preset table with availability — the GUI precision
+    dropdown's data (gui_config.py:19-160 + :260-278 availability)."""
+    from hdrtv_tpu.config import (
+        PRECISIONS, RESOLUTION_SCALES, DEFAULT_PRECISION_KEY, precision_is_available,
+    )
+
+    from hdrtv_tpu.config import show_fp8
+
+    for key, p in PRECISIONS.items():
+        mark = "*" if key == DEFAULT_PRECISION_KEY else " "
+        if p.requires_fp8 and not show_fp8():
+            state = "hidden (HDRTVNET_SHOW_FP8=0)"
+        elif precision_is_available(key):
+            state = "available"
+        else:
+            state = "weights missing"
+        print(f"{mark} {key:28s} {p.precision:12s} {state}")
+    print(f"resolutions: {', '.join(RESOLUTION_SCALES)}   (* = default preset)")
+    return 0
+
+
 def cmd_split_sources(args) -> int:
     """Split a composite HR+HG checkpoint into HR/HG source checkpoints
     (scripts/quantize/split_tensorrt_sources.py role)."""
@@ -1009,6 +1031,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "'all', or a comma list of precision presets; GT alignment "
                         "is computed once and shared across runs")
     q.set_defaults(fn=cmd_quality)
+
+    pr = sub.add_parser("presets", help="precision presets with availability")
+    pr.set_defaults(fn=cmd_presets)
 
     sp = sub.add_parser("split-sources",
                         help="split a composite HR+HG checkpoint into HR/HG source files")

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import os
 
-from hdrtv_tpu.utils.env import env_int, env_str
+from hdrtv_tpu.utils.env import env_bool, env_int, env_str
 
 
 def weights_root() -> str:
@@ -134,6 +134,31 @@ def select_model_path(precision_key: str, use_hg: bool) -> str:
 def select_hg_weights_path(precision_key: str) -> str | None:
     cfg = PRECISIONS.get(precision_key)
     return cfg.hg_weights if cfg else None
+
+
+def show_fp8() -> bool:
+    """FP8 preset visibility (HDRTVNET_SHOW_FP8). The reference hides FP8
+    behind the flag + an RTX 40/50 check (gui_config.py:255-262); here FP8
+    executes everywhere via e4m3 weight emulation, so the default is ON and
+    the flag only hides the rows."""
+    return env_bool("HDRTVNET_SHOW_FP8", True)
+
+
+def precision_is_available(precision_key: str) -> bool:
+    """Preset availability: FP8 visibility gate + at least one weight file
+    present (gui_config.py:260-278 `_precision_is_available`)."""
+    cfg = PRECISIONS.get(precision_key)
+    if cfg is None:
+        return False
+    if cfg.requires_fp8 and not show_fp8():
+        return False
+    return any(
+        p and os.path.isfile(p) for p in (cfg.model, cfg.model_nohg)
+    )
+
+
+def available_precisions() -> list[str]:
+    return [k for k in PRECISIONS if precision_is_available(k)]
 
 
 # Host-pipeline knobs (names preserved from gui_config.py:380-400).

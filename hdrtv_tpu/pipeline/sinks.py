@@ -221,11 +221,20 @@ class MpvPipeSink:
         self.frames = 0
 
     def _spawn(self, args: list[str]) -> subprocess.Popen:
+        from hdrtv_tpu.utils.env import env_bool
+
+        # HDRTVNET_MPV_DIAG keeps mpv's own output for debugging instead of
+        # discarding it (cli_display.py:149, gui_benchmark.py:169)
+        if env_bool("HDRTVNET_MPV_DIAG", False):
+            log = open(os.path.join(self._dir, "mpv.log"), "ab")
+            out = err = log
+        else:
+            out = err = subprocess.DEVNULL
         return subprocess.Popen(
             ["mpv", *args, self.fifo],
             stdin=subprocess.DEVNULL,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+            stdout=out,
+            stderr=err,
         )
 
     def _open_fifo(self, timeout: float = 10.0):

@@ -413,3 +413,17 @@ class TestSplitSources:
         # flat golden-fixture sidecars read as a bare arch dict
         save_npz(p, {"w": np.zeros(3)}, {"nf": 8, "use_hg": False})
         assert npz_arch_dict(load_npz_meta(p))["nf"] == 8
+
+
+class TestPresets:
+    def test_availability_and_fp8_gate(self, monkeypatch, capsys):
+        from hdrtv_tpu.cli import main
+
+        assert main(["presets"]) == 0
+        out = capsys.readouterr().out
+        assert "FP16" in out and "available" in out
+        monkeypatch.setenv("HDRTVNET_SHOW_FP8", "0")
+        from hdrtv_tpu.config import available_precisions, precision_is_available
+
+        assert not precision_is_available("FP8 Mixed (QAT)")
+        assert "FP16" in available_precisions()
