@@ -111,6 +111,12 @@ class HDRGroundTruthReader:
             if u16 is not None:
                 return u16.astype(np.float32) / 65535.0
             return None
+        return self.read_unit_rgb_fast(frame_idx)
+
+    def read_unit_rgb_fast(self, frame_idx: int) -> np.ndarray | None:
+        """cv2 decode regardless of the exact mode — the benchmark's fast
+        first-pass read whose output post-verify compares against the exact
+        decode (gui_benchmark.py fast/strict GT split)."""
         cv2 = self._cv2
         if frame_idx != self._pos:
             self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)

@@ -117,6 +117,7 @@ class FrameResult:
     delta_e_itp_gn: float
     gt_alignment_offset_frames: int = 0
     gt_alignment_score: float = 0.0
+    verify_reasons: tuple = ()
 
 
 def evaluate_pair(
@@ -142,6 +143,20 @@ def evaluate_pair(
         gt = np.asarray(resize_area(jnp.asarray(gt[None]), nh, nw))[0]
     m = full_reference_metrics(jnp.asarray(pred), jnp.asarray(gt), peak_nits=peak_nits)
     return {k: float(v) for k, v in m.items()}
+
+
+def _structure_similarity(a_rgb01: np.ndarray, b_rgb01: np.ndarray) -> float:
+    """Normalized luminance cross-correlation between two decodes of the
+    same nominal frame — the `_frame_structure_similarity` role
+    (gui_benchmark.py GT_DIFF_SCORE gate input): 1.0 = same structure."""
+    a = a_rgb01.mean(axis=-1).astype(np.float64)
+    b = b_rgb01.mean(axis=-1).astype(np.float64)
+    a -= a.mean()
+    b -= b.mean()
+    denom = float(np.sqrt((a * a).sum() * (b * b).sum()))
+    if denom <= 1e-12:
+        return 1.0  # both flat → structurally identical
+    return float((a * b).sum() / denom)
 
 
 def _alignment_score(sdr_rgb01: np.ndarray, gt_rgb01: np.ndarray) -> float:
@@ -212,7 +227,7 @@ def run_quality_benchmark(
     ``hdr_gt.tiff`` / ``hdr_convert.tiff`` (:2128-2309).
     """
     from hdrtv_tpu.bench import hdr_io
-    from hdrtv_tpu.utils.env import env_bool, env_int
+    from hdrtv_tpu.utils.env import env_bool, env_float, env_int
 
     # reference benchmark env family (README.md:271-317 benchmark section)
     if post_verify is None:
@@ -269,6 +284,26 @@ def run_quality_benchmark(
         gt = gt_read(gt_idx + offset)
         if gt is None:
             continue
+        # Post-verify replace reasons (gui_benchmark.py:2570-2640): a nonzero
+        # local offset, and — when a fast decode exists alongside the exact
+        # one — the fast/strict GT divergence gates (structure similarity
+        # below GT_DIFF_SCORE; mean |Δ| above GT_DIFF_MEAN). Recorded per
+        # row so sessions expose *why* exact verification mattered.
+        reasons: list[str] = []
+        if offset:
+            reasons.append(f"local GT alignment {offset:+d} frame(s)")
+        fast_fn = getattr(gt_reader, "read_unit_rgb_fast", None)
+        if post_verify and fast_fn is not None and str(gt_decode).startswith("ffmpeg"):
+            fast_gt = fast_fn(gt_idx + offset)
+            if fast_gt is not None and fast_gt.shape == gt.shape:
+                sim = _structure_similarity(fast_gt, gt)
+                mean_abs = float(np.abs(fast_gt - gt).mean())
+                if sim < env_float("HDRTVNET_BENCHMARK_AUTO_POST_VERIFY_GT_DIFF_SCORE",
+                                   0.985, lo=0.0, hi=1.0):
+                    reasons.append(f"GT frame changed (similarity {sim:.4f})")
+                if mean_abs >= env_float("HDRTVNET_BENCHMARK_AUTO_POST_VERIFY_GT_DIFF_MEAN",
+                                         0.0025, lo=0.0):
+                    reasons.append(f"GT pixel delta {mean_abs:.4f}")
         out_rgb48 = processor.process_rgb48(frame_bgr)
         pred01 = out_rgb48.astype(np.float32) / 65535.0
         m = evaluate_pair(pred01, gt, peak_nits=cfg.peak_nits)
@@ -283,6 +318,7 @@ def run_quality_benchmark(
                 delta_e_itp_gn=round(m["delta_e_itp_gn"], 4),
                 gt_alignment_offset_frames=offset,
                 gt_alignment_score=round(score, 5),
+                verify_reasons=tuple(reasons),
             )
         )
         if save_artifacts:
@@ -312,11 +348,13 @@ def run_quality_benchmark(
         wr.writerow([
             "frame", "gt_frame", "psnr", "ssim", "delta_e_itp", "psnr_gn",
             "delta_e_itp_gn", "gt_alignment_offset_frames", "gt_alignment_score",
+            "verify_reasons",
         ])
         for r in results:
             wr.writerow([
                 r.frame, r.gt_frame, r.psnr, r.ssim, r.delta_e_itp, r.psnr_gn,
                 r.delta_e_itp_gn, r.gt_alignment_offset_frames, r.gt_alignment_score,
+                "; ".join(r.verify_reasons),
             ])
     summary["session_dir"] = session_dir
     return summary

@@ -733,3 +733,48 @@ class TestGtReaderModes:
             r._cache_put({i: mb})
         total = sum(v.nbytes for v in r._exact_cache.values())
         assert total <= 2 * (1 << 20)
+
+
+class TestPostVerifyGates:
+    def test_structure_similarity(self):
+        from hdrtv_tpu.bench.quality import _structure_similarity
+
+        rng = np.random.RandomState(0)
+        a = rng.rand(32, 48, 3).astype(np.float32)
+        assert _structure_similarity(a, a) > 0.9999
+        # 8-bit-quantized copy of the same frame stays structurally identical
+        q = (a * 255).astype(np.uint8).astype(np.float32) / 255.0
+        assert _structure_similarity(a, q) > 0.999
+        # a different frame scores well below the 0.985 gate
+        b = rng.rand(32, 48, 3).astype(np.float32)
+        assert _structure_similarity(a, b) < 0.5
+
+    def test_verify_reasons_recorded(self, tmp_path):
+        from hdrtv_tpu.bench.quality import QualityRunConfig, run_quality_benchmark
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        class Reader:
+            decode_method = "ffmpeg-rgb48le-exact"
+
+            def __init__(self):
+                self.rng = np.random.RandomState(3)
+
+            def read_unit_rgb(self, idx):
+                s = SyntheticSource(96, 64, fps=30, frames=200)
+                s.seek(idx)
+                m = s.read_with_meta()
+                return None if m is None else m[0].astype(np.float32) / 255.0
+
+            def read_unit_rgb_fast(self, idx):
+                # fast decode returns a DIFFERENT frame → gates must fire
+                return self.rng.rand(64, 96, 3).astype(np.float32)
+
+        src = SyntheticSource(96, 64, fps=30, frames=200)
+        summary = run_quality_benchmark(
+            QualityRunConfig(frame_count=2), FakeProcessor(), src, Reader(),
+            str(tmp_path), source_name="synthetic", save_artifacts=False,
+        )
+        rows = summary["frames"]
+        assert rows
+        joined = "; ".join("; ".join(r["verify_reasons"]) for r in rows)
+        assert "GT frame changed" in joined or "GT pixel delta" in joined
