@@ -118,9 +118,11 @@ def cmd_convert(args) -> int:
                       "(use --hdr-input bypass to pass it through)")
                 return 2
             bypass = True
-        src = VideoSource(args.video)
+        src = VideoSource(args.video, prefetch=max(0, args.prefetch))
     else:
         src = SyntheticSource(w, h, fps=30, frames=args.frames or 300)
+    if getattr(args, "start_frame", None):
+        src.seek(max(0, int(args.start_frame)))  # gui_app_entry.py --start-frame
     if bypass:
         class _Bypass:
             def __init__(self, p):
@@ -188,6 +190,7 @@ def cmd_convert(args) -> int:
         src, proc, sink, realtime=not args.no_realtime, max_frames=args.frames,
         on_metrics=None,  # set below (may fan out to shell + audio)
         processor_factory=_factory,
+        target_fps=(args.target_fps or None),
     )
     if interactive:
         controller = ShellController(
@@ -976,6 +979,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output", default=None)
     c.add_argument("--frames", type=int, default=None)
     c.add_argument("--no-realtime", action="store_true")
+    c.add_argument("--prefetch", type=int, default=4,
+                   help="reader prefetch queue size, 0 disables (main.py --prefetch)")
+    c.add_argument("--start-frame", type=int, default=None,
+                   help="initial frame index to seek to (gui_app_entry.py --start-frame)")
+    c.add_argument("--target-fps", type=float, default=0.0,
+                   help="pacing FPS override; 0 = source rate (main.py --target-fps)")
     c.add_argument("--log-session", default=None, help="write a Log Session dir (summary/json/csv)")
     c.add_argument("--hdr-input", default="reject", choices=["reject", "bypass"])
     c.add_argument("--audio", action="store_true", help="attach source audio (mpv, auto-mute on slow FPS)")

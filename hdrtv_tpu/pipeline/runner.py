@@ -108,6 +108,7 @@ class PipelineRunner:
         max_frames: int | None = None,
         processor_factory=None,
         on_metrics=None,
+        target_fps: float | None = None,
     ):
         self.source = source
         self.processor = processor
@@ -125,7 +126,8 @@ class PipelineRunner:
         from hdrtv_tpu.utils.profiling import StageTimers
 
         self.timers = StageTimers()
-        self.clock = PresentationClock(getattr(source, "fps", 30.0))
+        # --target-fps overrides the source rate for pacing (main.py:162)
+        self.clock = PresentationClock(target_fps or getattr(source, "fps", 30.0))
         self.metrics = RuntimeMetrics()
         self._stamps: list[float] = []
         self._stop = threading.Event()

@@ -83,6 +83,25 @@ class TestCommands:
         assert rc == 0
         assert "frames=2" in capsys.readouterr().out
 
+    def test_convert_start_frame_and_target_fps(self, capsys, tmp_path):
+        # --start-frame seeks before the run; --target-fps overrides pacing
+        # (main.py --target-fps, gui_app_entry.py --start-frame)
+        import cv2
+        import numpy as np
+
+        clip = str(tmp_path / "clip.avi")
+        wr = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"MJPG"), 24, (96, 64))
+        for i in range(12):
+            wr.write(np.full((64, 96, 3), 20 * (i % 12), np.uint8))
+        wr.release()
+        rc = main([
+            "convert", "--model", WEIGHTS, "--video", clip, "--display", "null",
+            "--resolution", "540p", "--frames", "2", "--no-realtime",
+            "--start-frame", "5", "--target-fps", "120", "--prefetch", "0",
+        ])
+        assert rc == 0
+        assert "frames=2" in capsys.readouterr().out
+
     def test_live_synthetic_null_sink(self, capsys):
         rc = main([
             "live", "--model", WEIGHTS, "--capture", "synthetic", "--display", "null",
