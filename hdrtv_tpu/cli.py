@@ -191,7 +191,25 @@ def cmd_convert(args) -> int:
         on_metrics=None,  # set below (may fan out to shell + audio)
         processor_factory=_factory,
         target_fps=(args.target_fps or None),
+        warmup_frames=max(0, getattr(args, "warmup", 0) or 0),
     )
+    interval = max(0, getattr(args, "timing_interval", 0) or 0)
+    if interval:
+        # periodic `[timing]` reports every N frames (main.py --timing-interval)
+        prev_cb = shell_metrics
+        state = {"next": interval}
+
+        def _timing_cb(snap, _prev=prev_cb, _r=runner, _s=state):
+            if _prev is not None:
+                _prev(snap)
+            if snap.frames >= _s["next"]:
+                _s["next"] = snap.frames + interval
+                print(_r.timers.timing_line(
+                    snap.frames, snap.fps, snap.fps_1pct_low,
+                    target_fps=args.target_fps or 0.0, late_frames=snap.dropped,
+                ), flush=True)
+
+        shell_metrics = _timing_cb
     if interactive:
         controller = ShellController(
             runner, src, audio=audio,
@@ -985,6 +1003,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initial frame index to seek to (gui_app_entry.py --start-frame)")
     c.add_argument("--target-fps", type=float, default=0.0,
                    help="pacing FPS override; 0 = source rate (main.py --target-fps)")
+    c.add_argument("--warmup", type=int, default=0,
+                   help="frames excluded from final timing stats (main.py --warmup)")
+    c.add_argument("--timing-interval", type=int, default=0,
+                   help="print a [timing] report every N frames; 0 = off (main.py --timing-interval)")
     c.add_argument("--log-session", default=None, help="write a Log Session dir (summary/json/csv)")
     c.add_argument("--hdr-input", default="reject", choices=["reject", "bypass"])
     c.add_argument("--audio", action="store_true", help="attach source audio (mpv, auto-mute on slow FPS)")

@@ -109,6 +109,7 @@ class PipelineRunner:
         processor_factory=None,
         on_metrics=None,
         target_fps: float | None = None,
+        warmup_frames: int = 0,
     ):
         self.source = source
         self.processor = processor
@@ -128,6 +129,8 @@ class PipelineRunner:
         self.timers = StageTimers()
         # --target-fps overrides the source rate for pacing (main.py:162)
         self.clock = PresentationClock(target_fps or getattr(source, "fps", 30.0))
+        # frames excluded from the final timing stats (main.py --warmup)
+        self.warmup_frames = max(0, int(warmup_frames))
         self.metrics = RuntimeMetrics()
         self._stamps: list[float] = []
         self._stop = threading.Event()
@@ -298,6 +301,7 @@ class PipelineRunner:
                     self._last_emit = now
                     snap = RuntimeMetrics(
                         fps=trimmed_mean_fps(self._stamps[-60:]),
+                        fps_1pct_low=one_percent_low_fps(self._stamps[-120:]),
                         frames=processed,
                         dropped=self.metrics.dropped,
                     )
@@ -310,8 +314,9 @@ class PipelineRunner:
         self.metrics.device_mem_mb = _device_memory_mb()
         self.metrics.host_rss_mb = _host_rss_mb()
         self.metrics.frames = processed
-        self.metrics.fps = trimmed_mean_fps(self._stamps)
-        self.metrics.fps_1pct_low = one_percent_low_fps(self._stamps)
+        stats_stamps = self._stamps[self.warmup_frames:] if len(self._stamps) > self.warmup_frames else self._stamps
+        self.metrics.fps = trimmed_mean_fps(stats_stamps)
+        self.metrics.fps_1pct_low = one_percent_low_fps(stats_stamps)
         self.metrics.model_ms = float(np.mean(model_ms)) if model_ms else 0.0
         self.metrics.ring_ms = float(np.mean(ring_ms)) if ring_ms else 0.0
         if wall > 0 and processed:

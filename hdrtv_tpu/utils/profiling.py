@@ -70,6 +70,24 @@ class StageTimers:
     def as_dict(self) -> dict:
         return {name: dataclasses.asdict(self.stats(name)) for name in self._samples}
 
+    def timing_line(
+        self, frames: int, fps: float, fps_1p_low: float,
+        *, target_fps: float = 0.0, late_frames: int = 0,
+    ) -> str:
+        """One-line periodic `[timing]` report — the reference CLI's
+        interval report format (main.py:282-331 build_timing_report)."""
+        parts = [f"[timing] frames={frames}"]
+        for name in self._samples:
+            st = self.stats(name)
+            if st is not None:
+                parts.append(f"{name}={st.mean_ms:.2f}ms")
+        parts.append(f"fps={fps:.2f}")
+        parts.append(f"fps_1p_low={fps_1p_low:.2f}")
+        if target_fps > 0 and frames > 0:
+            late_pct = 100.0 * late_frames / frames
+            parts.append(f"target={target_fps:.2f} late={late_frames}/{frames}({late_pct:.1f}%)")
+        return " ".join(parts)
+
 
 @contextlib.contextmanager
 def device_trace(log_dir: str):

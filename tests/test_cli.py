@@ -446,3 +446,16 @@ class TestPresets:
 
         assert not precision_is_available("FP8 Mixed (QAT)")
         assert "FP16" in available_precisions()
+
+
+class TestTimingInterval:
+    def test_periodic_timing_reports(self, capsys):
+        rc = main([
+            "convert", "--model", WEIGHTS, "--display", "null",
+            "--resolution", "540p", "--frames", "8", "--no-realtime",
+            "--timing-interval", "3", "--warmup", "2",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "[timing] frames=" in out
+        assert "fps_1p_low=" in out
