@@ -163,18 +163,24 @@ def live_audio_delay_target_ms(
 
 
 class AudioAttachment:
-    """Binds the policy to a gain callback (e.g. an mpv --volume setter)."""
+    """Binds the policy to a gain callback (e.g. an mpv --volume setter).
+
+    A failed application (callback returns False — e.g. the mpv IPC socket
+    is not up yet) is retried on the next metrics tick instead of silently
+    leaving the device at a stale volume."""
 
     def __init__(self, policy: AutoMutePolicy, set_gain: Callable[[float], None] | None = None):
         self.policy = policy
         self.set_gain = set_gain or (lambda g: None)
         self.gain = 1.0
+        self._applied = True
 
     def on_metrics(self, fps: float) -> float:
         g = self.policy.update(fps)
-        if g != self.gain:
+        if g != self.gain or not self._applied:
             self.gain = g
-            self.set_gain(g)
+            ok = self.set_gain(g)
+            self._applied = ok is not False  # None (no status) counts as ok
         return g
 
 
@@ -222,8 +228,18 @@ class AudioPlayer:
                     if self.proc.poll() is not None or time.monotonic() > deadline:
                         return False
                     time.sleep(0.02)
-                self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-                self._sock.connect(self.ipc_path)
+                sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                while True:
+                    try:
+                        sock.connect(self.ipc_path)
+                        break
+                    except (ConnectionRefusedError, FileNotFoundError):
+                        # socket path exists before mpv listens — retry briefly
+                        if self.proc.poll() is not None or time.monotonic() > deadline:
+                            sock.close()
+                            return False
+                        time.sleep(0.02)
+                self._sock = sock
             self._sock.sendall((json.dumps({"command": command}) + "\n").encode())
             return True
         except OSError:
