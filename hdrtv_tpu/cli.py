@@ -294,7 +294,40 @@ def cmd_convert(args) -> int:
 def cmd_bench(args) -> int:
     import contextlib
 
-    from hdrtv_tpu.bench.playback import PlaybackRunConfig, run_playback_benchmark
+    from hdrtv_tpu.bench.playback import PlaybackRunConfig, run_batch, run_playback_benchmark
+
+    if getattr(args, "resolutions", None) or getattr(args, "runs", None):
+        # batch matrix: resolutions × precision presets, one session dir per
+        # run + batch.csv (cli_playback_benchmark.py:1295-1308 --resolutions
+        # / --runs recipes, README.md:768-777 one-liners)
+        import copy
+
+        resolutions = args.resolutions or [args.resolution]
+        runs = args.runs or [args.precision]
+        cfgs = [
+            PlaybackRunConfig(
+                video=args.video, precision_key=pk, resolution_key=rk,
+                use_hg=args.use_hg, realtime=not args.no_realtime,
+                duration_s=args.duration,
+            )
+            for rk in resolutions for pk in runs
+        ]
+
+        def make_proc(cfg):
+            a = copy.copy(args)
+            a.precision, a.resolution = cfg.precision_key, cfg.resolution_key
+            if args.model is None:
+                a.model = None  # resolve per preset from the table
+            return _make_processor(a)
+
+        root = args.out or os.path.join("logs", "playback_sessions", "batch")
+        results = run_batch(cfgs, make_proc, root)
+        for r in results:
+            c = r.config
+            print(f"{c['resolution_key']:6s} {c['precision_key']:24s} "
+                  f"fps={r.fps:7.2f} 1%low={r.fps_1pct_low:7.2f} model={r.model_ms:.2f}ms")
+        print(f"batch CSV: {os.path.join(root, 'batch.csv')}")
+        return 0
 
     proc = _make_processor(args)
     cfg = PlaybackRunConfig(
@@ -1047,6 +1080,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--no-realtime", action="store_true")
     b.add_argument("--out", default=None)
     b.add_argument("--trace", default=None, help="write a jax.profiler device trace to this dir")
+    b.add_argument("--resolutions", nargs="+", default=None,
+                   choices=["540p", "720p", "1080p", "4K"],
+                   help="batch matrix: run every resolution × --runs preset")
+    b.add_argument("--runs", nargs="+", default=None, metavar="PRESET",
+                   help="batch matrix: precision preset keys (config.PRECISIONS)")
     b.set_defaults(fn=cmd_bench)
 
     q = sub.add_parser("quality", help="model quality benchmark")

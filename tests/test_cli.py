@@ -459,3 +459,21 @@ class TestTimingInterval:
         out = capsys.readouterr().out
         assert "[timing] frames=" in out
         assert "fps_1p_low=" in out
+
+
+class TestBenchMatrix:
+    def test_batch_matrix(self, tmp_path, capsys):
+        rc = main([
+            "bench", "--model", WEIGHTS, "--duration", "0.3", "--no-realtime",
+            "--resolutions", "540p", "--runs", "FP16", "FP32",
+            "--out", str(tmp_path / "batch"),
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "batch CSV" in out and "FP32" in out
+        import csv as _csv
+
+        with open(tmp_path / "batch" / "batch.csv") as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 2
+        assert {r["precision"] for r in rows} == {"FP16", "FP32"}
