@@ -30,6 +30,33 @@ class PlaybackRunConfig:
     duration_s: float = 30.0
     warmup_frames: int = 8
     sink: str = "null"
+    # loop the source at EOF so short clips sustain the full duration
+    # (cli_playback_benchmark.py --loop-source)
+    loop_source: bool = False
+    # measure for true wall-clock duration instead of duration_s × fps
+    # frames (cli_playback_benchmark.py --wall-clock)
+    wall_clock: bool = False
+    # periodic runtime sample cadence in frames (— --sample-interval)
+    sample_interval: int = 120
+
+
+class LoopingSource:
+    """EOF-looping wrapper over a source (the --loop-source behavior)."""
+
+    def __init__(self, source):
+        self._src = source
+        self.loops = 0
+
+    def __getattr__(self, name):
+        return getattr(self._src, name)
+
+    def read_with_meta(self, *a, **k):
+        meta = self._src.read_with_meta(*a, **k)
+        if meta is None:
+            self.loops += 1
+            self._src.seek(0)
+            meta = self._src.read_with_meta(*a, **k)
+        return meta
 
 
 @dataclasses.dataclass
@@ -44,6 +71,7 @@ class PlaybackResult:
     artifact_mb: float
     wall_s: float
     ring_ms: float = 0.0  # submit→fetched latency incl. queue residency
+    samples: list = dataclasses.field(default_factory=list)  # periodic runtime rows
 
 
 def run_playback_benchmark(cfg: PlaybackRunConfig, processor, out_dir: str | None = None) -> PlaybackResult:
@@ -55,7 +83,10 @@ def run_playback_benchmark(cfg: PlaybackRunConfig, processor, out_dir: str | Non
         fps = source.fps
     else:
         fps = 30.0
-        source = SyntheticSource(w, h, fps=fps, frames=int(cfg.duration_s * fps) + cfg.warmup_frames)
+        frames = int(cfg.duration_s * fps) + cfg.warmup_frames
+        source = SyntheticSource(w, h, fps=fps, frames=(1 << 30) if cfg.wall_clock else frames)
+    if cfg.loop_source:
+        source = LoopingSource(source)
 
     sink = make_sink(cfg.sink, w, h, fps)
     # Warmup (compile) outside the timed window.
@@ -68,11 +99,44 @@ def run_playback_benchmark(cfg: PlaybackRunConfig, processor, out_dir: str | Non
 
         processor.process_rgb48_device(jnp.asarray(meta[0]))
 
-    max_frames = int(cfg.duration_s * fps)
-    runner = PipelineRunner(source, processor, sink, realtime=cfg.realtime, max_frames=max_frames)
+    # periodic runtime samples (the Log Session sample CSV,
+    # gui_playback_logging.py:276-338)
+    samples: list[dict] = []
+    t0 = time.monotonic()
+    state = {"next": max(1, int(cfg.sample_interval))}
+
+    def on_metrics(snap):
+        if snap.frames >= state["next"]:
+            state["next"] = snap.frames + max(1, int(cfg.sample_interval))
+            samples.append({
+                "elapsed_s": round(time.monotonic() - t0, 3),
+                "fps": round(snap.fps, 2),
+                "fps_1pct_low": round(snap.fps_1pct_low, 2),
+                "frame": snap.frames,
+                "dropped": snap.dropped,
+                "precision": cfg.precision_key,
+                "proc_res": f"{w}x{h}",
+            })
+
+    max_frames = None if cfg.wall_clock else int(cfg.duration_s * fps)
+    runner = PipelineRunner(
+        source, processor, sink, realtime=cfg.realtime, max_frames=max_frames,
+        on_metrics=on_metrics,
+    )
+    stop_timer = None
+    if cfg.wall_clock:
+        # true wall-clock window: stop the runner after duration_s
+        # (cli_playback_benchmark.py --wall-clock)
+        import threading
+
+        stop_timer = threading.Timer(cfg.duration_s, runner.stop)
+        stop_timer.daemon = True
+        stop_timer.start()
     t0 = time.monotonic()
     metrics = runner.run()
     wall = time.monotonic() - t0
+    if stop_timer is not None:
+        stop_timer.cancel()
     source.close()
     sink.close()
 
@@ -92,6 +156,7 @@ def run_playback_benchmark(cfg: PlaybackRunConfig, processor, out_dir: str | Non
         artifact_mb=round(artifact_mb, 2),
         wall_s=round(wall, 2),
         ring_ms=round(metrics.ring_ms, 2),
+        samples=samples,
     )
     if out_dir:
         write_session(out_dir, result)
@@ -112,11 +177,19 @@ def write_session(out_dir: str, result: PlaybackResult) -> None:
             f"artifact_mb={result.artifact_mb}\n"
         )
     with open(os.path.join(out_dir, "runtime_metrics.csv"), "w", newline="") as f:
-        wr = csv.writer(f)
-        wr.writerow(["fps", "fps_1pct_low", "model_ms", "frames", "dropped", "realtime_factor"])
-        wr.writerow(
-            [result.fps, result.fps_1pct_low, result.model_ms, result.frames, result.dropped, result.realtime_factor]
-        )
+        if result.samples:
+            # periodic sample rows (the reference's runtime sample CSV,
+            # gui_playback_logging.py:276-338 schema subset)
+            wr = csv.DictWriter(f, fieldnames=list(result.samples[0]))
+            wr.writeheader()
+            for s in result.samples:
+                wr.writerow(s)
+        else:
+            wr = csv.writer(f)
+            wr.writerow(["fps", "fps_1pct_low", "model_ms", "frames", "dropped", "realtime_factor"])
+            wr.writerow(
+                [result.fps, result.fps_1pct_low, result.model_ms, result.frames, result.dropped, result.realtime_factor]
+            )
 
 
 def run_batch(configs: list[PlaybackRunConfig], make_processor, root_dir: str) -> list[PlaybackResult]:

@@ -309,6 +309,9 @@ def cmd_bench(args) -> int:
                 video=args.video, precision_key=pk, resolution_key=rk,
                 use_hg=args.use_hg, realtime=not args.no_realtime,
                 duration_s=args.duration,
+                loop_source=bool(getattr(args, "loop_source", False)),
+                wall_clock=bool(getattr(args, "wall_clock", False)),
+                sample_interval=max(1, getattr(args, "sample_interval", 120)),
             )
             for rk in resolutions for pk in runs
         ]
@@ -337,6 +340,9 @@ def cmd_bench(args) -> int:
         use_hg=args.use_hg,
         realtime=not args.no_realtime,
         duration_s=args.duration,
+        loop_source=bool(getattr(args, "loop_source", False)),
+        wall_clock=bool(getattr(args, "wall_clock", False)),
+        sample_interval=max(1, getattr(args, "sample_interval", 120)),
     )
     out_dir = args.out or os.path.join("logs", "playback_sessions", "cli")
     trace_cm = contextlib.nullcontext()
@@ -1080,6 +1086,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--no-realtime", action="store_true")
     b.add_argument("--out", default=None)
     b.add_argument("--trace", default=None, help="write a jax.profiler device trace to this dir")
+    b.add_argument("--loop-source", action="store_true",
+                   help="loop the video at EOF so short clips sustain the duration")
+    b.add_argument("--wall-clock", action="store_true",
+                   help="measure for true wall-clock duration instead of duration×fps frames")
+    b.add_argument("--sample-interval", type=int, default=120,
+                   help="runtime sample CSV cadence in frames")
     b.add_argument("--resolutions", nargs="+", default=None,
                    choices=["540p", "720p", "1080p", "4K"],
                    help="batch matrix: run every resolution × --runs preset")

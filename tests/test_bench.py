@@ -778,3 +778,34 @@ class TestPostVerifyGates:
         assert rows
         joined = "; ".join("; ".join(r["verify_reasons"]) for r in rows)
         assert "GT frame changed" in joined or "GT pixel delta" in joined
+
+
+class TestPlaybackModes:
+    def test_loop_source_sustains_duration(self, tmp_path):
+        from hdrtv_tpu.bench.playback import LoopingSource
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        src = LoopingSource(SyntheticSource(32, 16, fps=30, frames=5))
+        seen = [src.read_with_meta() for _ in range(12)]
+        assert all(m is not None for m in seen)
+        assert src.loops >= 2
+        assert src.fps == 30  # attribute passthrough
+
+    def test_wall_clock_and_samples(self, tmp_path):
+        from hdrtv_tpu.bench.playback import PlaybackRunConfig, run_playback_benchmark
+
+        cfg = PlaybackRunConfig(
+            resolution_key="540p", realtime=False, duration_s=1.0,
+            warmup_frames=1, wall_clock=True, sample_interval=5,
+        )
+        res = run_playback_benchmark(cfg, FakeProcessor(), str(tmp_path))
+        assert 0.9 <= res.wall_s <= 8.0  # stopped by the wall timer, not EOF
+        assert res.frames > 0
+        assert res.samples and res.samples[0]["proc_res"] == "960x540"
+        # sample CSV got one row per sample
+        import csv as _csv
+
+        with open(tmp_path / "runtime_metrics.csv") as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == len(res.samples)
+        assert "elapsed_s" in rows[0]
