@@ -517,6 +517,15 @@ def cmd_assets(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Runtime environment check (nvidia_runtime_check.py role)."""
+    from hdrtv_tpu.runtime.doctor import check_tpu_runtime
+
+    report = check_tpu_runtime(probe_device=not args.no_device)
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 3
+
+
 def cmd_presets(args) -> int:
     """Precision-preset table with availability — the GUI precision
     dropdown's data (gui_config.py:19-160 + :260-278 availability)."""
@@ -1115,6 +1124,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     pr = sub.add_parser("presets", help="precision presets with availability")
     pr.set_defaults(fn=cmd_presets)
+
+    dr = sub.add_parser("doctor", help="runtime environment check (jax/TPU, tools, weights, cache)")
+    dr.add_argument("--no-device", action="store_true",
+                    help="skip the jax device query (safe on a wedged relay)")
+    dr.set_defaults(fn=cmd_doctor)
 
     sp = sub.add_parser("split-sources",
                         help="split a composite HR+HG checkpoint into HR/HG source files")

@@ -477,3 +477,19 @@ class TestBenchMatrix:
             rows = list(_csv.DictReader(f))
         assert len(rows) == 2
         assert {r["precision"] for r in rows} == {"FP16", "FP32"}
+
+
+class TestDoctor:
+    def test_doctor_report(self, capsys):
+        rc = main(["doctor"])
+        out = capsys.readouterr().out
+        report = json.loads(out)
+        assert "issues" in report and "details" in report
+        assert report["details"]["device_count"] >= 1
+        assert rc in (0, 3)
+
+    def test_doctor_no_device(self, capsys):
+        rc = main(["doctor", "--no-device"])
+        report = json.loads(capsys.readouterr().out)
+        assert "platform" not in report["details"]
+        assert rc in (0, 3)
