@@ -38,34 +38,31 @@ def capture(log_dir: str, height: int, width: int, n: int) -> None:
     from hdrtv_tpu.models.hdrtvnet import ModelConfig
     from hdrtv_tpu.models.import_torch import load_npz
     from hdrtv_tpu.models.layers import BF16
-    from hdrtv_tpu.models.s2d import ensemble_s2d, s2d_transform_params
-    from hdrtv_tpu.ops.pack import pack_rgb48
-    from hdrtv_tpu.ops.resize import downsample_quarter_aa
+    from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_flat, s2d_transform_params
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     params = load_npz(os.path.join(here, "weights", "hr_fp32.npz"))
     sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(params).items()}
     cfg = ModelConfig()
 
+    # The PRODUCT program: flat (H, 3W) byte rows in → (H, 3W) u16 out (the
+    # megakernel path bench.py measures), not the old HWC ensemble_s2d.
     @jax.jit
-    def step(p, frame_u8):
-        x = frame_u8[None].astype(jnp.float32) * (1.0 / 255.0)
-        cond = downsample_quarter_aa(x)
-        out = ensemble_s2d(p, x, cond, cfg, policy=BF16)
-        packed = pack_rgb48(out[0])
+    def step(p, rows_u8):
+        packed = ensemble_s2d_rgb48_flat(p, rows_u8, None, cfg, policy=BF16)
         return packed, (packed % 256).astype(jnp.uint8)
 
     frame = jax.device_put(
-        jnp.asarray((np.random.RandomState(0).rand(height, width, 3) * 255).astype(np.uint8))
+        jnp.asarray((np.random.RandomState(0).rand(height, width * 3) * 255).astype(np.uint8))
     )
     packed, frame = step(sp, frame)
-    _ = np.asarray(packed[:2, :2, 0])  # force warm execution
+    _ = np.asarray(packed[:2, :2])  # force warm execution
 
     jax.profiler.start_trace(log_dir)
     f = frame
     for _ in range(n):
         packed, f = step(sp, f)
-    _ = np.asarray(packed[:2, :2, 0])
+    _ = np.asarray(packed[:2, :2])
     jax.profiler.stop_trace()
     print(f"trace written to {log_dir}", flush=True)
 
