@@ -268,3 +268,38 @@ class TestRunnerControls:
         assert sink.frames == base + 1
         runner.stop()
         t.join(timeout=30)
+
+
+class TestWarmupExclusion:
+    def test_warmup_frames_excluded_from_final_stats(self):
+        # the first `warmup_frames` presentation stamps are ignored in the
+        # final fps stats (main.py --warmup semantics)
+        from hdrtv_tpu.pipeline.runner import PipelineRunner
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        class Proc:
+            model_path = ""
+
+            def warmup_compile(self, w, h, **kw):
+                return 0.0
+
+            def process_rgb48_device(self, frame):
+                return frame.astype(jnp.uint16) * 257
+
+        class Sink:
+            frames = 0
+
+            def show(self, *a, **k):
+                Sink.frames += 1
+
+            def close(self):
+                pass
+
+        src = SyntheticSource(64, 32, fps=240, frames=20)
+        r = PipelineRunner(src, Proc(), Sink(), realtime=False, warmup_frames=10)
+        m = r.run()
+        assert m.frames == 20
+        assert m.fps > 0  # stats computed over the post-warmup stamps only
