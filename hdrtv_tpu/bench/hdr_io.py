@@ -85,6 +85,58 @@ def build_exact_decode_cmd(path: str, indices: list[int]) -> list[str]:
     ]
 
 
+def preview_dims(w: int, h: int, max_side: int = 160) -> tuple[int, int]:
+    """Even preview dims fitting max_side (aspect preserved, never upscaled)."""
+    s = min(1.0, max_side / max(1, max(w, h)))
+    pw = max(2, int(round(w * s / 2)) * 2)
+    ph = max(2, int(round(h * s / 2)) * 2)
+    return pw, ph
+
+
+def build_preview_decode_cmd(
+    path: str, indices: list[int], pw: int, ph: int
+) -> list[str]:
+    """FFmpeg command decoding small rgb24 previews of exact frame numbers —
+    the benchmark's candidate-scan decode (gui_benchmark.py:1310-1468: exact
+    select + downscale so scanning a movie costs KB per probe, not full
+    frames). Output size is fixed host-side so parsing is deterministic."""
+    sel = "+".join(f"eq(n\\,{int(i)})" for i in sorted(set(indices)))
+    return [
+        "ffmpeg", "-v", "error", "-nostdin",
+        "-i", path,
+        "-vf", f"select='{sel}',scale={int(pw)}:{int(ph)}",
+        "-vsync", "0",
+        "-frames:v", str(len(set(indices))),
+        "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+    ]
+
+
+def read_preview_frames(
+    path: str, indices: list[int], *, max_side: int = 160, timeout: float = 600.0
+) -> dict[int, np.ndarray]:
+    """Small u8 RGB previews of exact frames (one FFmpeg pass per batch)."""
+    from hdrtv_tpu.utils.env import env_int
+
+    info = probe_video(path)
+    pw, ph = preview_dims(info["width"], info["height"], max_side)
+    uniq = sorted(set(int(i) for i in indices))
+    batch_max = env_int("HDRTVNET_HDR_EXACT_BATCH_MAX_FRAMES", 20, lo=1, hi=64)
+    frame_bytes = pw * ph * 3
+    out: dict[int, np.ndarray] = {}
+    for b in range(0, len(uniq), batch_max):
+        batch = uniq[b : b + batch_max]
+        proc = subprocess.run(
+            build_preview_decode_cmd(path, batch, pw, ph), capture_output=True, timeout=timeout
+        )
+        data = proc.stdout
+        for k, idx in enumerate(batch):
+            chunk = data[k * frame_bytes : (k + 1) * frame_bytes]
+            if len(chunk) < frame_bytes:
+                break
+            out[idx] = np.frombuffer(chunk, np.uint8).reshape(ph, pw, 3).copy()
+    return out
+
+
 def build_fast_decode_cmd(path: str, frame_idx: int, fps: float, *, preroll: int = 8) -> list[str]:
     """Fast input seek ``preroll`` frames early, then decode forward with
     showinfo on stderr for PTS verification (gui_hdr_io.py:205-415)."""

@@ -50,6 +50,33 @@ class QualityRunConfig:
     peak_nits: float = 1000.0
 
 
+def _ffmpeg_candidate_scan(source, count: int, lo: int, hi: int):
+    """Evenly-spaced candidate previews via batched FFmpeg exact decode —
+    the movie-scale probe path (gui_benchmark.py:1310-1468): KB-sized
+    previews instead of decoding the whole head region sequentially.
+    Returns [(idx, small_bgr_u8)] or None when unavailable/disabled
+    (HDRTVNET_FRAME_DETECT_FFMPEG, default on)."""
+    from hdrtv_tpu.bench import hdr_io
+    from hdrtv_tpu.utils.env import env_bool, env_int
+
+    path = getattr(source, "path", None)
+    if (
+        not path
+        or not env_bool("HDRTVNET_FRAME_DETECT_FFMPEG", True)
+        or not hdr_io.ffmpeg_available()
+        or hi <= lo
+    ):
+        return None
+    max_scan = env_int("HDRTVNET_BENCHMARK_FRAME_DETECT_MAX_SCAN", 240, lo=8, hi=240)
+    n = min(hi - lo + 1, max(8, min(max_scan, max(count * 8, 48))))
+    idxs = sorted({int(v) for v in np.linspace(lo, hi, n)})
+    previews = hdr_io.read_preview_frames(path, idxs, max_side=320)
+    if len(previews) < max(2, n // 4):
+        return None  # decode failed/too few frames — fall back to sequential
+    # previews decode as RGB; QC/interest expect BGR like the cv2 readers
+    return [(i, previews[i][..., ::-1]) for i in sorted(previews)]
+
+
 def select_distinct_frames(
     source, count: int, *, probe_stride: int = 24, max_probes: int = 400
 ) -> list[int]:
@@ -66,27 +93,36 @@ def select_distinct_frames(
     """
     from hdrtv_tpu.bench.frame_select import frame_qc, movie_frame_bounds, visual_interest
 
-    # always scan from the start: selection must be deterministic no matter
-    # where a previous (queued) run left the source positioned
-    seek = getattr(source, "seek", None)
-    if seek is not None:
-        seek(0)
     total = getattr(source, "frame_count", None) or 0
     fps = getattr(source, "fps", None)
     lo, hi = movie_frame_bounds(total, fps) if total else (0, 1 << 62)
     probes: list[tuple[int, np.ndarray, float]] = []
     rejected: list[tuple[int, np.ndarray, float]] = []
-    while len(probes) < max_probes:
-        meta = source.read_with_meta()
-        if meta is None:
-            break
-        frame, fidx, _ = meta
-        if fidx > hi:
-            break
-        if fidx % probe_stride == 0 and fidx >= lo:
-            small = frame[::8, ::8].astype(np.float32) / 255.0
+
+    scanned = _ffmpeg_candidate_scan(source, count, lo, min(hi, max(total - 1, 0)))
+    if scanned is not None:
+        for fidx, frame in scanned:
+            small = frame[::4, ::4].astype(np.float32) / 255.0
             ok, _reason = frame_qc(frame)
             (probes if ok else rejected).append((fidx, small, visual_interest(frame)))
+    else:
+        # sequential scan: always from the start so selection is
+        # deterministic no matter where a previous (queued) run left the
+        # source positioned
+        seek = getattr(source, "seek", None)
+        if seek is not None:
+            seek(0)
+        while len(probes) < max_probes:
+            meta = source.read_with_meta()
+            if meta is None:
+                break
+            frame, fidx, _ = meta
+            if fidx > hi:
+                break
+            if fidx % probe_stride == 0 and fidx >= lo:
+                small = frame[::8, ::8].astype(np.float32) / 255.0
+                ok, _reason = frame_qc(frame)
+                (probes if ok else rejected).append((fidx, small, visual_interest(frame)))
     if not probes:
         probes = rejected
     probes.sort(key=lambda t: -t[2])

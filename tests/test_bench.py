@@ -809,3 +809,54 @@ class TestPlaybackModes:
             rows = list(_csv.DictReader(f))
         assert len(rows) == len(res.samples)
         assert "elapsed_s" in rows[0]
+
+
+class TestFfmpegCandidateScan:
+    def test_preview_cmd_and_dims(self):
+        from hdrtv_tpu.bench.hdr_io import build_preview_decode_cmd, preview_dims
+
+        pw, ph = preview_dims(1920, 1080, 160)
+        assert pw == 160 and ph == 90
+        assert preview_dims(1080, 1920, 160) == (90, 160)  # portrait
+        assert preview_dims(100, 50, 160) == (100, 50)  # never upscale
+        cmd = build_preview_decode_cmd("m.mkv", [5, 2, 5], 160, 90)
+        assert "rgb24" in cmd
+        sel = cmd[cmd.index("-vf") + 1]
+        assert sel == "select='eq(n\\,2)+eq(n\\,5)',scale=160:90"
+
+    def test_scan_used_when_available(self, monkeypatch):
+        from hdrtv_tpu.bench import quality as q
+        from hdrtv_tpu.bench import hdr_io
+
+        rng = np.random.RandomState(0)
+        frames = {i: np.clip(rng.randn(36, 64, 3) * 40 + 120, 0, 255).astype(np.uint8)
+                  for i in range(0, 300)}
+        monkeypatch.setattr(hdr_io, "ffmpeg_available", lambda: True)
+        monkeypatch.setattr(
+            hdr_io, "read_preview_frames",
+            lambda path, idxs, **kw: {i: frames[i] for i in idxs},
+        )
+
+        class Src:
+            path = "movie.mkv"
+            frame_count = 300
+            fps = 30.0
+
+            def read_with_meta(self, *a, **k):
+                raise AssertionError("sequential scan must not run")
+
+            def seek(self, i):
+                pass
+
+        got = q.select_distinct_frames(Src(), 4)
+        assert len(got) == 4 and got == sorted(got)
+
+    def test_scan_disabled_falls_back(self, monkeypatch):
+        from hdrtv_tpu.bench import quality as q
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        monkeypatch.setenv("HDRTVNET_FRAME_DETECT_FFMPEG", "0")
+        src = SyntheticSource(96, 64, fps=30, frames=150)
+        src.path = "x.mkv"
+        got = q.select_distinct_frames(src, 3)
+        assert len(got) == 3
