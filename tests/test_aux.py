@@ -207,3 +207,34 @@ class TestShellStatusInterval:
         assert status_interval_s() == 0.9
         monkeypatch.setenv("HDRTVNET_PLAYBACK_STATUS_MS", "100")
         assert status_interval_s() == 0.25  # 250 ms floor
+
+
+class TestEnvDocsComplete:
+    def test_every_env_var_documented(self):
+        """Every HDRTVNET_* var the package reads appears in ENV_VARS.md —
+        the catalog is the contract (reference README env catalog role)."""
+        import glob
+        import os
+        import re
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        used = set()
+        for p in glob.glob(os.path.join(root, "hdrtv_tpu", "**", "*.py"), recursive=True):
+            with open(p) as f:
+                text = f.read()
+            # only vars actually read via env helpers / os.environ — skip
+            # docstring prose mentions
+            for m in re.finditer(r"env_\w+\(\s*\"(HDRTVNET_[A-Z0-9_]+)\"|os\.environ\.get\(\s*\"(HDRTVNET_[A-Z0-9_]+)\"", text):
+                used.add(m.group(1) or m.group(2))
+        with open(os.path.join(root, "ENV_VARS.md")) as f:
+            doc = f.read()
+        # combined rows document suffix families as `BASE_A / _B`; expand
+        doc_vars = set(re.findall(r"HDRTVNET_[A-Z0-9_]+", doc))
+        for m in re.finditer(r"`(HDRTVNET_[A-Z0-9_]+)`((?:\s*/\s*`_[A-Z0-9_]+`)+)", doc):
+            base = m.group(1)
+            for suf in re.findall(r"`(_[A-Z0-9_]+)`", m.group(2)):
+                doc_vars.add(base + suf)  # append form: SAMPLES / _STRICT
+                n = suf.count("_")  # replace form: _MIN_DELAY_MS / _MAX_DELAY_MS
+                doc_vars.add("_".join(base.split("_")[:-n]) + suf)
+        missing = sorted(used - doc_vars)
+        assert not missing, f"undocumented env vars: {missing}"
