@@ -58,11 +58,15 @@ def _apply_prefs(args) -> None:
 
 
 def _make_processor(args):
-    from hdrtv_tpu.config import PRECISIONS, processing_dims, select_model_path
+    from hdrtv_tpu.config import (
+        PRECISIONS, processing_dims, resolve_precision_key, select_model_path,
+    )
     from hdrtv_tpu.runtime.processor import HDRTVNetTPU
     from hdrtv_tpu.utils.assets import require_assets_or_raise
 
     require_assets_or_raise()  # HDRTVNET_REQUIRE_CLONE_ASSETS fail-fast gate
+    # accept the reference CLI's short run names (fp16, int8-mixed-qat, …)
+    args.precision = resolve_precision_key(args.precision)
 
     model_path = args.model
     if model_path is None:

@@ -136,6 +136,31 @@ def select_hg_weights_path(precision_key: str) -> str | None:
     return cfg.hg_weights if cfg else None
 
 
+def _norm_key(s: str) -> str:
+    import re
+
+    return re.sub(r"[^a-z0-9]+", "-", str(s).lower()).strip("-")
+
+
+def resolve_precision_key(name: str | None) -> str | None:
+    """Accept GUI labels AND the reference CLI's short run names
+    (cli_playback_benchmark.py:72-260 `_RUN_PRESETS`: fp16, int8-mixed-qat,
+    fp8-full-qat-film, …). Returns the canonical PRECISIONS key, or the
+    input unchanged when nothing matches (callers handle unknown keys)."""
+    if name is None or name in PRECISIONS:
+        return name
+    want = _norm_key(name)
+    for key in PRECISIONS:
+        if _norm_key(key) == want:
+            return key
+    # short forms drop the parentheses order: "int8-mixed-qat" ≡
+    # "INT8 Mixed (QAT)"; film variants append "-film"
+    for key in PRECISIONS:
+        if _norm_key(key).replace("-", "") == want.replace("-", ""):
+            return key
+    return name
+
+
 def show_fp8() -> bool:
     """FP8 preset visibility (HDRTVNET_SHOW_FP8). The reference hides FP8
     behind the flag + an RTX 40/50 check (gui_config.py:255-262); here FP8

@@ -493,3 +493,27 @@ class TestDoctor:
         report = json.loads(capsys.readouterr().out)
         assert "platform" not in report["details"]
         assert rc in (0, 3)
+
+
+class TestPrecisionAliases:
+    def test_short_run_names_resolve(self):
+        # the reference CLI's _RUN_PRESETS short names map onto the GUI
+        # labels (cli_playback_benchmark.py:72-260)
+        from hdrtv_tpu.config import resolve_precision_key
+
+        assert resolve_precision_key("fp16") == "FP16"
+        assert resolve_precision_key("int8-mixed-qat") == "INT8 Mixed (QAT)"
+        assert resolve_precision_key("int8_full_qat_film") == "INT8 Full (QAT) (Film)"
+        assert resolve_precision_key("fp8-mixed-ptq") == "FP8 Mixed (PTQ)"
+        assert resolve_precision_key("INT8 Full (QAT)") == "INT8 Full (QAT)"
+        assert resolve_precision_key("unknown-thing") == "unknown-thing"
+        assert resolve_precision_key(None) is None
+
+    def test_convert_accepts_short_name(self, capsys):
+        rc = main([
+            "convert", "--model", WEIGHTS, "--precision", "fp32",
+            "--display", "null", "--resolution", "540p", "--frames", "1",
+            "--no-realtime",
+        ])
+        assert rc == 0
+        assert "frames=1" in capsys.readouterr().out
