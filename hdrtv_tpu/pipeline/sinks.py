@@ -16,6 +16,7 @@ import shutil
 import subprocess
 import tempfile
 import threading
+import time
 import queue
 
 import numpy as np
@@ -156,6 +157,8 @@ class MpvPipeSink:
         self._dir = tempfile.mkdtemp(prefix="hdrtv_mpv_")
         self.fifo = os.path.join(self._dir, "video.fifo")
         os.mkfifo(self.fifo)
+        self.ipc_path = os.path.join(self._dir, "mpv.sock")
+        self.hdr_confirmed = False
 
         scale_args: list[str] = []
         if out_size is not None:
@@ -170,6 +173,7 @@ class MpvPipeSink:
             )
         base = [
             "--no-config",
+            f"--input-ipc-server={self.ipc_path}",
             "--demuxer=rawvideo",
             f"--demuxer-rawvideo-w={width}",
             f"--demuxer-rawvideo-h={height}",
@@ -219,6 +223,84 @@ class MpvPipeSink:
         self._writer = threading.Thread(target=self._write_loop, daemon=True, name="mpv-pipe-writer")
         self._writer.start()
         self.frames = 0
+        self._ipc_sock = None
+        self._ipc_req = 0
+        # HDR-confirmation monitor: poll mpv's actual VO output params until
+        # BT.2020+PQ is confirmed (gui_mpv_widget.py:1145-1185)
+        self._monitor = threading.Thread(target=self._hdr_monitor, daemon=True, name="mpv-hdr-monitor")
+        self._monitor.start()
+
+    def _ipc_get(self, prop: str, timeout: float = 1.0):
+        """mpv JSON-IPC get_property; None on any failure (IPC is advisory —
+        the video path never depends on it)."""
+        import json
+        import socket
+
+        try:
+            if self._ipc_sock is None:
+                if not os.path.exists(self.ipc_path):
+                    return None
+                s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                s.settimeout(timeout)
+                s.connect(self.ipc_path)
+                self._ipc_sock = s
+                self._ipc_buf = b""
+            self._ipc_req += 1
+            rid = self._ipc_req
+            msg = json.dumps({"command": ["get_property", prop], "request_id": rid})
+            self._ipc_sock.sendall(msg.encode() + b"\n")
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                if b"\n" in self._ipc_buf:
+                    line, self._ipc_buf = self._ipc_buf.split(b"\n", 1)
+                    try:
+                        obj = json.loads(line)
+                    except ValueError:
+                        continue
+                    if obj.get("request_id") == rid:
+                        return obj.get("data") if obj.get("error") == "success" else None
+                    continue  # events / other replies
+                chunk = self._ipc_sock.recv(4096)
+                if not chunk:
+                    break
+                self._ipc_buf += chunk
+        except OSError:
+            self._ipc_sock = None
+        return None
+
+    def hdr_info(self) -> dict:
+        """VO output color snapshot (_build_hdr_info_snapshot role,
+        gui_mpv_widget.py:390-420): primaries/gamma/levels from
+        video-out-params + the BT.2020/PQ confirmation flag."""
+        vop = self._ipc_get("video-out-params") or {}
+        info = {
+            "primaries": str(vop.get("primaries", "")),
+            "gamma": str(vop.get("gamma", "")),
+            "levels": str(vop.get("colorlevels", vop.get("levels", ""))),
+        }
+        info["hdr_vo_confirmed"] = (
+            "2020" in info["primaries"] and info["gamma"] in ("pq", "smpte2084")
+        )
+        return info
+
+    def _hdr_monitor(self) -> None:
+        from hdrtv_tpu.utils.env import env_bool
+
+        diag = env_bool("HDRTVNET_MPV_DIAG", False)
+        printed = False
+        while not self._stop.is_set():
+            time.sleep(0.5)
+            if self.proc is None or self.proc.poll() is not None:
+                return
+            if self.frames == 0:
+                continue  # VO params exist only once frames flow
+            info = self.hdr_info()
+            if info["hdr_vo_confirmed"]:
+                self.hdr_confirmed = True
+                if diag and not printed:
+                    print(f"[mpv] VO confirms BT.2020+PQ output: {info}")
+                    printed = True
+                return
 
     def _spawn(self, args: list[str]) -> subprocess.Popen:
         from hdrtv_tpu.utils.env import env_bool
@@ -312,6 +394,13 @@ class MpvPipeSink:
         except queue.Full:
             self._stop.set()
         self._writer.join(timeout=2.0)
+        self._stop.set()  # ends the HDR monitor
+        if self._ipc_sock is not None:
+            try:
+                self._ipc_sock.close()
+            except OSError:
+                pass
+            self._ipc_sock = None
         try:
             self._fifo_fd.close()
         except Exception:

@@ -287,3 +287,68 @@ class TestLiveQualityArgs:
         monkeypatch.setenv("HDRTVNET_LIVE_MPV_INTERPOLATION", "1")
         monkeypatch.setenv("HDRTVNET_LIVE_MPV_TSCALE", "catmull-rom")
         assert "--tscale=catmull_rom" in _quality_args(live=True)
+
+
+IPC_FAKE_MPV = r'''#!/usr/bin/env python3
+# fake mpv serving the JSON IPC: answers get_property video-out-params with
+# a BT.2020/PQ snapshot; consumes the fifo on a thread.
+import json, socket, sys, threading
+ipc = fifo = None
+for a in sys.argv[1:]:
+    if a.startswith("--input-ipc-server="):
+        ipc = a.split("=", 1)[1]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+fifo = args[-1] if args else None
+def drain():
+    with open(fifo, "rb") as f:
+        while f.read(65536):
+            pass
+threading.Thread(target=drain, daemon=True).start()
+srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+srv.bind(ipc); srv.listen(1)
+conn, _ = srv.accept()
+buf = b""
+while True:
+    data = conn.recv(4096)
+    if not data:
+        break
+    buf += data
+    while b"\n" in buf:
+        line, buf = buf.split(b"\n", 1)
+        try:
+            req = json.loads(line)
+        except ValueError:
+            continue
+        rid = req.get("request_id", 0)
+        resp = {"request_id": rid, "error": "success",
+                "data": {"primaries": "bt.2020", "gamma": "pq", "colorlevels": "full"}}
+        conn.sendall(json.dumps(resp).encode() + b"\n")
+'''
+
+
+class TestHdrConfirmation:
+    def test_vo_confirmation_via_ipc(self, tmp_path, monkeypatch):
+        import time as _time
+
+        import numpy as np
+
+        from hdrtv_tpu.pipeline.sinks import MpvPipeSink
+
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        mpv = bindir / "mpv"
+        mpv.write_text(IPC_FAKE_MPV)
+        mpv.chmod(mpv.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+        sink = MpvPipeSink(64, 32, 30.0)
+        try:
+            sink.show(np.zeros((32, 64, 3), np.uint16))
+            info = sink.hdr_info()
+            assert info["hdr_vo_confirmed"] and info["primaries"] == "bt.2020"
+            deadline = _time.monotonic() + 5.0
+            while not sink.hdr_confirmed and _time.monotonic() < deadline:
+                _time.sleep(0.1)
+            assert sink.hdr_confirmed  # the monitor saw BT.2020+PQ
+        finally:
+            sink.close()
