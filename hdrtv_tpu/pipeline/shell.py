@@ -51,6 +51,8 @@ class ShellController:
         self.quit_requested = False
         self.notice = ""
         self.last_metrics = None
+        self.upscalers = ("ewa_lanczossharp", "fsr", "ssim_superres")
+        self.upscaler = self.upscalers[0]
 
     # -- runner-side hooks ---------------------------------------------------
 
@@ -75,6 +77,8 @@ class ShellController:
             return self.cycle_resolution()
         if key == "m":
             return self.toggle_mute()
+        if key == "u":
+            return self.cycle_upscaler()
         if key == "q":
             self.quit_requested = True
             self.runner.stop()
@@ -125,6 +129,19 @@ class ShellController:
         self.runner.request_resolution_change(processing_dims(self.resolution))
         return f"resolution → {self.resolution}"
 
+    def cycle_upscaler(self) -> str:
+        """Pane-aware scale-kernel hot-swap (gui_mpv_widget.py:1317-1372):
+        applied live over the sink's mpv IPC when the sink supports it."""
+        i = self.upscalers.index(self.upscaler) if self.upscaler in self.upscalers else -1
+        self.upscaler = self.upscalers[(i + 1) % len(self.upscalers)]
+        sink = getattr(self.runner, "sink", None)
+        applied = False
+        for pane in (sink, getattr(sink, "hdr", None)):
+            if pane is not None and hasattr(pane, "set_scale"):
+                applied = pane.set_scale(self.upscaler)
+                break
+        return f"upscaler → {self.upscaler}" + ("" if applied else " (no mpv pane)")
+
     def toggle_mute(self) -> str:
         self.muted = not self.muted
         if self.audio is not None:
@@ -150,7 +167,7 @@ class ShellController:
         )
 
     def help_line(self) -> str:
-        return "space pause · ←/→ ±5s · ,/. ±1f · p precision · r resolution · m mute · q quit"
+        return "space pause · ←/→ ±5s · ,/. ±1f · p precision · r resolution · u upscaler · m mute · q quit"
 
 
 def status_interval_s() -> float:

@@ -268,6 +268,44 @@ class MpvPipeSink:
             self._ipc_sock = None
         return None
 
+    def _ipc_set(self, prop: str, value) -> bool:
+        import json
+
+        try:
+            if self._ipc_sock is None:
+                self._ipc_get("mpv-version")  # establishes the connection
+            if self._ipc_sock is None:
+                return False
+            self._ipc_sock.sendall(
+                json.dumps({"command": ["set_property", prop, value]}).encode() + b"\n"
+            )
+            return True
+        except OSError:
+            self._ipc_sock = None
+            return False
+
+    def set_scale(self, upscaler: str | None, *, out_size: tuple[int, int] | None = None,
+                  film_grain: bool = False) -> bool:
+        """Pane-aware scale-kernel hot-swap over IPC (gui_mpv_widget.py:
+        1317-1372): recompute the kernel/antiring/shader-chain policy for the
+        new upscaler and apply it to the running mpv without restarting."""
+        from hdrtv_tpu.pipeline.scaling import mpv_scale_args
+
+        ow, oh = out_size or (self.width, self.height)
+        args = mpv_scale_args(
+            self.width, self.height, ow, oh, upscaler,
+            film_grain=film_grain and self._HDR_PANE, hdr=self._HDR_PANE,
+        )
+        ok = True
+        shaders = [a.split("=", 1)[1] for a in args if a.startswith("--glsl-shader=")]
+        ok &= self._ipc_set("glsl-shaders", ":".join(shaders))
+        for a in args:
+            if a.startswith("--glsl-shader="):
+                continue
+            prop, val = a[2:].split("=", 1)
+            ok &= self._ipc_set(prop, val)
+        return bool(ok)
+
     def hdr_info(self) -> dict:
         """VO output color snapshot (_build_hdr_info_snapshot role,
         gui_mpv_widget.py:390-420): primaries/gamma/levels from

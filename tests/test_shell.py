@@ -121,3 +121,39 @@ class TestShellController:
         c.handle_key("RIGHT")
         c.handle_key("m")  # no crash without a device
         assert c.muted
+
+
+class TestUpscalerHotSwap:
+    def test_cycle_applies_to_sink(self):
+        from hdrtv_tpu.pipeline.shell import ShellController
+
+        calls = []
+
+        class Sink:
+            def set_scale(self, upscaler, **kw):
+                calls.append(upscaler)
+                return True
+
+        class Runner:
+            sink = Sink()
+
+            def stop(self):
+                pass
+
+        ctl = ShellController(Runner(), source=None)
+        msg = ctl.handle_key("u")
+        assert "fsr" in msg and calls == ["fsr"]
+        ctl.handle_key("u")
+        assert calls[-1] == "ssim_superres"
+
+    def test_cycle_without_mpv_pane(self):
+        from hdrtv_tpu.pipeline.shell import ShellController
+
+        class Runner:
+            sink = object()  # null sink: no set_scale
+
+            def stop(self):
+                pass
+
+        ctl = ShellController(Runner(), source=None)
+        assert "no mpv pane" in ctl.handle_key("u")

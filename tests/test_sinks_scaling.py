@@ -352,3 +352,26 @@ class TestHdrConfirmation:
             assert sink.hdr_confirmed  # the monitor saw BT.2020+PQ
         finally:
             sink.close()
+
+
+class TestScaleHotSwap:
+    def test_set_scale_over_ipc(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from hdrtv_tpu.pipeline.sinks import MpvPipeSink
+
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        mpv = bindir / "mpv"
+        # reuse the IPC fake: it accepts set_property silently (no response
+        # needed) and answers get_property
+        mpv.write_text(IPC_FAKE_MPV)
+        mpv.chmod(mpv.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+        sink = MpvPipeSink(64, 32, 30.0)
+        try:
+            sink.show(np.zeros((32, 64, 3), np.uint16))
+            assert sink.set_scale("ewa_lanczossharp", out_size=(128, 64))
+        finally:
+            sink.close()
