@@ -176,3 +176,67 @@ class TestMultihost:
 
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
         assert initialize_distributed() is False
+
+
+class TestHGMeshSharding:
+    def test_hg_composite_shards_spatially(self, tiny_params_cfg, cpu_devices):
+        """The HG composite program (base + hallucination + mask composite,
+        the 4K60 path's HG family) partitions under GSPMD W-sharding to the
+        same result as a single device."""
+        import os
+
+        import numpy as np
+
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+        from hdrtv_tpu.models.import_torch import convert_state
+        from hdrtv_tpu.models.s2d import ensemble_s2d, s2d_transform_params
+        from hdrtv_tpu.parallel.mesh import frame_sharding, make_mesh, replicate_params
+
+        params, _ = tiny_params_cfg
+        fx = np.load(os.path.join(os.path.dirname(__file__), "fixtures", "hg_mid.npz"))
+        hg_raw = {k: fx[k] for k in fx.files if k.startswith("hg.")}
+        cfg = ModelConfig(use_hg=True)
+        host = {f"base.{k}": np.asarray(v) for k, v in params.items()}
+        host.update({k: np.asarray(v) for k, v in convert_state(hg_raw).items()})
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(host, cfg).items()}
+
+        mesh = make_mesh(8)
+        rng = np.random.RandomState(5)
+        img = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+        cond = jnp.asarray(rng.rand(2, 8, 16, 3).astype(np.float32))
+        ref = np.asarray(ensemble_s2d(sp, img, cond, cfg, mega=False))
+
+        fsh = frame_sharding(mesh)
+        out = np.asarray(
+            jax.jit(
+                lambda p, i, c: ensemble_s2d(p, i, c, cfg, mega=False), out_shardings=fsh
+            )(replicate_params(sp, mesh), jax.device_put(img, fsh), jax.device_put(cond, fsh))
+        )
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=0)
+
+    def test_processor_mesh_spatial_hg_composite(self, cpu_devices, tmp_path):
+        """Mesh mode with the HG composite: the full hallucination program
+        W-shards through the public API (the HG row of the 4K60 path)."""
+        import os
+
+        from hdrtv_tpu.models.import_torch import convert_state, load_npz, save_npz
+        from hdrtv_tpu.parallel.mesh import spatial_mesh
+        from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+        weights = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "weights", "hr_fp32.npz"
+        )
+        fx = np.load(os.path.join(os.path.dirname(__file__), "fixtures", "hg_mid.npz"))
+        comp = {f"base.{k}": v for k, v in load_npz(weights).items()}
+        comp.update(convert_state({k: fx[k] for k in fx.files if k.startswith("hg.")}))
+        path = str(tmp_path / "composite.npz")
+        save_npz(path, comp, {"architecture": {"use_hg": True, "hg_nf": 16}})
+
+        frame = (np.random.RandomState(7).rand(32, 64, 3) * 255).astype(np.uint8)
+        pm = HDRTVNetTPU(path, precision="fp32", persistent_cache=False, mesh=spatial_mesh(4))
+        out = pm.process_rgb48(frame)
+        ps = HDRTVNetTPU(path, precision="fp32", persistent_cache=False)
+        ref = ps.process_rgb48(frame)
+        assert pm.cfg.use_hg and out.dtype == np.uint16
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1
