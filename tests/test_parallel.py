@@ -240,3 +240,42 @@ class TestHGMeshSharding:
         assert pm.cfg.use_hg and out.dtype == np.uint16
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1
+
+
+class TestShardingEfficiency:
+    def test_sharded_program_is_pure_halo_exchange(self, tiny_params_cfg, cpu_devices):
+        """The W-sharded frame program must compile to neighbor
+        collective-permutes ONLY — an all-gather or all-reduce would mean
+        GSPMD fell off the halo-exchange partitioning (the 4K60 ladder's
+        premise; census recorded in PERF_NOTES round 3)."""
+        import os
+        import re
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48, s2d_transform_params
+        from hdrtv_tpu.parallel.mesh import replicate_params, spatial_mesh
+
+        params, cfg = tiny_params_cfg
+        host = {k: np.asarray(v) for k, v in params.items()}
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(host).items()}
+        mesh = spatial_mesh(8)
+        fsh = NamedSharding(mesh, P(None, "spatial", None))
+        frame = jnp.asarray((np.random.RandomState(0).rand(32, 64, 3) * 255).astype(np.uint8))
+        cond = jnp.asarray(np.random.RandomState(1).rand(1, 8, 16, 3).astype(np.float32))
+
+        os.environ["HDRTV_DISABLE_PALLAS"] = "1"
+        try:
+            fn = jax.jit(lambda p, f, c: ensemble_s2d_rgb48(p, f, c, cfg, mega=False),
+                         out_shardings=fsh)
+            txt = fn.lower(
+                replicate_params(sp, mesh), jax.device_put(frame, fsh), cond
+            ).compile().as_text()
+        finally:
+            os.environ.pop("HDRTV_DISABLE_PALLAS", None)
+        n_permute = len(re.findall(r"collective-permute\(", txt))
+        n_gather = len(re.findall(r"all-gather\(", txt))
+        n_reduce = len(re.findall(r"\ball-reduce\(", txt))
+        assert n_permute > 0, "expected halo exchanges in the sharded program"
+        assert n_gather == 0, f"{n_gather} all-gathers — halo partitioning regressed"
+        assert n_reduce == 0, f"{n_reduce} all-reduces — halo partitioning regressed"
