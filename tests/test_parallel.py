@@ -279,3 +279,34 @@ class TestShardingEfficiency:
         assert n_permute > 0, "expected halo exchanges in the sharded program"
         assert n_gather == 0, f"{n_gather} all-gathers — halo partitioning regressed"
         assert n_reduce == 0, f"{n_reduce} all-reduces — halo partitioning regressed"
+
+    def test_batch_dp_program_has_no_collectives(self, tiny_params_cfg, cpu_devices):
+        """Frame-batch DP (independent frames on the data axis) must compile
+        with NO cross-device collectives at all (beyond parameter broadcast
+        at placement time) — linear export scaling's premise."""
+        import re
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hdrtv_tpu.models.s2d import ensemble_s2d, s2d_transform_params
+        from hdrtv_tpu.parallel.mesh import make_mesh, replicate_params
+
+        params, cfg = tiny_params_cfg
+        host = {k: np.asarray(v) for k, v in params.items()}
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(host).items()}
+        mesh = make_mesh(8, axes=("data", "spatial"))
+        # all-data mesh: 8 frames, one per device
+        from jax.sharding import Mesh
+        import numpy as _np
+
+        mesh = Mesh(_np.asarray(jax.devices()[:8]).reshape(8, 1), ("data", "spatial"))
+        fsh = NamedSharding(mesh, P("data", None, None, None))
+        rng = np.random.RandomState(4)
+        img = jnp.asarray(rng.rand(8, 16, 32, 3).astype(np.float32))
+        cond = jnp.asarray(rng.rand(8, 4, 8, 3).astype(np.float32))
+        fn = jax.jit(lambda p, i, c: ensemble_s2d(p, i, c, cfg), out_shardings=fsh)
+        txt = fn.lower(
+            replicate_params(sp, mesh), jax.device_put(img, fsh), jax.device_put(cond, fsh)
+        ).compile().as_text()
+        for op in ("collective-permute(", "all-gather(", "all-reduce(", "all-to-all("):
+            assert op not in txt, f"unexpected {op.rstrip('(')} in the DP program"
