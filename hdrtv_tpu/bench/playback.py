@@ -193,22 +193,31 @@ def write_session(out_dir: str, result: PlaybackResult) -> None:
 
 
 def run_batch(configs: list[PlaybackRunConfig], make_processor, root_dir: str) -> list[PlaybackResult]:
-    """Batch sweep writing per-run sessions + a batch CSV
-    (cli_playback_benchmark.py batch mode)."""
+    """Batch sweep writing per-run sessions + batch CSVs.
+
+    Layout mirrors the reference batch contract (README.md:1006-1018):
+    per-run folders ``<resolution>_<preset>_<hg|nohg>/`` each holding
+    ``summary.txt``/``session.json``/``runtime_metrics.csv``, plus
+    ``playback_benchmark_summary.csv`` with a ``batch_summary.csv``
+    compatibility copy (and this build's earlier ``batch.csv`` name)."""
     results = []
     os.makedirs(root_dir, exist_ok=True)
-    for i, cfg in enumerate(configs):
+    for cfg in configs:
         proc = make_processor(cfg)
-        out = os.path.join(root_dir, f"run{i:02d}_{cfg.resolution_key}_{cfg.precision_key.replace(' ', '_')}")
-        results.append(run_playback_benchmark(cfg, proc, out))
-    with open(os.path.join(root_dir, "batch.csv"), "w", newline="") as f:
-        wr = csv.writer(f)
-        wr.writerow(
-            ["resolution", "precision", "use_hg", "fps", "fps_1pct_low", "model_ms", "frames", "dropped", "artifact_mb"]
+        preset = cfg.precision_key.replace(" ", "_").replace("(", "").replace(")", "")
+        out = os.path.join(
+            root_dir, f"{cfg.resolution_key}_{preset}_{'hg' if cfg.use_hg else 'nohg'}"
         )
-        for r in results:
-            c = r.config
-            wr.writerow(
-                [c["resolution_key"], c["precision_key"], c["use_hg"], r.fps, r.fps_1pct_low, r.model_ms, r.frames, r.dropped, r.artifact_mb]
-            )
+        results.append(run_playback_benchmark(cfg, proc, out))
+    rows = [
+        ["resolution", "precision", "use_hg", "fps", "fps_1pct_low", "model_ms", "frames", "dropped", "artifact_mb"]
+    ]
+    for r in results:
+        c = r.config
+        rows.append(
+            [c["resolution_key"], c["precision_key"], c["use_hg"], r.fps, r.fps_1pct_low, r.model_ms, r.frames, r.dropped, r.artifact_mb]
+        )
+    for name in ("playback_benchmark_summary.csv", "batch_summary.csv", "batch.csv"):
+        with open(os.path.join(root_dir, name), "w", newline="") as f:
+            csv.writer(f).writerows(rows)
     return results
