@@ -223,7 +223,7 @@ class AudioPlayer:
     def _ipc(self, command: list) -> bool:
         try:
             if self._sock is None:
-                deadline = time.monotonic() + 5.0
+                deadline = time.monotonic() + 10.0
                 while not os.path.exists(self.ipc_path):
                     if self.proc.poll() is not None or time.monotonic() > deadline:
                         return False
