@@ -225,6 +225,7 @@ class MpvPipeSink:
         self.frames = 0
         self._ipc_sock = None
         self._ipc_req = 0
+        self._ipc_lock = threading.Lock()  # monitor thread + hot-swap share the socket
         # HDR-confirmation monitor: poll mpv's actual VO output params until
         # BT.2020+PQ is confirmed (gui_mpv_widget.py:1145-1185)
         self._monitor = threading.Thread(target=self._hdr_monitor, daemon=True, name="mpv-hdr-monitor")
@@ -233,6 +234,10 @@ class MpvPipeSink:
     def _ipc_get(self, prop: str, timeout: float = 1.0):
         """mpv JSON-IPC get_property; None on any failure (IPC is advisory —
         the video path never depends on it)."""
+        with self._ipc_lock:
+            return self._ipc_get_locked(prop, timeout)
+
+    def _ipc_get_locked(self, prop: str, timeout: float = 1.0):
         import json
         import socket
 
@@ -271,18 +276,19 @@ class MpvPipeSink:
     def _ipc_set(self, prop: str, value) -> bool:
         import json
 
-        try:
-            if self._ipc_sock is None:
-                self._ipc_get("mpv-version")  # establishes the connection
-            if self._ipc_sock is None:
+        with self._ipc_lock:
+            try:
+                if self._ipc_sock is None:
+                    self._ipc_get_locked("mpv-version")  # establishes the connection
+                if self._ipc_sock is None:
+                    return False
+                self._ipc_sock.sendall(
+                    json.dumps({"command": ["set_property", prop, value]}).encode() + b"\n"
+                )
+                return True
+            except OSError:
+                self._ipc_sock = None
                 return False
-            self._ipc_sock.sendall(
-                json.dumps({"command": ["set_property", prop, value]}).encode() + b"\n"
-            )
-            return True
-        except OSError:
-            self._ipc_sock = None
-            return False
 
     def set_scale(self, upscaler: str | None, *, out_size: tuple[int, int] | None = None,
                   film_grain: bool = False) -> bool:
