@@ -68,13 +68,40 @@ def measure_fps(height: int = 1080, width: int = 1920, n: int = 60) -> float:
     return 1.0 / dt
 
 
-def main() -> None:
+def _measure_with_fallback() -> float:
     try:
-        fps = measure_fps()
+        return measure_fps()
     except Exception as exc:  # pallas/remote-compile fragility → lax fallback
         print(f"turbo path failed ({type(exc).__name__}); retrying without pallas", flush=True)
         os.environ["HDRTV_DISABLE_PALLAS"] = "1"
-        fps = measure_fps()
+        return measure_fps()
+
+
+def main() -> None:
+    # Watchdog: a wedged dev relay can hang device calls indefinitely; an
+    # honest error line beats an eternal hang (HDRTV_BENCH_TIMEOUT_S, 0=off).
+    import threading
+
+    timeout_s = float(os.environ.get("HDRTV_BENCH_TIMEOUT_S", "2700") or 0)
+    box: dict = {}
+
+    def work():
+        try:
+            box["fps"] = _measure_with_fallback()
+        except BaseException as exc:  # noqa: BLE001 — report, then exit nonzero
+            box["error"] = f"{type(exc).__name__}: {exc}"
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s or None)
+    if "fps" not in box:
+        err = box.get("error", f"no result within {timeout_s:.0f}s (TPU relay unreachable?)")
+        print(json.dumps({
+            "metric": "1080p_nohg_bf16_fps", "value": 0.0, "unit": "fps",
+            "vs_baseline": 0.0, "error": err,
+        }))
+        raise SystemExit(1)
+    fps = box["fps"]
     print(
         json.dumps(
             {
