@@ -328,7 +328,13 @@ def cmd_bench(args) -> int:
             return _make_processor(a)
 
         root = args.out or os.path.join("logs", "playback_sessions", "batch")
-        results = run_batch(cfgs, make_proc, root)
+        trace_cm = contextlib.nullcontext()
+        if args.trace:
+            from hdrtv_tpu.utils.profiling import device_trace
+
+            trace_cm = device_trace(args.trace)
+        with trace_cm:
+            results = run_batch(cfgs, make_proc, root)
         for r in results:
             c = r.config
             print(f"{c['resolution_key']:6s} {c['precision_key']:24s} "
