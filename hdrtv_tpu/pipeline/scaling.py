@@ -201,8 +201,12 @@ def mpv_scale_args(
     ) if upscale_shader else False
     if upscale_shader and not has_upscale_shader:
         mpv_kernel = BEST_MPV_SCALE  # shader absent → best built-in kernel
+    elif kernel == "fsr":
+        # residual scale after FSR's EASU pass (gui_mpv_widget.py:595-600)
+        mpv_kernel = BEST_MPV_SCALE
     elif upscale_shader:
-        mpv_kernel = "ewa_lanczos"  # shader does the sharpening; neutral base
+        # SSimSuperRes pairs with spline36 (gui_mpv_widget.py:588-590)
+        mpv_kernel = "spline36"
     else:
         mpv_kernel = kernel
     antiring = select_scale_antiring(proc_w, proc_h, out_w, out_h, kernel)

@@ -75,7 +75,12 @@ class TestScalingPolicy:
         (tmp_path / "FSR.glsl").write_text("// fsr")
         args = mpv_scale_args(1280, 720, 3840, 2160, "FSR", shader_dir=str(tmp_path))
         assert any(a.startswith("--glsl-shader=") and a.endswith("FSR.glsl") for a in args)
-        assert "--scale=ewa_lanczos" in args
+        # FSR residual scale = ewa_lanczossharp (gui_mpv_widget.py:595-600)
+        assert "--scale=ewa_lanczossharp" in args
+        (tmp_path / "SSimSuperRes.glsl").write_text("// s")
+        args_ssim = mpv_scale_args(1280, 720, 3840, 2160, "SSimSuperRes", shader_dir=str(tmp_path))
+        # SSimSuperRes pairs with spline36 (gui_mpv_widget.py:588-590)
+        assert "--scale=spline36" in args_ssim
         # absent shader → EWA fallback, no shader flag
         args2 = mpv_scale_args(1280, 720, 3840, 2160, "FSR", shader_dir=str(tmp_path / "nope"))
         assert not any(a.startswith("--glsl-shader") for a in args2)
