@@ -161,8 +161,11 @@ class MpvPipeSink:
         self.hdr_confirmed = False
 
         scale_args: list[str] = []
+        vf = self._VF
         if out_size is not None:
-            from hdrtv_tpu.pipeline.scaling import mpv_scale_args
+            from hdrtv_tpu.pipeline.scaling import (
+                mpv_scale_args, select_cas_strength, select_scale_kernel,
+            )
 
             # Film grain rides the HDR pane's shader chain only; the SDR
             # comparison pane gets the plain kernel policy
@@ -171,6 +174,15 @@ class MpvPipeSink:
                 width, height, out_size[0], out_size[1], upscaler,
                 film_grain=film_grain and self._HDR_PANE, hdr=self._HDR_PANE,
             )
+            # CAS sharpening joins the vf chain when the policy calls for it
+            # (gui_mpv_widget.py:998-1000; zero under FSR/SSim/no-upscale)
+            kern = select_scale_kernel(width, height, out_size[0], out_size[1], upscaler)
+            cas = select_cas_strength(
+                width, height, out_size[0], out_size[1],
+                using_fsr=(kern == "fsr"), scale_kernel=kern,
+            )
+            if cas > 0:
+                vf = f"{vf},cas={cas:.2f}"
         base = [
             "--no-config",
             f"--input-ipc-server={self.ipc_path}",
@@ -179,7 +191,7 @@ class MpvPipeSink:
             f"--demuxer-rawvideo-h={height}",
             f"--demuxer-rawvideo-fps={fps}",
             f"--demuxer-rawvideo-mp-format={self._RAW_FORMAT}",
-            f"--vf={self._VF}",
+            f"--vf={vf}",
             "--keep-open=no",
             *scale_args,
             *extra_args,

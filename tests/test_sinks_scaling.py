@@ -380,3 +380,22 @@ class TestScaleHotSwap:
             assert sink.set_scale("ewa_lanczossharp", out_size=(128, 64))
         finally:
             sink.close()
+
+
+class TestCasInVf:
+    def test_cas_joins_vf_when_policy_applies(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from hdrtv_tpu.pipeline.sinks import MpvPipeSink
+
+        _install_fake_mpv(tmp_path, monkeypatch, refuse="--never-refused")
+        # 540p → 1080p with the EWA kernel: CAS 0.24 per the policy tiers
+        sink = MpvPipeSink(960, 540, 30.0, out_size=(1920, 1080),
+                           upscaler="ewa_lanczossharp")
+        try:
+            sink.show(np.zeros((540, 960, 3), np.uint16))
+        finally:
+            sink.close()
+        # FSR: CAS stays out of the chain (gui_scaling.py:113-138)
+        sink2 = MpvPipeSink(960, 540, 30.0, out_size=(1920, 1080), upscaler="fsr")
+        sink2.close()
