@@ -306,8 +306,10 @@ def cmd_bench(args) -> int:
         # / --runs recipes, README.md:768-777 one-liners)
         import copy
 
+        from hdrtv_tpu.config import resolve_precision_key
+
         resolutions = args.resolutions or [args.resolution]
-        runs = args.runs or [args.precision]
+        runs = [resolve_precision_key(r) for r in (args.runs or [args.precision])]
         cfgs = [
             PlaybackRunConfig(
                 video=args.video, precision_key=pk, resolution_key=rk,
@@ -411,7 +413,9 @@ def cmd_quality(args) -> int:
         elif args.queue.strip().lower() == "all":
             keys = list(PRECISIONS)
         else:
-            keys = [k.strip() for k in args.queue.split(",") if k.strip()]
+            from hdrtv_tpu.config import resolve_precision_key
+
+            keys = [resolve_precision_key(k.strip()) for k in args.queue.split(",") if k.strip()]
         unknown = [k for k in keys if k not in PRECISIONS]
         if unknown:
             print(f"unknown precision presets: {unknown}; known: {list(PRECISIONS)}")
