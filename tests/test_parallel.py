@@ -280,6 +280,95 @@ class TestShardingEfficiency:
         assert n_gather == 0, f"{n_gather} all-gathers — halo partitioning regressed"
         assert n_reduce == 0, f"{n_reduce} all-reduces — halo partitioning regressed"
 
+    def test_hg_mesh_program_census_no_involuntary_remat(self, tiny_params_cfg, cpu_devices):
+        """The W-sharded HG composite must compile to collective-permutes
+        only, with zero all-gathers — an all-gather is exactly what GSPMD's
+        'involuntary full rematerialization' fallback emits (replicate, then
+        re-partition). Shape floor: 64 px of W per spatial shard keeps every
+        UNet level at least mesh-wide (the MULTICHIP_r03 warning was the
+        64×128 dryrun shape violating this — swept in round 4)."""
+        import os
+        import re
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+        from hdrtv_tpu.models.import_torch import convert_state
+        from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48, s2d_transform_params
+        from hdrtv_tpu.parallel.mesh import replicate_params, spatial_mesh
+
+        params, _ = tiny_params_cfg
+        fx = np.load(os.path.join(os.path.dirname(__file__), "fixtures", "hg_mid.npz"))
+        cfg = ModelConfig(use_hg=True)
+        host = {f"base.{k}": np.asarray(v) for k, v in params.items()}
+        host.update(convert_state({k: fx[k] for k in fx.files if k.startswith("hg.")}))
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(host, cfg).items()}
+
+        mesh = spatial_mesh(8)
+        fsh = NamedSharding(mesh, P(None, "spatial", None))
+        h, w = 64, 64 * 8
+        frame = jnp.asarray((np.random.RandomState(0).rand(h, w, 3) * 255).astype(np.uint8))
+        cond = jnp.asarray(np.random.RandomState(1).rand(1, h // 4, w // 4, 3).astype(np.float32))
+
+        os.environ["HDRTV_DISABLE_PALLAS"] = "1"
+        try:
+            fn = jax.jit(lambda p, f, c: ensemble_s2d_rgb48(p, f, c, cfg, mega=False),
+                         out_shardings=fsh)
+            txt = fn.lower(
+                replicate_params(sp, mesh), jax.device_put(frame, fsh), cond
+            ).compile().as_text()
+        finally:
+            os.environ.pop("HDRTV_DISABLE_PALLAS", None)
+        n_permute = len(re.findall(r"collective-permute\(", txt))
+        n_gather = len(re.findall(r"all-gather\(", txt))
+        n_reduce = len(re.findall(r"\ball-reduce\(", txt))
+        assert n_permute > 0, "expected halo exchanges in the sharded HG program"
+        assert n_gather == 0, f"{n_gather} all-gathers — involuntary remat is back"
+        assert n_reduce == 0, f"{n_reduce} all-reduces — halo partitioning regressed"
+
+    def test_train_step_census(self, tiny_params_cfg, cpu_devices):
+        """The dryrun's sharded train step: gradient all-reduces are the only
+        heavy collectives; no all-to-alls and at most a handful of small
+        all-gathers (loss reduction over the replicated scalar). Gates the
+        MULTICHIP artifact staying warning-free (VERDICT r3 item 5)."""
+        import re
+
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hdrtv_tpu.parallel.mesh import frame_sharding, make_mesh
+        from hdrtv_tpu.train import TrainState, init_state, make_train_step
+
+        params, cfg = tiny_params_cfg
+        mesh = make_mesh(8)
+        opt = optax.adam(2e-6)
+        state = init_state({k: jnp.asarray(v) for k, v in params.items()}, opt)
+        step = make_train_step(cfg, opt)
+        repl = NamedSharding(mesh, P())
+        fsh = frame_sharding(mesh)
+
+        def wrapped(p, opt_state, img, cond, gt):
+            st2, loss = step(TrainState(p, opt_state, 0), img, cond, gt)
+            return st2.params, st2.opt_state, loss
+
+        jit_step = jax.jit(wrapped, in_shardings=(repl, repl, fsh, fsh, fsh),
+                           out_shardings=(repl, repl, NamedSharding(mesh, P())))
+        dp, sp_ = mesh.shape["data"], mesh.shape["spatial"]
+        rng = np.random.RandomState(0)
+        b, h, w = dp, 32, 32 * sp_
+        img = jax.device_put(jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)), fsh)
+        cond = jax.device_put(jnp.asarray(rng.rand(b, h // 4, w // 4, 3).astype(np.float32)), fsh)
+        gt = jax.device_put(jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)), fsh)
+        txt = jit_step.lower(
+            jax.device_put(state.params, repl), jax.device_put(state.opt_state, repl),
+            img, cond, gt,
+        ).compile().as_text()
+        n_gather = len(re.findall(r"all-gather\(", txt))
+        n_reduce = len(re.findall(r"\ball-reduce\(", txt))
+        assert "all-to-all(" not in txt, "unexpected all-to-all in the train step"
+        assert n_reduce > 0, "expected gradient all-reduces under DP"
+        assert n_gather <= 4, f"{n_gather} all-gathers — train-step sharding regressed"
+
     def test_batch_dp_program_has_no_collectives(self, tiny_params_cfg, cpu_devices):
         """Frame-batch DP (independent frames on the data axis) must compile
         with NO cross-device collectives at all (beyond parameter broadcast
