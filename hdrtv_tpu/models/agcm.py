@@ -156,7 +156,18 @@ def classifier_apply(
 
     Each block: 1×1 conv → AvgPool(3,2,1,count_include_pad) → LeakyReLU(0.2)
     [→ InstanceNorm]; then Dropout (eval no-op) → 1×1 conv → global avg pool.
+
+    Under manual (shard_map) spatial sharding the ¼-res condition shard is
+    all-gathered once and the classifier runs replicated: its InstanceNorm +
+    global pool need global statistics, and the input is a few MB while the
+    trunk is 1×1 convs — gathering beats sharding the reductions.
     """
+    from hdrtv_tpu.parallel import halo as _halo
+
+    if _halo.active():
+        cond = _halo.gather_w(cond, axis=2)
+        with _halo.suspended():
+            return classifier_apply(p, prefix, classifier, cond, policy=policy)
     layout, final_conv = _CLASSIFIER_LAYOUTS[normalize_classifier_name(classifier)]
     x = policy.cast(cond)
     for conv_idx, in_idx in layout:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from hdrtv_tpu.models.agcm import classifier_apply
 from hdrtv_tpu.models.hdrtvnet import ModelConfig
 from hdrtv_tpu.models.layers import F32, Params, Policy, leaky_relu, relu
+from hdrtv_tpu.parallel import halo as _halo
 
 # ---------------------------------------------------------------------------
 # Data movement: s2d / d2s / pad-shifted neighborhoods (block-major channels)
@@ -380,6 +381,11 @@ def conv_s1(p, name, x, *, policy, relu_fused: bool = False, skip: jax.Array | N
     (ops/conv_kernels.py) with bias/ReLU/residual-skip folded in; everything
     else takes the lax path and applies the epilogue separately.
     """
+    if _halo.active():
+        return _halo.run_stage(
+            lambda xx, sk: conv_s1(p, name, xx, policy=policy, relu_fused=relu_fused, skip=sk),
+            [x, skip], [2, 2], need=1, mod=8, out_axis=2,
+        )
     w = p[f"{name}.weight"]
     if _use_fused_kernel(x, w):
         from hdrtv_tpu.ops.conv_kernels import fused_block_conv3
@@ -419,6 +425,12 @@ def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = N
 
     if relu_fused:
         act = "relu"
+    if _halo.active():
+        # mod 16: the extended width must keep fused_down2's (wb/2) % 8.
+        return _halo.run_stage(
+            lambda xx: conv_s2(p, name, xx, policy=policy, act=act, a_sub=a_sub),
+            [x], [2], need=2, mod=16, out_axis=2, out_stride=2,
+        )
     w = p[f"{name}.weight"]
     hb, wb = x.shape[1], x.shape[2]
     if (
@@ -455,6 +467,11 @@ def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = N
 
 def conv_s2_nat(p, name, x, *, policy):
     """Stride-2 3×3, natural output: 2×2 stride-1, (1,0) pad over plain s2d."""
+    if _halo.active():
+        return _halo.run_stage(
+            lambda xx: conv_s2_nat(p, name, xx, policy=policy),
+            [x], [2], need=1, mod=2, out_axis=2,
+        )
     return _conv(p, name, x, padding=[(1, 0), (1, 0)], policy=policy)
 
 
@@ -463,6 +480,11 @@ def conv_1x1(p, name, x, *, policy):
 
 
 def conv_nat(p, name, x, *, pad=1, policy):
+    if pad > 0 and _halo.active():
+        return _halo.run_stage(
+            lambda xx: conv_nat(p, name, xx, pad=pad, policy=policy),
+            [x], [2], need=pad, mod=2, out_axis=2,
+        )
     return _conv(p, name, x, padding=[(pad, pad), (pad, pad)], policy=policy)
 
 
@@ -503,6 +525,14 @@ def _sft_conv_ok(p, conv_name, x, cond, *, policy) -> bool:
 def _sft_conv(p, sft_name, conv_name, x, cond, *, policy, relu_fused=False, skip=None):
     """SFT + 3×3 conv, fused into one Pallas pass when eligible
     (ops/megakernel.py fused_sft_conv3_v2); SFT-then-conv otherwise."""
+    if _halo.active():
+        # One exchange covers the whole fused stage (SFT is pointwise).
+        return _halo.run_stage(
+            lambda xx, cc, sk: _sft_conv(
+                p, sft_name, conv_name, xx, cc, policy=policy, relu_fused=relu_fused, skip=sk
+            ),
+            [x, cond, skip], [2, 2, 2], need=1, mod=8, out_axis=2,
+        )
     if _sft_conv_ok(p, conv_name, x, cond, policy=policy):
         from hdrtv_tpu.ops.megakernel import fused_sft_conv3_v2
 
@@ -524,6 +554,16 @@ def _resblock(p, name, fea, cond, conv3, conv1, *, policy, up_coarse=None, x_add
     """``up_coarse``/``x_add``: optional second block input (the up-path
     skip), added to ``fea`` — fused into the resblock kernel when eligible
     (with the d2s un-fold for the coarse form), materialized otherwise."""
+    if _halo.active():
+        # Two convs per resblock → radius 2; up_coarse rides at r/2 (half-res
+        # window stays start-aligned with the fine window, incl. at edges).
+        return _halo.run_stage(
+            lambda f, c, uc, xa: _resblock(
+                p, name, f, c, conv3, conv1, policy=policy, up_coarse=uc, x_add=xa
+            ),
+            [fea, cond, up_coarse, x_add], [2, 2, 2, 2],
+            need=2, mod=8, out_axis=2, coarse_idx=(2,),
+        )
     if conv3 is conv_s1:
         if _sft_conv_ok(p, f"{name}.conv1", fea, cond, policy=policy):
             from hdrtv_tpu.ops.megakernel import fused_resblock, pick_rows_even
@@ -568,6 +608,14 @@ def _trunk3_up_fused(p, fea3, cond4, *, policy):
     stage streams through VMEM."""
     from hdrtv_tpu.utils.env import env_bool
 
+    if _halo.active():
+        # 4 resblocks (8 convs) + up_conv1 → radius 9 in the natural /8
+        # domain. Small-mesh shards narrower than 2r take run_stage's
+        # gather-replicate-slice path (the L3 tensor is tiny).
+        return _halo.run_stage(
+            lambda f, c: _trunk3_up_fused(p, f, c, policy=policy),
+            [fea3, cond4], [2, 2], need=9, mod=8, out_axis=2,
+        )
     if env_bool("HDRTV_DISABLE_PALLAS", False) or not env_bool("HDRTV_TRUNK3_KERNEL", True):
         return None
     if jax.default_backend() != "tpu" and not env_bool("HDRTV_MEGAKERNEL_INTERPRET", False):
@@ -868,6 +916,7 @@ def _cond_quarter_flat(frame2d_u8: jax.Array, *, bgr: bool) -> jax.Array:
     w = w3 // 3
     if h % 4 == 0 and w % 4 == 0:
         return downsample_quarter_aa_flat(frame2d_u8, bgr=bgr)
+    assert not _halo.active(), "manual sharding requires /4-divisible shards"
     cframe = frame2d_u8.reshape(h, w, 3)
     if bgr:
         cframe = cframe[..., ::-1]
@@ -1002,13 +1051,23 @@ def _ensemble_mega(
         # consumes the (model-space RGB) AGCM output and stays untouched.
         perm = np.array([(k // 3) * 3 + 2 - (k % 3) for k in range(aw1.shape[0])])
         aw1 = aw1[perm]
-    fea_pre, c0, agcm = fused_agcm_head(
-        xs, mods,
-        aw1, p["AGCM.conv_first.bias"],
-        *w11("AGCM.HRconv"), *w11("AGCM.conv_last"),
-        p["LE.__in_fused.weight"], p["LE.__in_fused.bias"],
-        n_first=n_first, scale=scale, out_dtype=policy.compute_dtype,
-    )
+    def head(xs_in):
+        return fused_agcm_head(
+            xs_in, mods,
+            aw1, p["AGCM.conv_first.bias"],
+            *w11("AGCM.HRconv"), *w11("AGCM.conv_last"),
+            p["LE.__in_fused.weight"], p["LE.__in_fused.bias"],
+            n_first=n_first, scale=scale, out_dtype=policy.compute_dtype,
+        )
+
+    if _halo.active():
+        # One 3×3 (LE.__in_fused) inside the head; mods is a replicated
+        # global vector. xs: (Hb,Wb,12) → W axis 1; (Hb,2,Wb,6) → axis 2.
+        fea_pre, c0, agcm = _halo.run_stage(
+            head, [xs], [xs.ndim - 2], need=1, mod=8, out_axis=1
+        )
+    else:
+        fea_pre, c0, agcm = head(xs)
 
     # The chain stays float even in native-int8 mode: per-layer VMEM
     # quantization doubled the kernel (1.59 → 3.19 ms, round-3 trace) — for
@@ -1045,14 +1104,24 @@ def _ensemble_mega(
         w11("LE.SFT_layer2.SFT_scale_conv0"), w11("LE.SFT_layer2.SFT_scale_conv1"),
         w11("LE.SFT_layer2.SFT_shift_conv0"), w11("LE.SFT_layer2.SFT_shift_conv1"),
     ]
-    return fused_tail(
-        s, cond1, agcm, sft2,
-        p["LE.HR_conv2.weight"], p["LE.HR_conv2.bias"],
-        p["LE.conv_last.weight"], p["LE.conv_last.bias"],
-        pack=pack,
-        qargs_hr=_qargs_for(p, "LE.HR_conv2"),
-        up_coarse=up_coarse,
-    )
+    def tail(s_in, cond1_in, agcm_in, up_in):
+        return fused_tail(
+            s_in, cond1_in, agcm_in, sft2,
+            p["LE.HR_conv2.weight"], p["LE.HR_conv2.bias"],
+            p["LE.conv_last.weight"], p["LE.conv_last.bias"],
+            pack=pack,
+            qargs_hr=_qargs_for(p, "LE.HR_conv2"),
+            up_coarse=up_in,
+        )
+
+    if _halo.active():
+        # HR_conv2 + conv_last → radius 2; up_coarse rides at r/2. Packed
+        # output is (Hb,2,Wb,6) → crop axis 2; unpacked (Hb,Wb,C) → axis 1.
+        return _halo.run_stage(
+            tail, [s, cond1, agcm, up_coarse], [1, 1, 1, 1],
+            need=2, mod=8, out_axis=2 if pack else 1, coarse_idx=(3,),
+        )
+    return tail(s, cond1, agcm, up_coarse)
 
 
 # ---------------------------------------------------------------------------

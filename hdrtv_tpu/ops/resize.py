@@ -141,6 +141,25 @@ def downsample_quarter_aa_flat(frame2d: jax.Array, *, bgr: bool = False) -> jax.
     kron-expanded over the interleaved RGB bytes (with the BGR flip folded
     in). Only the tiny (H/4, 3·W/4) result reshapes to channel-minor.
     """
+    from hdrtv_tpu.parallel import halo as _halo
+
+    if _halo.active():
+        # Exact-scale-4 resample is shift-invariant with period 4, so the
+        # shifted-window machinery applies with stride 4: the local matrix's
+        # clipped/renormalized edge rows land exactly on the true frame
+        # edges (edge devices' windows start/end there) and interior window
+        # rows are pure shifts. Radius: bicubic-AA support = 2·4 = 8 px →
+        # 24 bytes; multiples of 12 keep window starts on whole 4-px cells.
+        w3l = frame2d.shape[1]
+        rb = _halo.pick_radius(w3l, 24, mod=12, align=12)
+
+        def stage(f):
+            return downsample_quarter_aa_flat(f, bgr=bgr)
+
+        return _halo.run_stage(
+            stage, [frame2d], [1], need=rb, mod=12, align=12,
+            out_axis=2, out_stride=12,
+        )
     h, w3 = frame2d.shape
     w = w3 // 3
     wh = jnp.asarray(resample_matrix(h, h // 4, 4.0))

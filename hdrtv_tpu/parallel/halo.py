@@ -50,6 +50,23 @@ from jax import lax
 _TLS = threading.local()
 
 
+def make_shard_map(body, mesh, in_specs, out_specs):
+    """``jax.shard_map`` across API generations (0.8 ``check_rep`` kwarg /
+    0.9 keyword-only ``check_vma``); replication checking is off — the body
+    mixes replicated params with sharded activations by design."""
+    sm = getattr(jax, "shard_map", None)
+    if sm is not None:
+        try:
+            return sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_vma=False)
+        except TypeError:
+            pass
+    from jax.experimental.shard_map import shard_map as sm  # jax < 0.8
+
+    return sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+              check_rep=False)
+
+
 def axis_name() -> str | None:
     """The spatial mesh axis when tracing inside manual-shard mode."""
     return getattr(_TLS, "axis", None)
@@ -84,6 +101,26 @@ def suspended():
 
 def _axis_n(name: str) -> int:
     return lax.psum(1, name)
+
+
+def pick_radius(w_local: int, need: int, *, mod: int = 8, align: int = 2) -> int:
+    """Smallest radius ≥ ``need`` that keeps the extended width eligible.
+
+    ``mod``: the stage's extended-width divisibility requirement (8 for the
+    stride-1 megakernels' ``_use_fused_kernel`` check, 16 for fused_down2's
+    ``(wb/2) % 8``, 4·stride for resample windows). ``align``: radius
+    granularity (2 keeps coarse-domain companion inputs at ``r/2`` aligned,
+    4 for the ¼-res downsample). All-static shape math — free at trace time.
+    """
+    r = max(need, align)
+    r += (-r) % align
+    for _ in range(2 * mod):
+        if (w_local + 2 * r) % mod == 0:
+            return r
+        r += align
+    # Unreachable width/mod combination (odd shard width): the fused paths
+    # reject such shapes themselves; return the plain aligned radius.
+    return max(need, align) + (-max(need, align)) % align
 
 
 def _starts(k, n: int, r: int):
@@ -140,6 +177,71 @@ def crop(y: jax.Array, r: int, axis: int, *, stride: int = 1) -> jax.Array:
     sizes = list(y.shape)
     sizes[axis] = w_keep
     return lax.dynamic_slice(y, starts, sizes)
+
+
+def _slice_local(y: jax.Array, out_axis: int, name: str) -> jax.Array:
+    """This device's canonical shard of a replicated (gathered) result."""
+    n = _axis_n(name)
+    k = lax.axis_index(name)
+    w_out = y.shape[out_axis] // n
+    starts = [0] * y.ndim
+    starts[out_axis] = k * w_out
+    sizes = list(y.shape)
+    sizes[out_axis] = w_out
+    return lax.dynamic_slice(y, starts, sizes)
+
+
+def run_stage(
+    fn,
+    inputs,
+    waxes,
+    *,
+    need: int,
+    mod: int = 8,
+    align: int = 2,
+    out_axis: int,
+    out_stride: int = 1,
+    coarse_idx=(),
+):
+    """Run one spatially-overlapping stage under manual sharding.
+
+    ``fn(*inputs)`` is the unmodified single-device stage (lax or Pallas);
+    ``waxes[i]`` is input i's W axis; ``coarse_idx`` marks half-resolution
+    companion inputs (they get radius r/2, keeping window starts aligned).
+    Wide shards use shifted-window ext→fn→crop; shards narrower than 2r
+    (the deep tiny UNet levels on small meshes) fall back to
+    gather→replicated fn→slice, which is exact and cheap at those sizes.
+    Tuple-returning stages have every element cropped on ``out_axis``;
+    ``None`` inputs and a ``None`` result pass through untouched.
+    """
+    if not active():
+        return fn(*inputs)
+    name = axis_name()
+    w = inputs[0].shape[waxes[0]]
+    r = pick_radius(w, need, mod=mod, align=align)
+    if _axis_n(name) == 1:
+        with suspended():
+            return fn(*inputs)
+    if w >= 2 * r:
+        ext_in = [
+            None if x is None else ext(x, r // 2 if i in coarse_idx else r, waxes[i])
+            for i, x in enumerate(inputs)
+        ]
+        with suspended():
+            y = fn(*ext_in)
+        if y is None:
+            return None
+        if isinstance(y, tuple):
+            return tuple(crop(e, r, out_axis, stride=out_stride) for e in y)
+        return crop(y, r, out_axis, stride=out_stride)
+    full = [None if x is None else gather_w(x, waxes[i]) for i, x in enumerate(inputs)]
+    with suspended():
+        y = fn(*full)
+    if y is None:
+        return None
+    if isinstance(y, tuple):
+        return tuple(_slice_local(e, out_axis, name) for e in y)
+    return _slice_local(y, out_axis, name)
 
 
 def gather_w(x: jax.Array, axis: int) -> jax.Array:

@@ -295,6 +295,49 @@ class HDRTVNetTPU:
 
     # -- Spatial mesh inference: the W-sharded single-frame program. --
 
+    def _mesh_flat_fn_manual(self, h: int, w3: int):
+        """shard_map variant: per-shard Pallas megakernels + explicit
+        shifted-window halo exchange (parallel/halo.py).
+
+        GSPMD cannot partition ``tpu_custom_call``, so the automatic path
+        (below) forfeits every megakernel; under shard_map each device runs
+        the full turbo program on its W-shard, exchanging only conv halos
+        (≤1 LSB vs single-device on the virtual mesh, tests/test_parallel.py
+        TestShardMapTurbo). This is the designed 4K60 scale-out path."""
+        key = ("shard_map", h, w3)
+        fn = self._mesh_fns.get(key)
+        if fn is not None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        from hdrtv_tpu.parallel import halo
+
+        cfg, policy = self.cfg, self.policy
+
+        def local_body(params, flat_local):
+            with halo.manual_axis("spatial"):
+                return ensemble_s2d_rgb48_flat(
+                    params, flat_local, None, cfg, policy=policy, bgr=True
+                )
+
+        sm = halo.make_shard_map(
+            local_body, self.mesh, (P(), P(None, "spatial")), P(None, "spatial")
+        )
+        fn = jax.jit(sm)
+        self._mesh_fns[key] = fn
+        return fn
+
+    def _mesh_manual_ok(self, h: int, w3: int) -> bool:
+        n_sp = self.mesh.shape.get("spatial", 1)
+        w = w3 // 3
+        return (
+            self.turbo
+            and not self.cfg.use_hg
+            and env_bool("HDRTV_MESH_SHARD_MAP", True)
+            and h % 8 == 0
+            and w % (16 * n_sp) == 0
+        )
+
     def _mesh_flat_fn(self, h: int, w3: int):
         """GSPMD-sharded flat program for one (post-letterbox) frame shape.
 
@@ -342,6 +385,9 @@ class HDRTVNetTPU:
                 f"mesh spatial inference needs the turbo arch and W divisible "
                 f"by 8×spatial axis (got {w3 // 3}px over {n_sp} devices)"
             )
+        if self._mesh_manual_ok(h, w3):
+            flat_dev = jax.device_put(flat_dev, flat_sharding(self.mesh))
+            return self._mesh_flat_fn_manual(h, w3)(self.params, flat_dev)
         flat_dev = jax.device_put(flat_dev, flat_sharding(self.mesh))
         fn = self._mesh_flat_fn(h, w3)
         # Trace-time guard: the W-sharded program must stay pure lax — GSPMD
@@ -443,10 +489,29 @@ class HDRTVNetTPU:
         Two rejected designs, both measured: a batched NHWC formulation kept
         3-minor tensors on the jit boundary (1.36 s/frame at 1080p from
         lane-padding relayouts), and a ``lax.map`` over the flat body never
-        finished the Mosaic remote compile on this runner (>30 min)."""
+        finished the Mosaic remote compile on this runner (>30 min).
+
+        In-flight depth is bounded (HDRTV_BATCH_INFLIGHT, default 4): with
+        8+ unconstrained chains, XLA keeps every chain's input/intermediates
+        live at once and per-frame time regressed 19.78 → 25.37 ms at 1080p
+        (HBM working-set contention, PERF_NOTES round 3). Frame i takes a
+        data-dependent no-op token from frame i-K's output, so at most K
+        chains' buffers are ever live while the dispatch stays fully async
+        (no host syncs)."""
+        from hdrtv_tpu.utils.env import env_int
+
         n, h, w, _ = frames_u8.shape
+        k_inflight = max(1, env_int("HDRTV_BATCH_INFLIGHT", 4))
         flat = frames_u8.reshape(n, h, w * 3)
-        outs = [self._dispatch_rgb48_flat(flat[i]) for i in range(n)]
+        outs: list[jax.Array] = []
+        for i in range(n):
+            f = flat[i]
+            if i >= k_inflight:
+                # zero-valued but data-dependent on the (i-K)-th output:
+                # serializes allocation lifetimes without a device fence
+                tok = (outs[i - k_inflight][0, 0] & jnp.uint16(0)).astype(jnp.uint8)
+                f = f | tok
+            outs.append(self._dispatch_rgb48_flat(f))
         return jnp.stack(outs).reshape(n, h, w, 3)
 
     def _batch_mesh_fn(self, mesh):

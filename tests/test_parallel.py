@@ -242,6 +242,153 @@ class TestHGMeshSharding:
         assert diff.max() <= 1
 
 
+class TestShardMapTurbo:
+    """The shard_map manual-halo path (parallel/halo.py): per-shard turbo
+    megakernels + explicit collective_permute halo exchange — the designed
+    4K60 scale-out path (VERDICT r3 item 2). GSPMD cannot partition
+    ``tpu_custom_call``; shard_map makes the Pallas megakernels legal on a
+    mesh, so these gates are what let the sharded path keep turbo speed."""
+
+    def _flat_frame(self, h, w, seed=0):
+        rng = np.random.RandomState(seed)
+        return jnp.asarray((rng.rand(h, w * 3) * 255).astype(np.uint8))
+
+    def _shard_map_fn(self, cfg, mesh, policy=None):
+        from jax.sharding import PartitionSpec as P
+
+        from hdrtv_tpu.models.layers import F32
+        from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_flat
+        from hdrtv_tpu.parallel import halo
+
+        def local_body(p, flat_local):
+            with halo.manual_axis("spatial"):
+                return ensemble_s2d_rgb48_flat(
+                    p, flat_local, None, cfg, policy=policy or F32, bgr=True
+                )
+
+        return halo.make_shard_map(
+            local_body, mesh, (P(), P(None, "spatial")), P(None, "spatial")
+        )
+
+    def test_shard_map_matches_single_device(self, tiny_params_cfg, cpu_devices):
+        """Wide shards (the shifted-window ext→stage→crop path) and the
+        narrow-shard gather fallback both reproduce the single-device turbo
+        program to ≤1 LSB of u16."""
+        from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_flat, s2d_transform_params
+        from hdrtv_tpu.parallel.mesh import replicate_params, spatial_mesh
+
+        params, cfg = tiny_params_cfg
+        host = {k: np.asarray(v) for k, v in params.items()}
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(host).items()}
+        mesh = spatial_mesh(8)
+        from hdrtv_tpu.models.layers import F32
+
+        # 1024px → 128px shards: head/tail/resblocks take the shifted-window
+        # path, the deep trunk3 stage (r=12 > W/16) takes the gather path.
+        flat = self._flat_frame(64, 1024)
+        ref = np.asarray(ensemble_s2d_rgb48_flat(sp, flat, None, cfg, policy=F32, bgr=True))
+        sm = jax.jit(self._shard_map_fn(cfg, mesh))
+        out = np.asarray(sm(replicate_params(sp, mesh), flat))
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max LSB diff {diff.max()}"
+
+    def test_shard_map_program_census(self, tiny_params_cfg, cpu_devices):
+        """The compiled shard_map program is halo exchange + the one designed
+        classifier all-gather: collective-permutes for every conv boundary,
+        and only a handful of small all-gathers (¼-res classifier input by
+        design + narrow deep-level fallbacks)."""
+        import re
+
+        from hdrtv_tpu.models.s2d import s2d_transform_params
+        from hdrtv_tpu.parallel.mesh import replicate_params, spatial_mesh
+
+        params, cfg = tiny_params_cfg
+        host = {k: np.asarray(v) for k, v in params.items()}
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(host).items()}
+        mesh = spatial_mesh(8)
+        flat = self._flat_frame(64, 1024)
+        sm = jax.jit(self._shard_map_fn(cfg, mesh))
+        txt = sm.lower(replicate_params(sp, mesh), flat).compile().as_text()
+        n_permute = len(re.findall(r"collective-permute\(", txt))
+        n_gather = len(re.findall(r"all-gather\(", txt))
+        n_reduce = len(re.findall(r"\ball-reduce\(", txt))
+        assert n_permute > 0, "expected explicit halo collective-permutes"
+        assert n_gather <= 6, f"{n_gather} all-gathers — manual halo regressed to gathers"
+        assert n_reduce <= 1, f"{n_reduce} all-reduces in an inference program"
+
+    def test_processor_dispatches_shard_map(self, cpu_devices):
+        """The product mesh path (HDRTVNetTPU(mesh=…) → cli convert --mesh
+        spatial) takes the shard_map program for conforming shapes and
+        reproduces the single-device output."""
+        import os
+
+        from hdrtv_tpu.parallel.mesh import spatial_mesh
+        from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+        weights = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "weights", "hr_fp32.npz"
+        )
+        mesh = spatial_mesh(4)
+        pm = HDRTVNetTPU(weights, precision="fp32", persistent_cache=False, mesh=mesh)
+        h, w = 32, 16 * 4 * 2  # W % (16·n_sp) == 0 → shard_map-eligible
+        assert pm._mesh_manual_ok(h, w * 3)
+        frame = (np.random.RandomState(11).rand(h, w, 3) * 255).astype(np.uint8)
+        out = pm.process_rgb48(frame)
+        assert ("shard_map", h, w * 3) in pm._mesh_fns, "shard_map path not taken"
+        ps = HDRTVNetTPU(weights, precision="fp32", persistent_cache=False)
+        ref = ps.process_rgb48(frame)
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1
+
+    def test_halo_ext_crop_roundtrip(self, cpu_devices):
+        """ext→crop is the identity on the canonical shards, and a haloed
+        3×3 conv equals the unsharded conv exactly (the halo mechanism in
+        isolation, no model)."""
+        from jax.sharding import PartitionSpec as P
+
+        from hdrtv_tpu.parallel import halo
+        from hdrtv_tpu.parallel.mesh import spatial_mesh
+
+        mesh = spatial_mesh(8)
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.rand(1, 16, 256, 8).astype(np.float32))
+        w = jnp.asarray(rng.rand(3, 3, 8, 8).astype(np.float32) - 0.5)
+
+        def conv(v):
+            return jax.lax.conv_general_dilated(
+                v, w, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        ref = np.asarray(conv(x))
+
+        def local(v):
+            with halo.manual_axis("spatial"):
+                ext = halo.ext(v, 2, 2)
+                y = conv(ext)
+                return halo.crop(y, 2, 2)
+
+        out = np.asarray(
+            jax.jit(halo.make_shard_map(
+                local, mesh, P(None, None, "spatial", None), P(None, None, "spatial", None)
+            ))(x)
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=0)
+
+    def test_pick_radius_alignment(self):
+        from hdrtv_tpu.parallel.halo import pick_radius
+
+        # stride-1 megakernel stage on a 240px shard: extended width % 8
+        r = pick_radius(240, 1, mod=8)
+        assert r >= 1 and (240 + 2 * r) % 8 == 0 and r % 2 == 0
+        # stride-2 stage: extended width % 16
+        r = pick_radius(240, 2, mod=16)
+        assert r >= 2 and (240 + 2 * r) % 16 == 0
+        # byte-domain ¼-res downsample: radius multiple of 12 bytes
+        r = pick_radius(720, 24, mod=12, align=12)
+        assert r >= 24 and r % 12 == 0 and (720 + 2 * r) % 12 == 0
+
+
 class TestShardingEfficiency:
     def test_sharded_program_is_pure_halo_exchange(self, tiny_params_cfg, cpu_devices):
         """The W-sharded frame program must compile to neighbor
