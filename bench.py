@@ -46,7 +46,12 @@ METRIC = "1080p_nohg_bf16_fps"
 _RESULT_TAG = "BENCH_RESULT "
 
 
-def measure_fps(height: int = 1080, width: int = 1920, n: int = 60) -> dict:
+def measure_fps(height: int | None = None, width: int | None = None, n: int | None = None) -> dict:
+    # Shape/frame-count overrides exist for the CI plumbing test (CPU, tiny
+    # shape); the driver-scored run always uses the 1080p defaults.
+    height = height or int(os.environ.get("HDRTV_BENCH_HEIGHT", "1080") or 1080)
+    width = width or int(os.environ.get("HDRTV_BENCH_WIDTH", "1920") or 1920)
+    n = n or int(os.environ.get("HDRTV_BENCH_FRAMES", "60") or 60)
     import numpy as np
 
     import jax
@@ -172,7 +177,39 @@ def _emit(value: float, extra: dict | None = None, ok: bool = True) -> None:
     raise SystemExit(0 if ok else 1)
 
 
+def warm() -> None:
+    """Populate the persistent XLA cache for BOTH bench programs (turbo and
+    lax-fallback 1080p) with generous budgets — the committed round-end step
+    that keeps the driver's bench run compile-free (VERDICT r3 item 1b).
+    Prints one status JSON line; exits 0 only if both programs now load warm.
+    """
+    budget = float(os.environ.get("HDRTV_WARM_BUDGET_S", "2400") or 2400)
+    out = {}
+    for mode in ("turbo", "lax"):  # pass 1: populate (may cold-compile)
+        res = _run_child(mode, budget)
+        out[mode] = {k: res.get(k) for k in ("fps", "compile_s", "error") if k in res}
+    ok = all("fps" in v for v in out.values())
+    warm_ok = False
+    if ok:
+        # pass 2: verify — a warm load reports compile_s of a few seconds
+        # (executable deserialize); ≥60s means the cache key missed and the
+        # driver's bench run would recompile.
+        for mode in ("turbo", "lax"):
+            res = _run_child(mode, 600)
+            out[mode + "_verify"] = {
+                k: res.get(k) for k in ("fps", "compile_s", "error") if k in res
+            }
+        warm_ok = all(
+            out.get(m + "_verify", {}).get("compile_s", 1e9) < 60 for m in ("turbo", "lax")
+        )
+    print(json.dumps({"warmed": ok, "cache_hit_verified": warm_ok, **out}), flush=True)
+    raise SystemExit(0 if ok and warm_ok else 1)
+
+
 def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--warm":
+        warm()
+        return
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         _child_main(sys.argv[2])
         return

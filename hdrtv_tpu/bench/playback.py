@@ -163,6 +163,59 @@ def run_playback_benchmark(cfg: PlaybackRunConfig, processor, out_dir: str | Non
     return result
 
 
+def run_device_resident(processor, resolution_key: str, frames: int = 120) -> dict:
+    """Device-resident sustained model throughput (the bench.py methodology
+    behind the product CLI — VERDICT r3 item 8).
+
+    On a tunneled runner, the pipelined runner's per-frame host↔device
+    copies measure the tunnel (~0.5 s/1080p frame pair), not the chip. This
+    loop keeps frames device-resident: one upload, ``frames`` chained
+    dispatches with a data dependence (the packed output feeds the next
+    input), one final fetch — the honest sustained-throughput projection for
+    production deployments where decode/display share the hosts' NVLink/PCIe
+    (reference runtime-metrics role, cli_playback_benchmark.py:596-888).
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from hdrtv_tpu.config import processing_dims
+
+    w, h = processing_dims(resolution_key)
+
+    @jax.jit
+    def feedback(packed):
+        # u16 RGB48 rows → u8 rows for the next frame (keeps the chain
+        # data-dependent so XLA cannot overlap-eliminate iterations)
+        return (packed % 256).astype(jnp.uint8)
+
+    flat = jnp.asarray(
+        (np.random.RandomState(0).rand(h, w * 3) * 255).astype(np.uint8)
+    )
+    t0 = time.perf_counter()
+    out = processor.process_rgb48_device(flat)
+    f = feedback(out)
+    _ = np.asarray(out[:2, :2])  # force compile + first execution
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        out = processor.process_rgb48_device(f)
+        f = feedback(out)
+    _ = np.asarray(out[:2, :2])  # the final fetch completes the chain
+    dt = (time.perf_counter() - t0) / max(1, frames)
+    return {
+        "device_fps": round(1.0 / dt, 2),
+        "device_model_ms": round(dt * 1e3, 3),
+        "frames": frames,
+        "compile_s": round(compile_s, 1),
+        "resolution": f"{w}x{h}",
+        "methodology": "device-resident chained dispatches + final fetch "
+                       "(excludes host<->device frame transfers)",
+    }
+
+
 def write_session(out_dir: str, result: PlaybackResult) -> None:
     """Reference session layout: summary.txt / session.json / runtime_metrics.csv
     under logs/playback_sessions/<ts>_<source>/ (gui_playback_logging.py:276-534)."""
@@ -210,12 +263,12 @@ def run_batch(configs: list[PlaybackRunConfig], make_processor, root_dir: str) -
         )
         results.append(run_playback_benchmark(cfg, proc, out))
     rows = [
-        ["resolution", "precision", "use_hg", "fps", "fps_1pct_low", "model_ms", "frames", "dropped", "artifact_mb"]
+        ["resolution", "precision", "use_hg", "fps", "fps_1pct_low", "model_ms", "ring_ms", "frames", "dropped", "artifact_mb"]
     ]
     for r in results:
         c = r.config
         rows.append(
-            [c["resolution_key"], c["precision_key"], c["use_hg"], r.fps, r.fps_1pct_low, r.model_ms, r.frames, r.dropped, r.artifact_mb]
+            [c["resolution_key"], c["precision_key"], c["use_hg"], r.fps, r.fps_1pct_low, r.model_ms, r.ring_ms, r.frames, r.dropped, r.artifact_mb]
         )
     for name in ("playback_benchmark_summary.csv", "batch_summary.csv", "batch.csv"):
         with open(os.path.join(root_dir, name), "w", newline="") as f:

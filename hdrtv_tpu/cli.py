@@ -345,6 +345,17 @@ def cmd_bench(args) -> int:
         return 0
 
     proc = _make_processor(args)
+    if getattr(args, "device_resident", False) or getattr(args, "device_resident_only", False):
+        # Honest sustained-throughput projection on tunneled runners: the
+        # pipelined number below measures host<->device transfers too; this
+        # one measures only the chip (bench.py methodology).
+        from hdrtv_tpu.bench.playback import run_device_resident
+
+        dr = run_device_resident(proc, args.resolution,
+                                 frames=max(1, int(args.duration * 30)))
+        print(json.dumps(dr, indent=2))
+        if getattr(args, "device_resident_only", False):
+            return 0
     cfg = PlaybackRunConfig(
         video=args.video,
         precision_key=args.precision,
@@ -1115,6 +1126,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="measure for true wall-clock duration instead of duration×fps frames")
     b.add_argument("--sample-interval", type=int, default=120,
                    help="runtime sample CSV cadence in frames")
+    b.add_argument("--device-resident", action="store_true",
+                   help="also report sustained device-resident model throughput "
+                        "(chained dispatches + one fetch — excludes host<->device "
+                        "frame copies; the honest projection on tunneled runners)")
+    b.add_argument("--device-resident-only", action="store_true",
+                   help="skip the pipelined run; report only the device-resident number")
     b.add_argument("--resolutions", nargs="+", default=None,
                    choices=["540p", "720p", "1080p", "4K"],
                    help="batch matrix: run every resolution × --runs preset")

@@ -43,6 +43,16 @@ class TestPlaybackBench:
         results = run_batch(cfgs, lambda cfg: FakeProcessor(), str(tmp_path))
         assert len(results) == 2
         assert os.path.isfile(tmp_path / "batch.csv")
+        with open(tmp_path / "batch.csv") as f:
+            header = f.readline().strip().split(",")
+        assert "ring_ms" in header  # VERDICT r3 item 8: ring_ms in batch CSVs
+
+    def test_device_resident_report(self):
+        from hdrtv_tpu.bench.playback import run_device_resident
+
+        rep = run_device_resident(FakeProcessor(), "540p", frames=3)
+        assert rep["device_fps"] > 0 and rep["frames"] == 3
+        assert "device-resident" in rep["methodology"]
 
 
 class TestQualityBench:

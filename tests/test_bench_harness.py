@@ -1,0 +1,76 @@
+"""Plumbing tests for the driver-facing bench harness (bench.py).
+
+Round 3's driver bench failed rc=124 with no JSON at all — the one outcome
+bench.py must never produce. These tests run the REAL harness end-to-end on
+CPU (tiny shape) and prove: (a) the happy path prints exactly one valid
+metric JSON line, (b) a wedged/failing attempt still yields an error JSON
+within its budget, (c) the child budget enforcement kills a hung attempt.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+BENCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "bench.py")
+
+
+def _run(env_extra, timeout=600):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(
+        {
+            "HDRTV_BENCH_PLATFORM": "cpu",
+            "HDRTV_BENCH_HEIGHT": "64",
+            "HDRTV_BENCH_WIDTH": "128",
+            "HDRTV_BENCH_FRAMES": "3",
+        }
+    )
+    env.update(env_extra)
+    proc = subprocess.run(
+        [sys.executable, BENCH],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=os.path.dirname(BENCH),
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
+    assert len(lines) == 1, f"expected exactly one JSON line, got: {proc.stdout!r}"
+    return proc.returncode, json.loads(lines[0])
+
+
+def test_bench_happy_path_emits_metric_json():
+    rc, line = _run({})
+    assert rc == 0
+    assert line["metric"] == "1080p_nohg_bf16_fps"
+    assert line["unit"] == "fps"
+    assert line["value"] > 0
+    assert line["vs_baseline"] > 0
+
+
+def test_bench_probe_failure_is_honest_error_json():
+    # An unknown platform makes the probe child die instantly — the parent
+    # must still print the metric JSON with an error and exit nonzero.
+    rc, line = _run({"HDRTV_BENCH_PLATFORM": "definitely_not_a_platform"})
+    assert rc != 0
+    assert line["value"] == 0.0
+    assert "error" in line and "probe" in line["error"]
+
+
+def test_bench_budget_kills_hung_attempt():
+    # 1-second budgets: every child is killed mid-startup; the parent must
+    # finish quickly with an error JSON rather than hanging (rc=124 class).
+    rc, line = _run(
+        {
+            "HDRTV_BENCH_PROBE_BUDGET_S": "1",
+            "HDRTV_BENCH_TURBO_BUDGET_S": "1",
+            "HDRTV_BENCH_TIMEOUT_S": "30",
+        },
+        timeout=120,
+    )
+    assert rc != 0
+    assert line["value"] == 0.0
+    assert "error" in line
