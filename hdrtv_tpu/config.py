@@ -46,8 +46,17 @@ class PrecisionPreset:
 
 
 def _int8(kind: str, name: str) -> tuple[str, str]:
+    # HG-composite base weights: the reference's eager path points at
+    # pytorch_int8/hg/… which ships in neither repo; its TensorRT source
+    # checkpoints (gui_config.py trt_model, original/tensorrt/hr_hg/…) DO
+    # ship and carry the same AGCM+LE base contract — prefer whichever
+    # exists (PTQ variants are named *_ptq there for the non-QAT rows).
+    eager_hg = _weight(f"original/pytorch_int8/hg/HR_HG_original_int8_{name}.pt")
+    trt_name = name if name.endswith(("qat", "qat_film")) else f"{name}_ptq"
+    trt_hg = _weight(f"original/tensorrt/hr_hg/HR_HG_original_int8_{trt_name}.pt")
+    hg = eager_hg if os.path.isfile(eager_hg) else trt_hg
     return (
-        _weight(f"original/pytorch_int8/hg/HR_HG_original_int8_{name}.pt"),
+        hg,
         _weight(f"original/pytorch_int8/hr/HR_original_int8_{name}.pt"),
     )
 
