@@ -26,13 +26,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_th(hb: int, wb: int, c: int, budget: int = 10 * 1024 * 1024, max_th: int = 16) -> int:
+def _db_dma() -> bool:
+    """Double-buffered input halo DMA (round-1 lever, executed round 4):
+    prefetch tile i+1 while computing tile i instead of a synchronous
+    copy-then-compute per grid step. Default-off until the on-chip Mosaic
+    compile + timing probe proves it on this runner (tools/db probe)."""
+    from hdrtv_tpu.utils.env import env_bool
+
+    return env_bool("HDRTV_DB_DMA", False)
+
+
+def _pick_th(hb: int, wb: int, c: int, budget: int = 10 * 1024 * 1024, max_th: int = 16,
+             db: bool = False) -> int:
     """Rows per tile: multiple of 8 dividing hb, sized for VMEM.
 
     Capped: huge per-kernel matmul M extents (th·wb) blow up the Mosaic
-    remote compile (memory), not just VMEM.
+    remote compile (memory), not just VMEM. Double-buffering doubles the
+    input-tile footprint, so it prices x twice — tiles stay inside the
+    1080p/4K-proven scoped-vmem envelope.
     """
-    row_bytes = wb * c * 2 + wb * c * 4 + wb * c * 2  # x + acc + out per row
+    x_mult = 2 if db else 1
+    row_bytes = wb * c * 2 * x_mult + wb * c * 4 + wb * c * 2  # x(+prefetch) + acc + out
     limit = max(8, min(max_th, budget // max(1, row_bytes)))
     best = 0
     for cand in range(8, min(hb, limit) + 1, 8):
@@ -46,62 +60,104 @@ def _pick_th(hb: int, wb: int, c: int, budget: int = 10 * 1024 * 1024, max_th: i
     return hb
 
 
-def _conv3_kernel(x_hbm, w_ref, b_ref, skip_ref, *refs, th, wb, c, co, hb, fuse_relu, has_skip, a_sub, pool_out, quant=False, has_z=False):
+def _conv3_kernel(x_hbm, w_ref, b_ref, skip_ref, *refs, th, wb, c, co, hb, fuse_relu, has_skip, a_sub, pool_out, quant=False, has_z=False, db=False):
     if quant:
-        yscale_ref, s_ref, z_ref, out_ref, x_tile, sem = refs
+        yscale_ref, s_ref, z_ref, out_ref, x_buf, sem = refs
     else:
-        out_ref, x_tile, sem = refs
+        out_ref, x_buf, sem = refs
     i = pl.program_id(0)
     n_rows = th + 2
+    n_tiles = hb // th
 
-    # Zero the halo rows; interior rows are overwritten by the DMA.
-    @pl.when(i == 0)
-    def _():
-        x_tile[0, :, :] = jnp.zeros((wb, c), x_tile.dtype)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        x_tile[n_rows - 1, :, :] = jnp.zeros((wb, c), x_tile.dtype)
-
-    r0 = i * th
     # Interior: rows r0-1 .. r0+th (th+2 rows). Top: r0 .. r0+th (th+1 rows
     # into offset 1). Bottom: r0-1 .. hb (th+1 rows into offset 0). The DMA
     # extent must be static per branch; which branches exist is static too
     # (single-tile grids only ever run the top∧bottom case).
-    n_tiles = hb // th
-    if n_tiles == 1:
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, th), :, :], x_tile.at[pl.ds(1, th), :, :], sem
-        )
-        cp.start()
-        cp.wait()
+    if db:
+        # Double-buffered: tile j lands in slot j%2; step i starts the copy
+        # for tile i+1 before waiting on tile i, overlapping the next tile's
+        # HBM fetch with this tile's MXU work (round-1 lever, PERF_NOTES).
+        def issue(j, s, go):
+            r0j = j * th
+
+            @pl.when(jnp.logical_and(j > 0, j < n_tiles - 1))
+            def _():
+                go(pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(r0j - 1, th + 2), :, :],
+                    x_buf.at[s, pl.ds(0, th + 2), :, :], sem.at[s]))
+
+            @pl.when(j == 0)
+            def _():
+                go(pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(0, th + 1), :, :],
+                    x_buf.at[s, pl.ds(1, th + 1), :, :], sem.at[s]))
+
+            @pl.when(jnp.logical_and(j == n_tiles - 1, j > 0))
+            def _():
+                go(pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(r0j - 1, th + 1), :, :],
+                    x_buf.at[s, pl.ds(0, th + 1), :, :], sem.at[s]))
+
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i == 0)
+        def _():
+            issue(0, 0, lambda cp: cp.start())
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            issue(i + 1, jax.lax.rem(i + 1, 2), lambda cp: cp.start())
+
+        issue(i, slot, lambda cp: cp.wait())
+        x_tile = x_buf.at[slot]
     else:
-        is_top = r0 == 0
-        is_bottom = r0 + th == hb
-
-        @pl.when(jnp.logical_and(jnp.logical_not(is_top), jnp.logical_not(is_bottom)))
-        def _():
+        x_tile = x_buf
+        r0 = i * th
+        if n_tiles == 1:
             cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(r0 - 1, th + 2), :, :], x_tile.at[pl.ds(0, th + 2), :, :], sem
+                x_hbm.at[pl.ds(0, th), :, :], x_tile.at[pl.ds(1, th), :, :], sem
             )
             cp.start()
             cp.wait()
+        else:
+            is_top = r0 == 0
+            is_bottom = r0 + th == hb
 
-        @pl.when(is_top)
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, th + 1), :, :], x_tile.at[pl.ds(1, th + 1), :, :], sem
-            )
-            cp.start()
-            cp.wait()
+            @pl.when(jnp.logical_and(jnp.logical_not(is_top), jnp.logical_not(is_bottom)))
+            def _():
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(r0 - 1, th + 2), :, :], x_tile.at[pl.ds(0, th + 2), :, :], sem
+                )
+                cp.start()
+                cp.wait()
 
-        @pl.when(is_bottom)
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(r0 - 1, th + 1), :, :], x_tile.at[pl.ds(0, th + 1), :, :], sem
-            )
-            cp.start()
-            cp.wait()
+            @pl.when(is_top)
+            def _():
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(0, th + 1), :, :], x_tile.at[pl.ds(1, th + 1), :, :], sem
+                )
+                cp.start()
+                cp.wait()
+
+            @pl.when(is_bottom)
+            def _():
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(r0 - 1, th + 1), :, :], x_tile.at[pl.ds(0, th + 1), :, :], sem
+                )
+                cp.start()
+                cp.wait()
+
+    # Zero the halo rows (after the wait: disjoint from the DMA'd rows, but
+    # slot reuse means a stale interior copy may occupy them before it).
+    @pl.when(i == 0)
+    def _():
+        x_tile[0, :, :] = jnp.zeros((wb, c), x_buf.dtype)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        x_tile[n_rows - 1, :, :] = jnp.zeros((wb, c), x_buf.dtype)
+
+    r0 = i * th
 
     # 9-tap accumulation. W-shifts via static slices with zero pad columns.
     def tap_view(dI, dJ):
@@ -234,7 +290,8 @@ def fused_block_conv3(
     out_dtype = out_dtype or x.dtype
     if a_sub and (co % (2 * a_sub) or co // (2 * a_sub) < 128):
         a_sub = 0
-    th = _pick_th(hb, wb, max(c, co))
+    db = _db_dma()
+    th = _pick_th(hb, wb, max(c, co), db=db)
     if pool_out and th % 2:  # pooled tiles need even rows
         for cand in range(th - 1, 1, -1):
             if cand % 2 == 0 and hb % cand == 0:
@@ -255,9 +312,10 @@ def fused_block_conv3(
         w9 = w.reshape(9, c, co).astype(x.dtype)
         b2 = b.reshape(1, co).astype(jnp.float32)
 
+    db = db and hb // th >= 2  # single-tile grids have nothing to overlap
     kernel = functools.partial(
         _conv3_kernel, th=th, wb=wb, c=c, co=co, hb=hb, fuse_relu=relu, has_skip=skip is not None,
-        a_sub=a_sub, pool_out=pool_out, quant=quant, has_z=has_z,
+        a_sub=a_sub, pool_out=pool_out, quant=quant, has_z=has_z, db=db,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
@@ -287,8 +345,8 @@ def fused_block_conv3(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((th + 2, wb, c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, th + 2, wb, c) if db else (th + 2, wb, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)) if db else pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)

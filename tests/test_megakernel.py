@@ -273,6 +273,54 @@ class TestKernels:
             y_r = fused_block_conv3_ref(x, w, b, relu=True)
             np.testing.assert_allclose(np.asarray(y, f32), np.asarray(y_r, f32), atol=3e-5)
 
+    def test_block_conv3_double_buffered_multi_tile(self, rng, monkeypatch):
+        """The double-buffered DMA path (HDRTV_DB_DMA, ≥2 row tiles: slot
+        ping-pong + prefetch of tile i+1 during tile i's compute) must match
+        both the lax reference and the synchronous single-buffer path on a
+        grid that exercises top/interior/bottom tiles."""
+        from hdrtv_tpu.ops.conv_kernels import _pick_th, fused_block_conv3, fused_block_conv3_ref
+
+        f32 = np.float32
+        hb, wb, c = 48, 16, 128
+        assert hb // _pick_th(hb, wb, c, db=True) >= 3, "test must span ≥3 tiles"
+        x = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        w = jnp.asarray(rng.randn(3, 3, c, c).astype(f32) * 0.05)
+        b = jnp.asarray(rng.randn(c).astype(f32) * 0.1)
+        skip = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        y_r = fused_block_conv3_ref(x, w, b, relu=True, skip=skip)
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("HDRTV_DB_DMA", flag)
+            with pltpu.force_tpu_interpret_mode():
+                outs[flag] = np.asarray(fused_block_conv3(x, w, b, relu=True, skip=skip), f32)
+            np.testing.assert_allclose(outs[flag], np.asarray(y_r, f32), atol=3e-5)
+        np.testing.assert_array_equal(outs["1"], outs["0"])
+
+    def test_block_conv3_double_buffered_quant(self, rng, monkeypatch):
+        """db path under native int8 qargs: matches the db=off kernel bit-exactly."""
+        from hdrtv_tpu.ops.conv_kernels import fused_block_conv3
+
+        f32 = np.float32
+        hb, wb, c = 32, 16, 128
+        x = jnp.asarray(rng.rand(hb, wb, c).astype(f32))
+        wf = rng.randn(3, 3, c, c).astype(f32) * 0.05
+        w_scale = np.abs(wf).max(axis=(0, 1, 2)) / 127.0
+        w_int8 = np.clip(np.round(wf / w_scale), -127, 127).astype(np.int8)
+        b = jnp.asarray(rng.randn(c).astype(f32) * 0.1)
+        qargs = {
+            "w_int8": jnp.asarray(w_int8),
+            "w_scale": jnp.asarray(w_scale),
+            "x_scale": jnp.asarray(1.0 / 127.0, f32),
+        }
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("HDRTV_DB_DMA", flag)
+            with pltpu.force_tpu_interpret_mode():
+                outs[flag] = np.asarray(
+                    fused_block_conv3(x, jnp.asarray(wf), b, relu=True, qargs=qargs), f32
+                )
+        np.testing.assert_array_equal(outs["1"], outs["0"])
+
     def test_block_conv3_pool_out(self, rng):
         """pool_out fuses the 2×2 max pool into the conv epilogue — must
         equal maxpool(conv(x)) (the HG encoder's conv_block→pool pairs)."""
