@@ -8,9 +8,10 @@ gui_hdr_gt_fast_path.py):
   gain threshold, cached per file signature (:809-1121);
 - exact HDR frame decode with PTS verification (gui_hdr_io.py:205-487).
 
-Here: ``HDRGroundTruthReader`` decodes GT frames via cv2 (10-bit sources
-decode to 8-bit via OpenCV; with ffmpeg present a rawvideo rgb48 path can be
-added), ``make_frame_map`` handles fps ratios, and ``find_sync_offset``
+Here: ``HDRGroundTruthReader`` decodes GT frames exactly via ffmpeg rgb48le
+when present, natively at full bit depth for ``*.y4m`` sources (bench/y4m.py
+— the binary-free 10-bit path), and via cv2 otherwise (which flattens
+10-bit sources to 8); ``make_frame_map`` handles fps ratios, and ``find_sync_offset``
 implements the alignment search on downsampled luminance with the reference's
 min-gain acceptance rule.
 """
@@ -40,6 +41,23 @@ class HDRGroundTruthReader:
         self._cv2 = cv2
         self._hdr_io = hdr_io
         self.path = path
+        self._y4m = None
+        if path.lower().endswith(".y4m"):
+            # Binary-free exact path: numpy random access at full container
+            # bit depth (bench/y4m.py) — 10-bit GT stays 10-bit in CI, where
+            # the reference's ffmpeg rgb48le decode (gui_hdr_io.py:205-487)
+            # has no binary to run and cv2 would flatten to 8-bit.
+            from hdrtv_tpu.bench import y4m
+
+            self._y4m = y4m.Y4MReader(path)
+            self.exact = True
+            self.decode_method = f"y4m-native-exact-{self._y4m.fmt.bits}bit"
+            self.fps = self._y4m.fps or 30.0
+            self.frame_count = self._y4m.frame_count
+            self.cap = None
+            self._pos = 0
+            self._exact_cache = {}
+            return
         if exact is None:
             # GT decode mode: auto = exact when ffmpeg exists, else fast
             # (HDRTVNET_BENCHMARK_HDR_GT_MODE, gui_benchmark.py:175-180)
@@ -90,13 +108,18 @@ class HDRGroundTruthReader:
     def prefetch_exact(self, indices) -> None:
         """Batched exact decode of upcoming frames (one FFmpeg pass —
         gui_hdr_io.py:416 select=eq(n,..) batching)."""
-        if not self.exact:
-            return
+        if self._y4m is not None or not self.exact:
+            return  # y4m reads are O(1) — nothing to batch
         missing = [i for i in indices if i not in self._exact_cache]
         if missing:
             self._cache_put(self._hdr_io.read_frames_exact(self.path, missing))
 
     def read_unit_rgb(self, frame_idx: int) -> np.ndarray | None:
+        if self._y4m is not None:
+            try:
+                return self._y4m.read_rgb_unit(frame_idx)
+            except (IndexError, ValueError):
+                return None
         if self.exact:
             if frame_idx not in self._exact_cache:
                 if self._fast_seek:
@@ -117,6 +140,8 @@ class HDRGroundTruthReader:
         """cv2 decode regardless of the exact mode — the benchmark's fast
         first-pass read whose output post-verify compares against the exact
         decode (gui_benchmark.py fast/strict GT split)."""
+        if self._y4m is not None:
+            return self.read_unit_rgb(frame_idx)
         cv2 = self._cv2
         if frame_idx != self._pos:
             self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
@@ -128,6 +153,9 @@ class HDRGroundTruthReader:
         return frame[..., ::-1].astype(np.float32) / peak
 
     def close(self):
+        if self._y4m is not None:
+            self._y4m.close()
+            return
         self.cap.release()
 
 

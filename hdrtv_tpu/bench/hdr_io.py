@@ -32,7 +32,14 @@ def ffmpeg_available() -> bool:
 
 
 def probe_video(path: str) -> dict:
-    """Width/height/fps/frames via ffprobe, falling back to cv2."""
+    """Width/height/fps/frames via ffprobe, falling back to cv2.
+
+    ``*.y4m`` probes natively from the container header (bench/y4m.py) —
+    no binary needed and exact frame counts from the fixed stride."""
+    if path.lower().endswith(".y4m"):
+        from hdrtv_tpu.bench.y4m import probe_y4m
+
+        return probe_y4m(path)
     if shutil.which("ffprobe"):
         out = subprocess.run(
             [

@@ -440,7 +440,7 @@ def cmd_quality(args) -> int:
             return _make_processor(a)
 
         summaries = run_quality_queue(
-            cfg, keys, make_proc, sdr, gt.read_unit_rgb, out_root,
+            cfg, keys, make_proc, sdr, gt, out_root,
             source_name=source_name, gt_frame_map=fmap,
             progress=lambda k: print(f"queue: {k}", flush=True),
         )
@@ -460,7 +460,8 @@ def cmd_quality(args) -> int:
         cfg,
         proc,
         sdr,
-        gt.read_unit_rgb,
+        gt,  # the reader object: surfaces decode_method + the fast
+        # first-pass read for post-verify (gui_benchmark.py GT split)
         out_root,
         source_name=source_name,
         gt_frame_map=fmap,
