@@ -1317,7 +1317,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(x)
     x.add_argument("--video", required=True)
     x.add_argument("--output", default=None)
-    x.add_argument("--codec", default="prores", choices=["prores", "hevc", "raw", "png16"])
+    x.add_argument("--codec", default="prores", choices=["prores", "hevc", "raw", "png16", "y4m"])
     x.add_argument("--batch", type=int, default=1, help="frames per dispatch (DP when >1)")
     x.add_argument("--mesh", action="store_true", help="shard batches over the device mesh")
     x.add_argument("--hosts", type=int, default=None,

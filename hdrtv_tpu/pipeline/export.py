@@ -81,7 +81,7 @@ def ffmpeg_hdr10_command(
 class ExportConfig:
     output: str = "export.mov"
     resolution_key: str = "1080p"
-    codec: str = "prores"  # prores | hevc | raw | png16
+    codec: str = "prores"  # prores | hevc | raw | png16 | y4m
     peak_nits: int = 1001
     queue_depth: int = 3  # bounded writer queue (gui_export.py:1038-1067)
     audio_source: str | None = None
@@ -131,6 +131,37 @@ class _RawWriter:
 
     def close(self):
         self._f.close()
+
+
+class _Y4MWriter:
+    """Binary-free playable master: YUV4MPEG2 at the reference chain's
+    intermediate format — 4:2:2 10-bit limited-range BT.2020-NCL
+    (ffmpeg_hdr10_command's ``format=yuv422p10le`` + matrix/range tags).
+    ffmpeg/mpv read the result directly; a sidecar carries the PQ/BT.2020
+    tags Y4M headers cannot, plus the lossless containerize command."""
+
+    def __init__(self, cfg: ExportConfig, width: int, height: int, fps: float):
+        from hdrtv_tpu.bench.y4m import Y4MWriter
+
+        self.path = cfg.output if cfg.output.endswith(".y4m") else os.path.splitext(cfg.output)[0] + ".y4m"
+        self._w = Y4MWriter(self.path, width, height, fps=fps, ctag="422p10")
+        sidecar = {
+            "format": "y4m yuv422p10le limited",
+            "color": {"primaries": "bt2020", "transfer": "smpte2084", "matrix": "bt2020nc"},
+            "containerize_with": (
+                f"ffmpeg -y -i {self.path} -c:v prores_ks -profile:v 3 "
+                "-color_primaries bt2020 -color_trc smpte2084 -colorspace bt2020nc "
+                + os.path.splitext(self.path)[0] + ".mov"
+            ),
+        }
+        with open(self.path + ".json", "w") as f:
+            json.dump(sidecar, f, indent=2)
+
+    def write(self, rgb48: np.ndarray):
+        self._w.write_rgb_unit(rgb48.astype(np.float32) / 65535.0, matrix="bt2020nc")
+
+    def close(self):
+        self._w.close()
 
 
 class _Png16Writer:
@@ -218,6 +249,8 @@ def export_video_multihost(
     codec = cfg.codec
     if codec in ("prores", "hevc") and shutil.which("ffmpeg") is None:
         codec = "raw"
+    if codec == "y4m" and not cfg.output.lower().endswith(".y4m"):
+        cfg = dataclasses.replace(cfg, output=os.path.splitext(cfg.output)[0] + ".y4m")
     segs = segment_paths(cfg.output, hosts)
     seg_out = segs[host_id] + (".rgb48" if codec == "raw" else "")
     stats = export_video(
@@ -252,6 +285,23 @@ def export_video_multihost(
         with open(final + ".json", "w") as f:
             json.dump(sidecar, f, indent=2)
         stats["output"] = final
+    elif codec == "y4m":
+        # Y4M segments share one fixed-stride stream header; stripping the
+        # header line of every segment after the first makes plain byte
+        # concatenation lossless (bench/y4m.py frame records are
+        # self-delimiting FRAME markers).
+        final = cfg.output
+        with open(final, "wb") as out_f:
+            for i, seg in enumerate(seg_files):
+                with open(seg, "rb") as f:
+                    if i:
+                        f.readline()
+                    shutil.copyfileobj(f, out_f)
+        with open(seg_files[0] + ".json") as f:
+            sidecar = json.load(f)
+        with open(final + ".json", "w") as f:
+            json.dump(sidecar, f, indent=2)
+        stats["output"] = final
     else:
         list_path = cfg.output + ".segments.txt"
         cmd = concat_command(seg_files, cfg.output, list_path)
@@ -280,12 +330,25 @@ def export_video(video_path: str | None, processor, cfg: ExportConfig, *, source
     codec = cfg.codec
     if codec in ("prores", "hevc") and shutil.which("ffmpeg") is None:
         codec = "raw"  # fallback ladder: no ffmpeg → raw master + sidecar
-    writer = {
+    writer_cls = {
         "prores": _FfmpegWriter,
         "hevc": _FfmpegWriter,
         "raw": _RawWriter,
         "png16": _Png16Writer,
-    }[codec](dataclasses.replace(cfg, codec=codec), w, h, fps)
+        "y4m": _Y4MWriter,
+    }[codec]
+    wcfg = dataclasses.replace(cfg, codec=codec)
+    # The writer is sized from the FIRST PROCESSED FRAME, not the source:
+    # with a processing resolution set the processor letterboxes on device
+    # and emits frames at processing dims (runtime/processor.py
+    # process_rgb48), so source dims would corrupt fixed-stride outputs
+    # (ffmpeg rawvideo -s, y4m strides) and falsify the raw sidecar.
+    writer_box: list = []
+
+    def _ensure_writer(fh: int, fw: int):
+        if not writer_box:
+            writer_box.append(writer_cls(wcfg, fw, fh, fps))
+        return writer_box[0]
 
     q: queue.Queue = queue.Queue(maxsize=cfg.queue_depth)
     error: list[Exception] = []
@@ -296,7 +359,7 @@ def export_video(video_path: str | None, processor, cfg: ExportConfig, *, source
             if buf is None:
                 return
             try:
-                writer.write(buf)
+                _ensure_writer(buf.shape[0], buf.shape[1]).write(buf)
             except Exception as e:  # keep draining to unblock producer
                 error.append(e)
 
@@ -337,6 +400,7 @@ def export_video(video_path: str | None, processor, cfg: ExportConfig, *, source
             frames += 1
     q.put(None)
     wt.join(timeout=60)
+    writer = _ensure_writer(h, w)  # zero-frame source: still emit the container
     writer.close()
     source.close()
     dt = time.monotonic() - t0

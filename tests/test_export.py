@@ -179,3 +179,72 @@ class TestExport:
             "prores_metadata",
         ):
             assert token in cmd, token
+
+
+class TestY4MExport:
+    def test_y4m_export_playable_master(self, tmp_path):
+        from hdrtv_tpu.bench.y4m import Y4MReader, ycbcr_to_rgb_unit
+        from hdrtv_tpu.pipeline.export import ExportConfig, export_video
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        src = SyntheticSource(64, 32, fps=24, frames=4)
+        cfg = ExportConfig(output=str(tmp_path / "master.mov"), codec="y4m")
+        stats = export_video(None, FakeProcessor(), cfg, source=src)
+        assert stats["frames"] == 4 and stats["codec"] == "y4m"
+        out = stats["output"]
+        assert out.endswith(".y4m")
+        with Y4MReader(out) as rd:
+            # reference chain's intermediate format: 4:2:2 10-bit limited
+            assert rd.fmt.ctag == "422p10" and not rd.fmt.full_range
+            assert rd.frame_count == 4
+            assert abs(rd.fps - 24.0) < 1e-6
+            rgb = rd.read_rgb_unit(0, matrix="bt2020nc")
+            assert rgb.shape == (32, 64, 3)
+        with open(out + ".json") as f:
+            sidecar = json.load(f)
+        assert sidecar["color"]["transfer"] == "smpte2084"
+        assert "prores" in sidecar["containerize_with"]
+
+    def test_y4m_multihost_concat_lossless(self, tmp_path):
+        from hdrtv_tpu.bench.y4m import Y4MReader
+        from hdrtv_tpu.pipeline.export import (
+            ExportConfig, export_video, export_video_multihost,
+        )
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        mk = lambda: SyntheticSource(32, 16, fps=30, frames=6)
+        single = ExportConfig(output=str(tmp_path / "one.y4m"), codec="y4m")
+        export_video(None, FakeProcessor(), single, source=mk())
+
+        farm = ExportConfig(output=str(tmp_path / "farm.mov"), codec="y4m")
+        for host in (1, 0):  # host 0 concatenates, so run it last
+            export_video_multihost(
+                None, FakeProcessor(), farm, hosts=2, host_id=host,
+                source=mk(), wait_timeout=30.0,
+            )
+        final = str(tmp_path / "farm.y4m")
+        with Y4MReader(final) as a, Y4MReader(str(tmp_path / "one.y4m")) as b:
+            assert a.frame_count == b.frame_count == 6
+            for i in range(6):
+                for pa, pb in zip(a.read_planes(i), b.read_planes(i)):
+                    np.testing.assert_array_equal(pa, pb)
+
+    def test_writer_sized_from_processed_frame_not_source(self, tmp_path):
+        """Letterboxing processors emit at processing dims; fixed-stride
+        writers must size from the frames, not the source (regression:
+        cli export --resolution 540p on a smaller source)."""
+        from hdrtv_tpu.pipeline.export import ExportConfig, export_video
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        class UpscalingProcessor(FakeProcessor):
+            def process_rgb48_device(self, frame):
+                out = jnp.zeros((64, 96, 3), jnp.uint16)
+                return out + frame.astype(jnp.uint16).max()
+
+        src = SyntheticSource(48, 24, fps=24, frames=2)  # source ≠ output dims
+        cfg = ExportConfig(output=str(tmp_path / "m.mov"), codec="raw")
+        stats = export_video(None, UpscalingProcessor(), cfg, source=src)
+        assert os.path.getsize(stats["output"]) == 2 * 96 * 64 * 3 * 2
+        with open(stats["output"] + ".json") as f:
+            sc = json.load(f)
+        assert (sc["width"], sc["height"]) == (96, 64)
