@@ -1,0 +1,165 @@
+"""Round-4 on-chip checklist runner (relay-outage recovery automation).
+
+The round-3/4 relay outages showed chip time is the scarce resource: when
+the relay recovers, every chip-dependent deliverable should run unattended,
+in priority order, with per-step budgets and wedge-aware recovery — instead
+of hand-driving each measurement and losing the window to the next outage.
+
+Operating rules baked in (verify skill round-3 addenda):
+- ONE TPU process at a time: this orchestrator is that process; steps run
+  sequentially as subprocesses with output to per-step logs.
+- A killed in-flight compile can wedge the relay, so budgets are generous
+  and sized to each step's known compile cost (4K ≈ 25-40 min cold).
+- After any step failure, a bounded probe decides between continuing
+  (step-specific failure) and pausing (relay wedge: sparse 10-min probes).
+
+Usage (background, output to a file — never a foreground timeout):
+    python tools/chip_sweep.py [--only step1,step2] [--list] \
+        > /tmp/r4sweep/driver.log 2>&1
+
+Results: logs + status.jsonl under logs/chip_sweep_r4/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "logs", "chip_sweep_r4")
+
+PROBE = (
+    "import time,numpy as np,jax,jax.numpy as jnp;t0=time.time();"
+    "x=jnp.ones((256,256),jnp.bfloat16);v=float(np.asarray((x@x).sum()));"
+    "print(f'PROBE OK {v} {time.time()-t0:.1f}s')"
+)
+
+PY = sys.executable
+
+
+def _bm(*extra: str) -> list[str]:
+    return [PY, os.path.join(REPO, "tools", "bench_modes.py"), *extra]
+
+
+# (name, argv, env overrides, budget_s). Order = priority: the driver bench
+# must be green first (VERDICT #1), then the perf levers, then quality.
+STEPS: list[tuple[str, list[str], dict, int]] = [
+    ("smoke", [PY, os.path.join(REPO, "tools", "tpu_smoke.py")], {}, 1500),
+    ("bench_warm", [PY, os.path.join(REPO, "bench.py"), "--warm"], {}, 4200),
+    ("bench_verify", [PY, os.path.join(REPO, "bench.py")], {}, 1800),
+    # HDRTV_DB_DMA probe: the double-buffered halo DMA conv3 path is opt-in
+    # until proven on real Mosaic (80cab31). Small first, then 1080p A/B.
+    ("dbdma_544_off", _bm("--height", "544", "--width", "960"), {"HDRTV_DB_DMA": "0"}, 2400),
+    ("dbdma_544_on", _bm("--height", "544", "--width", "960"), {"HDRTV_DB_DMA": "1"}, 2400),
+    ("dbdma_1080_off", _bm(), {"HDRTV_DB_DMA": "0"}, 2400),
+    ("dbdma_1080_on", _bm(), {"HDRTV_DB_DMA": "1"}, 2400),
+    # Post-outage revalidation sweep (VERDICT #7): refresh every headline.
+    ("modes_1080_int8", _bm("--precision", "int8"), {}, 2400),
+    ("modes_720", _bm("--height", "720", "--width", "1280"), {}, 2400),
+    ("modes_hg", _bm("--hg"), {}, 3600),
+    ("modes_4k", _bm("--height", "2160", "--width", "3840"), {}, 5400),
+    # Batch-export throughput (VERDICT #6): unbounded vs bounded in-flight.
+    ("batch8_unbounded", _bm("--batch", "8"), {"HDRTV_BATCH_INFLIGHT": "64"}, 2400),
+    ("batch8_inflight4", _bm("--batch", "8"), {"HDRTV_BATCH_INFLIGHT": "4"}, 2400),
+    ("batch8_inflight3", _bm("--batch", "8"), {"HDRTV_BATCH_INFLIGHT": "3"}, 2400),
+    # Quality matrices (VERDICT #4): no-HG refresh + HG table + pseudo-GT.
+    ("quality_matrix", [PY, os.path.join(REPO, "tools", "make_quality_matrix.py")], {}, 5400),
+    ("gt_quality", [PY, os.path.join(REPO, "tools", "make_gt_quality.py")], {}, 3600),
+]
+
+
+def log_status(rec: dict) -> None:
+    rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(os.path.join(OUT, "status.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def probe(budget: int = 300) -> bool:
+    try:
+        r = subprocess.run(
+            [PY, "-c", PROBE], cwd=REPO, timeout=budget,
+            capture_output=True, text=True,
+        )
+        ok = r.returncode == 0 and "PROBE OK" in r.stdout
+        log_status({"step": "probe", "ok": ok, "out": r.stdout.strip()[-120:]})
+        return ok
+    except subprocess.TimeoutExpired:
+        log_status({"step": "probe", "ok": False, "out": "timeout"})
+        return False
+
+
+def wait_for_relay(max_wait_s: int = 7200) -> bool:
+    """Sparse probing during a wedge: one bounded probe every 10 min."""
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        if probe():
+            return True
+        time.sleep(600)
+    return False
+
+
+def run_step(name: str, argv: list[str], env_over: dict, budget: int) -> bool:
+    env = dict(os.environ, **{k: str(v) for k, v in env_over.items()})
+    log_path = os.path.join(OUT, f"{name}.log")
+    t0 = time.time()
+    with open(log_path, "w") as lf:
+        lf.write(f"# {' '.join(argv)} env={env_over} budget={budget}s\n")
+        lf.flush()
+        try:
+            r = subprocess.run(argv, cwd=REPO, env=env, timeout=budget,
+                               stdout=lf, stderr=subprocess.STDOUT)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = -9
+    dt = round(time.time() - t0, 1)
+    tail = ""
+    try:
+        with open(log_path) as lf:
+            tail = lf.read()[-300:].replace("\n", " | ")
+    except OSError:
+        pass
+    log_status({"step": name, "ok": rc == 0, "rc": rc, "seconds": dt, "tail": tail})
+    return rc == 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", help="comma list of step names to run")
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+    if args.list:
+        for name, argv, env_over, budget in STEPS:
+            print(f"{name:20s} budget={budget:5d}s env={env_over} :: {' '.join(argv)}")
+        return 0
+    os.makedirs(OUT, exist_ok=True)
+    steps = STEPS
+    if args.only:
+        want = {s.strip() for s in args.only.split(",") if s.strip()}
+        unknown = want - {n for n, *_ in STEPS}
+        if unknown:
+            print(f"unknown steps: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        steps = [s for s in STEPS if s[0] in want]
+
+    if not wait_for_relay():
+        log_status({"step": "sweep", "ok": False, "out": "relay never recovered"})
+        return 1
+    for name, argv, env_over, budget in steps:
+        ok = run_step(name, argv, env_over, budget)
+        if not ok and not probe():
+            # step failure + dead relay = wedge: pause sparsely, then go on
+            log_status({"step": name, "ok": False, "out": "relay wedged; waiting"})
+            if not wait_for_relay():
+                log_status({"step": "sweep", "ok": False, "out": "wedge never cleared"})
+                return 1
+    log_status({"step": "sweep", "ok": True})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
