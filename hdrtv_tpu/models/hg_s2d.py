@@ -37,6 +37,29 @@ import numpy as np
 from hdrtv_tpu.models.hg import _batch_norm, _conv_block, _up_block
 from hdrtv_tpu.models.layers import F32, Params, Policy, conv2d, max_pool2, relu
 from hdrtv_tpu.models.s2d import b_s2d, w_ps_permute, w_s2d_1x1, w_s2d_s1
+from hdrtv_tpu.parallel import halo as _halo
+
+
+def _stage(fn, x: jax.Array, *, pool: bool = False, up: bool = False) -> jax.Array:
+    """Run one spatially-overlapping HG stage (3×3 conv radius 1) under
+    manual W-sharding (parallel/halo.py shifted windows); identity when not
+    inside shard_map.
+
+    ``pool``: the stage ends in a 2×2 max pool — the halo radius must be
+    even (crop divides by the stride) and window starts stay parity-aligned
+    with the global pooling grid. ``up``: the stage ends in PixelShuffle ×2,
+    doubling the crop radius in output columns. The 1×1 mixes (conv6-9,
+    conv10, conv_last) and the fused tail are pointwise — no exchange.
+    Shards narrower than 2r (the deep UNet levels on wide meshes) fall back
+    to run_stage's gather→replicated→slice path, exact at those tiny sizes.
+    """
+    if not _halo.active():
+        return fn(x)
+    return _halo.run_stage(
+        fn, [x], [2], need=1,
+        mod=2 if pool else 1, align=2 if pool else 1,
+        out_axis=2, out_stride=2 if pool else 1, out_upscale=2 if up else 1,
+    )
 
 __all__ = [
     "hg_s2d_transform",
@@ -212,31 +235,41 @@ def hg_s2d_apply(
     img_s2d = policy.cast(img_s2d)
 
     # Level 1 in s2d: conv1 (12→256, BN folded) + relu.
-    c1 = conv2d(p, "hg.conv1.0", img_s2d, padding=1, policy=policy)
-    if "hg.conv1.1.running_mean" in p:
-        c1 = _batch_norm(p, "hg.conv1.1", c1, policy=policy)
-    c1 = relu(c1)
+    def _conv1(x):
+        c = conv2d(p, "hg.conv1.0", x, padding=1, policy=policy)
+        if "hg.conv1.1.running_mean" in p:
+            c = _batch_norm(p, "hg.conv1.1", c, policy=policy)
+        return relu(c)
+
+    c1 = _stage(_conv1, img_s2d)
 
     # Levels 2-6 + decoder to conv9: natural tensors at grid res and below
     # (hg_apply verbatim, with maxpool1 as the sub-position lane max and the
-    # ≥128-channel convs on the Pallas block kernel).
-    c2 = _conv_block_f(p, "hg.conv2", subpos_max(c1), policy=policy)
-    c3 = _conv_block_f(p, "hg.conv3_2", _conv_block_f(p, "hg.conv3_1", c2, policy=policy, pool_out=True), policy=policy)
-    c4 = _conv_block_f(p, "hg.conv4_2", _conv_block_f(p, "hg.conv4_1", c3, policy=policy, pool_out=True), policy=policy)
-    c5 = _conv_block_f(p, "hg.conv5_2", _conv_block_f(p, "hg.conv5_1", c4, policy=policy, pool_out=True), policy=policy)
-    code = _conv_block_f(p, "hg.conv_code2", _conv_block_f(p, "hg.conv_code1", c5, policy=policy, pool_out=True), policy=policy)
+    # ≥128-channel convs on the Pallas block kernel). Each 3×3 block is one
+    # halo stage under manual W-sharding.
+    def _blk(name, pool=False):
+        return lambda x: _conv_block_f(p, name, x, policy=policy, pool_out=pool)
 
-    u = jnp.concatenate((_up_block_f(p, "hg.Up_conv1", code, policy=policy), c5), axis=-1)
-    u = conv2d(p, "hg.conv6", u, policy=policy)
-    u = jnp.concatenate((_up_block_f(p, "hg.Up_conv2", u, policy=policy), c4), axis=-1)
+    c2 = _stage(lambda x: _conv_block_f(p, "hg.conv2", subpos_max(x), policy=policy), c1)
+    c3 = _stage(_blk("hg.conv3_2"), _stage(_blk("hg.conv3_1", True), c2, pool=True))
+    c4 = _stage(_blk("hg.conv4_2"), _stage(_blk("hg.conv4_1", True), c3, pool=True))
+    c5 = _stage(_blk("hg.conv5_2"), _stage(_blk("hg.conv5_1", True), c4, pool=True))
+    code = _stage(_blk("hg.conv_code2"), _stage(_blk("hg.conv_code1", True), c5, pool=True))
+
+    def _upb(name):
+        return lambda x: _up_block_f(p, name, x, policy=policy)
+
+    u = jnp.concatenate((_stage(_upb("hg.Up_conv1"), code, up=True), c5), axis=-1)
+    u = conv2d(p, "hg.conv6", u, policy=policy)  # 1×1 — pointwise
+    u = jnp.concatenate((_stage(_upb("hg.Up_conv2"), u, up=True), c4), axis=-1)
     u = conv2d(p, "hg.conv7", u, policy=policy)
-    u = jnp.concatenate((_up_block_f(p, "hg.Up_conv3", u, policy=policy), c3), axis=-1)
+    u = jnp.concatenate((_stage(_upb("hg.Up_conv3"), u, up=True), c3), axis=-1)
     u = conv2d(p, "hg.conv8", u, policy=policy)
-    u = jnp.concatenate((_up_block_f(p, "hg.Up_conv4", u, policy=policy), c2), axis=-1)
+    u = jnp.concatenate((_stage(_upb("hg.Up_conv4"), u, up=True), c2), axis=-1)
     u = conv2d(p, "hg.conv9", u, policy=policy)  # natural (N,Hbp,Wbp,64)
 
     # Up_conv5 with the PS fold: output IS the full-res s2d tensor.
-    up5 = relu(conv2d(p, "hg.Up_conv5.0", u, padding=1, policy=policy))
+    up5 = _stage(lambda x: relu(conv2d(p, "hg.Up_conv5.0", x, padding=1, policy=policy)), u)
 
     from hdrtv_tpu.utils.env import env_bool
 
@@ -294,6 +327,13 @@ def hg_composite_s2d(
     mask4 = mask_s2d(base_s2d, r=cfg.mask_r)
     pgh = (16 - hb % 16) % 16
     pgw = (16 - wb % 16) % 16
+    # Under manual W-sharding only the LAST shard may own the true right
+    # edge; per-shard reflect W-padding would fabricate interior edges. The
+    # processor gates mesh eligibility on wb % (16·n_sp) == 0 so pgw is 0
+    # here (H is unsharded — pgh pads identically on every shard).
+    assert not (_halo.active() and pgw), (
+        f"sharded HG needs W/2 divisible by 16 per shard (wb={wb})"
+    )
     base_pad = pad_reflect_s2d(base_s2d, pgh, pgw)
     mask_pad = pad_reflect_s2d(mask4, pgh, pgw)
     out = hg_s2d_apply(p, base_pad, mask_pad, policy=policy, pack=pack, tail_on=tail_on)

@@ -154,12 +154,14 @@ def ext(x: jax.Array, r: int, axis: int) -> jax.Array:
     return lax.dynamic_slice(buf, starts, sizes)
 
 
-def crop(y: jax.Array, r: int, axis: int, *, stride: int = 1) -> jax.Array:
+def crop(y: jax.Array, r: int, axis: int, *, stride: int = 1, upscale: int = 1) -> jax.Array:
     """Undo ``ext`` after a stage: keep this device's canonical shard.
 
     ``stride``: the stage's spatial downscale (1 for same-res convs, 2 for
-    the stride-2 down convs, 4 for the ¼-res condition downsample).
-    ``r`` is the radius in *input* columns and must divide by ``stride``.
+    the stride-2 down convs / HG encoder pools, 4 for the ¼-res condition
+    downsample); ``upscale``: its spatial upscale (2 for the HG decoder's
+    conv+PixelShuffle blocks). ``r`` is the radius in *input* columns;
+    ``r·upscale`` must divide by ``stride``.
     """
     name = axis_name()
     if not name or r == 0:
@@ -167,8 +169,8 @@ def crop(y: jax.Array, r: int, axis: int, *, stride: int = 1) -> jax.Array:
     n = _axis_n(name)
     if n == 1:
         return y
-    assert r % stride == 0, f"radius {r} not aligned to stride {stride}"
-    rs = r // stride
+    assert (r * upscale) % stride == 0, f"radius {r}·{upscale} not aligned to stride {stride}"
+    rs = r * upscale // stride
     w_keep = y.shape[axis] - 2 * rs
     k = lax.axis_index(name)
     start = jnp.where(k == 0, 0, jnp.where(k == n - 1, 2 * rs, rs))
@@ -201,6 +203,7 @@ def run_stage(
     align: int = 2,
     out_axis: int,
     out_stride: int = 1,
+    out_upscale: int = 1,
     coarse_idx=(),
 ):
     """Run one spatially-overlapping stage under manual sharding.
@@ -232,8 +235,10 @@ def run_stage(
         if y is None:
             return None
         if isinstance(y, tuple):
-            return tuple(crop(e, r, out_axis, stride=out_stride) for e in y)
-        return crop(y, r, out_axis, stride=out_stride)
+            return tuple(
+                crop(e, r, out_axis, stride=out_stride, upscale=out_upscale) for e in y
+            )
+        return crop(y, r, out_axis, stride=out_stride, upscale=out_upscale)
     full = [None if x is None else gather_w(x, waxes[i]) for i, x in enumerate(inputs)]
     with suspended():
         y = fn(*full)

@@ -327,16 +327,64 @@ class HDRTVNetTPU:
         self._mesh_fns[key] = fn
         return fn
 
+    def _mesh_hg_fn_manual(self, h: int, w3: int):
+        """shard_map HG composite: the two-program split (base jit + HG jit,
+        mirroring _hg_base_flat_jit/_hg_rest_flat_jit so each per-shard
+        program carries the same Mosaic module count as the proven
+        single-chip split), every megakernel incl. the fused HG tail per
+        shard, halos exchanged at the 16 spatial HG stages
+        (models/hg_s2d.py _stage) and the base conv boundaries."""
+        key = ("shard_map_hg", h, w3)
+        fn = self._mesh_fns.get(key)
+        if fn is not None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        from hdrtv_tpu.models.hg_s2d import hg_composite_s2d
+        from hdrtv_tpu.models.s2d import ensemble_s2d_base_flat
+        from hdrtv_tpu.parallel import halo
+
+        cfg, policy = self.cfg, self.policy
+
+        def base_body(params, flat_local):
+            with halo.manual_axis("spatial"):
+                return ensemble_s2d_base_flat(params, flat_local, policy=policy, bgr=True)
+
+        def hg_body(params, base_local):
+            with halo.manual_axis("spatial"):
+                return hg_composite_s2d(
+                    params, base_local, cfg, policy=policy, pack=True, tail_on=True
+                )
+
+        base_sm = halo.make_shard_map(
+            base_body, self.mesh,
+            (P(), P(None, "spatial")), P(None, None, "spatial", None),
+        )
+        hg_sm = halo.make_shard_map(
+            hg_body, self.mesh,
+            (P(), P(None, None, "spatial", None)), P(None, "spatial"),
+        )
+        base_jit, hg_jit = jax.jit(base_sm), jax.jit(hg_sm)
+
+        def fn(params, flat_dev):
+            return hg_jit(params, base_jit(params, flat_dev))
+
+        self._mesh_fns[key] = fn
+        return fn
+
     def _mesh_manual_ok(self, h: int, w3: int) -> bool:
         n_sp = self.mesh.shape.get("spatial", 1)
         w = w3 // 3
-        return (
-            self.turbo
-            and not self.cfg.use_hg
-            and env_bool("HDRTV_MESH_SHARD_MAP", True)
-            and h % 8 == 0
-            and w % (16 * n_sp) == 0
-        )
+        if not (self.turbo and env_bool("HDRTV_MESH_SHARD_MAP", True) and h % 8 == 0):
+            return False
+        if self.cfg.use_hg:
+            # HG composite: per-shard BLOCK width divisible by 16 — no
+            # reflect W-pad (only the last shard owns the true right edge)
+            # and the 4 encoder pools divide evenly on every shard
+            # (models/hg_s2d.py _stage). W % (32·n_sp) == 0 ⇒ the base
+            # program's own 16·n_sp constraint holds too.
+            return "hg.conv1.0.weight" in self.params and (w // 2) % (16 * n_sp) == 0
+        return w % (16 * n_sp) == 0
 
     def _mesh_flat_fn(self, h: int, w3: int):
         """GSPMD-sharded flat program for one (post-letterbox) frame shape.
@@ -387,6 +435,8 @@ class HDRTVNetTPU:
             )
         if self._mesh_manual_ok(h, w3):
             flat_dev = jax.device_put(flat_dev, flat_sharding(self.mesh))
+            if self.cfg.use_hg:
+                return self._mesh_hg_fn_manual(h, w3)(self.params, flat_dev)
             return self._mesh_flat_fn_manual(h, w3)(self.params, flat_dev)
         flat_dev = jax.device_put(flat_dev, flat_sharding(self.mesh))
         fn = self._mesh_flat_fn(h, w3)

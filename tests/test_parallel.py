@@ -546,3 +546,109 @@ class TestShardingEfficiency:
         ).compile().as_text()
         for op in ("collective-permute(", "all-gather(", "all-reduce(", "all-to-all("):
             assert op not in txt, f"unexpected {op.rstrip('(')} in the DP program"
+
+
+class TestShardMapHG:
+    """shard_map manual-halo execution of the HG COMPOSITE (round 4): the
+    16 spatial HG stages exchange shifted-window halos (models/hg_s2d.py
+    _stage), the 1×1 mixes and the fused tail run pointwise per shard, and
+    deep UNet levels narrower than 2r take run_stage's gather fallback.
+    Extends the 4K60 scale-out path to the heaviest program family."""
+
+    def _hg_params_cfg(self):
+        import os
+
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+        from hdrtv_tpu.models.hg_s2d import hg_s2d_transform
+        from hdrtv_tpu.models.import_torch import convert_state
+
+        fx = np.load(os.path.join(os.path.dirname(__file__), "fixtures", "hg_mid.npz"))
+        raw = convert_state({k: fx[k] for k in fx.files if k.startswith("hg.")})
+        p = {k: jnp.asarray(v) for k, v in hg_s2d_transform(raw).items()}
+        return p, ModelConfig(use_hg=True, hg_nf=16)
+
+    def _sm(self, cfg, mesh):
+        from jax.sharding import PartitionSpec as P
+
+        from hdrtv_tpu.models.hg_s2d import hg_composite_s2d
+        from hdrtv_tpu.models.layers import F32
+        from hdrtv_tpu.parallel import halo
+
+        def body(p, base_local):
+            with halo.manual_axis("spatial"):
+                return hg_composite_s2d(p, base_local, cfg, policy=F32, pack=True)
+
+        return halo.make_shard_map(
+            body, mesh, (P(), P(None, None, "spatial", None)), P(None, "spatial")
+        )
+
+    def test_hg_shard_map_matches_single_device(self, cpu_devices):
+        """Bit-exact (u16) vs single device on the 8-device mesh, covering
+        the H reflect-pad case (hb=24 → pgh=8) and deep-level gather
+        fallbacks (per-shard block width 16 → 1-wide code level)."""
+        from hdrtv_tpu.models.hg_s2d import hg_composite_s2d
+        from hdrtv_tpu.models.layers import F32
+        from hdrtv_tpu.parallel.mesh import replicate_params, spatial_mesh
+
+        p, cfg = self._hg_params_cfg()
+        mesh = spatial_mesh(8)
+        rng = np.random.RandomState(0)
+        for hb in (32, 24):
+            base = jnp.asarray(rng.rand(1, hb, 128, 12).astype(np.float32))
+            ref = np.asarray(hg_composite_s2d(p, base, cfg, policy=F32, pack=True))
+            out = np.asarray(jax.jit(self._sm(cfg, mesh))(replicate_params(p, mesh), base))
+            diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+            assert diff.max() <= 1, f"hb={hb}: max LSB diff {diff.max()}"
+
+    def test_hg_shard_map_census(self, cpu_devices):
+        """Halo exchange + bounded deep-level gathers, no all-reduces."""
+        import re
+
+        from hdrtv_tpu.parallel.mesh import replicate_params, spatial_mesh
+
+        p, cfg = self._hg_params_cfg()
+        mesh = spatial_mesh(8)
+        base = jnp.asarray(np.random.RandomState(1).rand(1, 32, 128, 12).astype(np.float32))
+        txt = (
+            jax.jit(self._sm(cfg, mesh))
+            .lower(replicate_params(p, mesh), base)
+            .compile()
+            .as_text()
+        )
+        n_permute = len(re.findall(r"collective-permute\(", txt))
+        n_gather = len(re.findall(r"all-gather\(", txt))
+        n_reduce = len(re.findall(r"\ball-reduce\(", txt))
+        assert n_permute > 0, "expected explicit halo collective-permutes"
+        assert n_gather <= 8, f"{n_gather} all-gathers — halo regressed to gathers"
+        assert n_reduce <= 1, f"{n_reduce} all-reduces in an inference program"
+
+    def test_processor_dispatches_hg_shard_map(self, cpu_devices, tmp_path):
+        """HDRTVNetTPU(mesh=…) with an HG composite takes the two-program
+        shard_map split for conforming shapes and reproduces the
+        single-device composite to ≤1 LSB."""
+        import os
+
+        from hdrtv_tpu.models.import_torch import convert_state, load_npz, save_npz
+        from hdrtv_tpu.parallel.mesh import spatial_mesh
+        from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+        weights = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "weights", "hr_fp32.npz"
+        )
+        fx = np.load(os.path.join(os.path.dirname(__file__), "fixtures", "hg_mid.npz"))
+        comp = {f"base.{k}": v for k, v in load_npz(weights).items()}
+        comp.update(convert_state({k: fx[k] for k in fx.files if k.startswith("hg.")}))
+        path = str(tmp_path / "composite.npz")
+        save_npz(path, comp, {"architecture": {"use_hg": True, "hg_nf": 16}})
+
+        mesh = spatial_mesh(4)
+        h, w = 64, 2 * 16 * 4 * 2  # (w/2) % (16·n_sp) == 0 → HG shard_map
+        pm = HDRTVNetTPU(path, precision="fp32", persistent_cache=False, mesh=mesh)
+        assert pm._mesh_manual_ok(h, w * 3)
+        frame = (np.random.RandomState(13).rand(h, w, 3) * 255).astype(np.uint8)
+        out = pm.process_rgb48(frame)
+        assert ("shard_map_hg", h, w * 3) in pm._mesh_fns, "HG shard_map path not taken"
+        ps = HDRTVNetTPU(path, precision="fp32", persistent_cache=False)
+        ref = ps.process_rgb48(frame)
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max LSB diff {diff.max()}"
