@@ -652,3 +652,57 @@ class TestShardMapHG:
         ref = ps.process_rgb48(frame)
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1, f"max LSB diff {diff.max()}"
+
+
+class TestShardMapInt8:
+    def test_int8_program_shard_map_matches_single_device(self, cpu_devices):
+        """The native-int8-attached program keeps its halo geometry under
+        shard_map (the halo hooks precede int8 dispatch in every stage), so
+        the fastest single-chip precision scales over the mesh too. Lax
+        body on the virtual mesh; the kernels' int8 math is bit-tested
+        separately (tests/test_native_int8_program.py)."""
+        import os
+
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+        from hdrtv_tpu.models.import_torch import load_npz
+        from hdrtv_tpu.models.layers import F32
+        from hdrtv_tpu.models.s2d import (
+            attach_native_int8,
+            ensemble_s2d_rgb48_flat,
+            s2d_transform_params,
+        )
+        from hdrtv_tpu.parallel import halo
+        from hdrtv_tpu.parallel.mesh import replicate_params, spatial_mesh
+        from hdrtv_tpu.quant.calibrate import calibrate
+        from hdrtv_tpu.quant.int8 import predequantize_params, quantize_params
+        from jax.sharding import PartitionSpec as P
+
+        cfg = ModelConfig()
+        fp32 = load_npz(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "weights", "hr_fp32.npz"
+        ))
+        q = quantize_params(fp32, mode="w8a8")
+        yy, xx = np.mgrid[0:32, 0:48].astype(np.float32)
+        q = calibrate(
+            q,
+            [np.stack([xx / 48, yy / 32, np.full_like(xx, 0.4)], -1)],
+            cfg,
+        )
+        sp = attach_native_int8(dict(s2d_transform_params(predequantize_params(q), cfg)), q)
+        sp = {k: jnp.asarray(v) for k, v in sp.items()}
+
+        yy, xx = np.mgrid[0:32, 0:256].astype(np.float32)
+        frame = (np.stack([xx / 256, yy / 32, 0.5 * (xx / 256 + yy / 32)], -1) * 255).astype(np.uint8)
+        flat = jnp.asarray(frame.reshape(32, 256 * 3))
+        ref = np.asarray(ensemble_s2d_rgb48_flat(sp, flat, None, cfg, policy=F32, bgr=True))
+
+        mesh = spatial_mesh(8)
+
+        def body(p, fl):
+            with halo.manual_axis("spatial"):
+                return ensemble_s2d_rgb48_flat(p, fl, None, cfg, policy=F32, bgr=True)
+
+        sm = halo.make_shard_map(body, mesh, (P(), P(None, "spatial")), P(None, "spatial"))
+        out = np.asarray(jax.jit(sm)(replicate_params(sp, mesh), flat))
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max LSB diff {diff.max()}"
