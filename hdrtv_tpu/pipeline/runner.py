@@ -227,10 +227,20 @@ class PipelineRunner:
     def run(self) -> RuntimeMetrics:
         inflight: queue.Queue = queue.Queue(maxsize=self.ring)
         feeder_done = threading.Event()
+        feeder_error: list[BaseException] = []
         model_ms: list[float] = []
         ring_ms: list[float] = []
 
         def feeder():
+            try:
+                _feeder_loop()
+            except BaseException as exc:  # surface sink/fetch failures
+                feeder_error.append(exc)
+                self._stop.set()  # a dead feeder must stop the producer too
+            finally:
+                feeder_done.set()
+
+        def _feeder_loop():
             """Fetch completed device frames and hand them to the sink.
 
             The np.asarray here is the only host↔device fence in the steady
@@ -263,7 +273,6 @@ class PipelineRunner:
                         self.sink.show_sdr(sdr, pts)
                     self.sink.show(host, pts)
                 self._stamps.append(time.monotonic())
-            feeder_done.set()
 
         fthread = threading.Thread(target=feeder, daemon=True, name="hdr-feeder")
         fthread.start()
@@ -309,6 +318,8 @@ class PipelineRunner:
         finally:
             inflight.put(None)
             feeder_done.wait(timeout=10.0)
+        if feeder_error:
+            raise feeder_error[0]  # a silent sink is a lying benchmark
 
         wall = time.monotonic() - t_start
         self.metrics.device_mem_mb = _device_memory_mb()

@@ -54,6 +54,37 @@ class FileSink:
         self._f.close()
 
 
+class Y4MFileSink:
+    """Playable file rung of the display ladder: ``*.y4m`` paths capture to
+    YUV4MPEG2 at the export chain's intermediate format (4:2:2 10-bit
+    limited BT.2020-NCL, bench/y4m.py) — mpv/ffmpeg open the result
+    directly, with no binary needed to write it. Sized lazily from the
+    first delivered frame (the processor letterboxes to processing dims)."""
+
+    def __init__(self, path: str, fps: float = 30.0):
+        self.path = path
+        self.fps = fps
+        self.frames = 0
+        self._w = None
+
+    def show(self, rgb48: np.ndarray, pts: float | None = None) -> None:
+        if rgb48.ndim == 2:  # feeder delivers flat (H, 3W) u16 byte rows
+            rgb48 = rgb48.reshape(rgb48.shape[0], rgb48.shape[1] // 3, 3)
+        if self._w is None:
+            from hdrtv_tpu.bench.y4m import Y4MWriter
+
+            h, w = rgb48.shape[:2]
+            self._w = Y4MWriter(self.path, w, h, fps=self.fps, ctag="422p10")
+        self._w.write_rgb_unit(
+            rgb48.astype(np.float32) / 65535.0, matrix="bt2020nc"
+        )
+        self.frames += 1
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
+
+
 def _quality_args(live: bool = False) -> list[str]:
     """Display-quality mpv options (env-configurable, the reference's
     deband/dither/tscale set — gui_mpv_widget.py:80-230 defaults)."""
@@ -545,5 +576,8 @@ def make_sink(
         except Exception:
             kind = "null"
     if kind == "file":
-        return FileSink(path or "out.rgb48")
+        out = path or "out.rgb48"
+        if out.lower().endswith(".y4m"):
+            return Y4MFileSink(out, fps=fps)
+        return FileSink(out)
     return NullSink()

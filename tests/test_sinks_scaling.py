@@ -399,3 +399,28 @@ class TestCasInVf:
         # FSR: CAS stays out of the chain (gui_scaling.py:113-138)
         sink2 = MpvPipeSink(960, 540, 30.0, out_size=(1920, 1080), upscaler="fsr")
         sink2.close()
+
+
+class TestY4MFileSink:
+    def test_file_rung_y4m_path_is_playable(self, tmp_path):
+        from hdrtv_tpu.bench.y4m import Y4MReader
+        from hdrtv_tpu.pipeline.sinks import Y4MFileSink, make_sink
+
+        path = str(tmp_path / "cap.y4m")
+        sink = make_sink("file", 64, 32, 24.0, path=path)
+        assert isinstance(sink, Y4MFileSink)
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            sink.show((rng.rand(32, 64, 3) * 65535).astype(np.uint16))
+        sink.close()
+        with Y4MReader(path) as rd:
+            assert rd.frame_count == 3
+            assert rd.fmt.ctag == "422p10" and abs(rd.fps - 24.0) < 1e-6
+            assert rd.read_rgb_unit(2).shape == (32, 64, 3)
+
+    def test_file_rung_raw_unchanged(self, tmp_path):
+        from hdrtv_tpu.pipeline.sinks import FileSink, make_sink
+
+        sink = make_sink("file", 8, 8, 30.0, path=str(tmp_path / "cap.rgb48"))
+        assert isinstance(sink, FileSink)
+        sink.close()
