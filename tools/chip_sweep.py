@@ -68,7 +68,7 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
     ("batch8_inflight3", _bm("--batch", "8"), {"HDRTV_BATCH_INFLIGHT": "3"}, 2400),
     # Quality matrices (VERDICT #4): no-HG refresh + HG table + pseudo-GT.
     ("quality_matrix", [PY, os.path.join(REPO, "tools", "make_quality_matrix.py")], {}, 5400),
-    ("gt_quality", [PY, os.path.join(REPO, "tools", "make_gt_quality.py")], {}, 3600),
+    ("gt_quality", [PY, os.path.join(REPO, "tools", "make_gt_quality.py"), "--include-hg"], {}, 3600),
 ]
 
 
