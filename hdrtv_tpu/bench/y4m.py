@@ -223,8 +223,14 @@ class Y4MReader:
             raise IndexError(f"frame {idx} out of range [0,{self.frame_count})")
         self._f.seek(fmt.frame_offset(idx))
         marker = self._f.read(6)
-        if not marker.startswith(b"FRAME"):
-            raise ValueError(f"{self.path}: bad FRAME marker at index {idx}")
+        if marker != b"FRAME\n":
+            # Must be EXACT: record_bytes assumes bare 6-byte markers, so a
+            # parameterized FRAME line (legal Y4M, e.g. "FRAME Ip\n") would
+            # shift every plane offset — reject loudly, never decode skewed.
+            raise ValueError(
+                f"{self.path}: unsupported FRAME marker {marker!r} at index {idx} "
+                "(parameterized frame headers are not supported)"
+            )
         raw = self._f.read(fmt.frame_bytes)
         if len(raw) != fmt.frame_bytes:
             raise ValueError(f"{self.path}: truncated frame {idx}")
@@ -283,8 +289,12 @@ class Y4MWriter:
                  ctag: str = "444p10", full_range: bool = False):
         if ctag not in _CTAGS:
             raise ValueError(f"unsupported Y4M colorspace C{ctag}")
-        num = int(round(fps * 1001)) if abs(fps - round(fps)) > 1e-3 else int(round(fps))
-        den = 1001 if abs(fps - round(fps)) > 1e-3 else 1
+        # Best rational with the NTSC-scale denominator bound: 12.5 → 25:2,
+        # 23.976… → x:1001-family, integers → n:1.
+        from fractions import Fraction
+
+        frac = Fraction(fps).limit_denominator(1001)
+        num, den = frac.numerator, frac.denominator
         rng = "FULL" if full_range else "LIMITED"
         header = f"YUV4MPEG2 W{width} H{height} F{num}:{den} Ip A1:1 C{ctag} XCOLORRANGE={rng}\n"
         self._f = open(path, "wb")

@@ -133,6 +133,20 @@ class _RawWriter:
         self._f.close()
 
 
+def _y4m_sidecar(path: str) -> dict:
+    """Color/containerize sidecar for a y4m master at ``path`` (Y4M headers
+    cannot carry PQ/BT.2020 tags)."""
+    return {
+        "format": "y4m yuv422p10le limited",
+        "color": {"primaries": "bt2020", "transfer": "smpte2084", "matrix": "bt2020nc"},
+        "containerize_with": (
+            f"ffmpeg -y -i {path} -c:v prores_ks -profile:v 3 "
+            "-color_primaries bt2020 -color_trc smpte2084 -colorspace bt2020nc "
+            + os.path.splitext(path)[0] + ".mov"
+        ),
+    }
+
+
 class _Y4MWriter:
     """Binary-free playable master: YUV4MPEG2 at the reference chain's
     intermediate format — 4:2:2 10-bit limited-range BT.2020-NCL
@@ -145,17 +159,8 @@ class _Y4MWriter:
 
         self.path = cfg.output if cfg.output.endswith(".y4m") else os.path.splitext(cfg.output)[0] + ".y4m"
         self._w = Y4MWriter(self.path, width, height, fps=fps, ctag="422p10")
-        sidecar = {
-            "format": "y4m yuv422p10le limited",
-            "color": {"primaries": "bt2020", "transfer": "smpte2084", "matrix": "bt2020nc"},
-            "containerize_with": (
-                f"ffmpeg -y -i {self.path} -c:v prores_ks -profile:v 3 "
-                "-color_primaries bt2020 -color_trc smpte2084 -colorspace bt2020nc "
-                + os.path.splitext(self.path)[0] + ".mov"
-            ),
-        }
         with open(self.path + ".json", "w") as f:
-            json.dump(sidecar, f, indent=2)
+            json.dump(_y4m_sidecar(self.path), f, indent=2)
 
     def write(self, rgb48: np.ndarray):
         self._w.write_rgb_unit(rgb48.astype(np.float32) / 65535.0, matrix="bt2020nc")
@@ -297,10 +302,8 @@ def export_video_multihost(
                     if i:
                         f.readline()
                     shutil.copyfileobj(f, out_f)
-        with open(seg_files[0] + ".json") as f:
-            sidecar = json.load(f)
         with open(final + ".json", "w") as f:
-            json.dump(sidecar, f, indent=2)
+            json.dump(_y4m_sidecar(final), f, indent=2)  # not the segment's
         stats["output"] = final
     else:
         list_path = cfg.output + ".segments.txt"
@@ -400,6 +403,10 @@ def export_video(video_path: str | None, processor, cfg: ExportConfig, *, source
             frames += 1
     q.put(None)
     wt.join(timeout=60)
+    if wt.is_alive():
+        # Never size a writer while the thread may still construct one from
+        # a frame (source dims would corrupt a fixed-stride container).
+        raise RuntimeError("export writer thread stalled (>60s past last frame)")
     writer = _ensure_writer(h, w)  # zero-frame source: still emit the container
     writer.close()
     source.close()

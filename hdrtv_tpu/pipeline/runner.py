@@ -237,6 +237,15 @@ class PipelineRunner:
             except BaseException as exc:  # surface sink/fetch failures
                 feeder_error.append(exc)
                 self._stop.set()  # a dead feeder must stop the producer too
+                # Keep draining: the producer may be blocked in
+                # inflight.put() on a full ring, and its finally-clause
+                # sentinel put(None) must never deadlock against us.
+                while True:
+                    try:
+                        if inflight.get(timeout=5.0) is None:
+                            break
+                    except queue.Empty:
+                        break
             finally:
                 feeder_done.set()
 

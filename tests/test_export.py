@@ -223,6 +223,9 @@ class TestY4MExport:
                 source=mk(), wait_timeout=30.0,
             )
         final = str(tmp_path / "farm.y4m")
+        with open(final + ".json") as f:
+            sc = json.load(f)
+        assert "farm.y4m" in sc["containerize_with"]  # final, not the segment
         with Y4MReader(final) as a, Y4MReader(str(tmp_path / "one.y4m")) as b:
             assert a.frame_count == b.frame_count == 6
             for i in range(6):

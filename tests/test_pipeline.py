@@ -1,6 +1,7 @@
 """Host pipeline tests: source prefetch/seek, pacing policy, runner overlap."""
 
 import time
+import pytest
 
 import numpy as np
 import jax.numpy as jnp
@@ -138,6 +139,32 @@ class TestRunner:
         m = runner.run()
         assert m.frames == 20
         assert sink.frames == 20
+
+
+    def test_failing_sink_raises_instead_of_hanging(self):
+        """A sink exception in the feeder must stop the producer and
+        re-raise from run() — not hang the producer in inflight.put() on a
+        full ring while the dead feeder never drains (round-4 regression;
+        the bug reported a clean run with zero frames written)."""
+        from hdrtv_tpu.pipeline.runner import PipelineRunner
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        class ExplodingSink:
+            frames = 0
+
+            def show(self, rgb48, pts=None):
+                raise ValueError("disk full")
+
+            def close(self):
+                pass
+
+        src = SyntheticSource(64, 32, fps=1000, frames=50)
+        runner = PipelineRunner(src, FakeProcessor(), ExplodingSink(), realtime=False)
+        t0 = time.monotonic()
+        with pytest.raises(ValueError, match="disk full"):
+            runner.run()
+        assert time.monotonic() - t0 < 30  # raised, not wedged
+
 
     def test_realtime_run_paces_and_reports(self):
         from hdrtv_tpu.pipeline.runner import PipelineRunner

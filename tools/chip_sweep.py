@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -49,7 +50,8 @@ def _bm(*extra: str) -> list[str]:
 # must be green first (VERDICT #1), then the perf levers, then quality.
 STEPS: list[tuple[str, list[str], dict, int]] = [
     ("smoke", [PY, os.path.join(REPO, "tools", "tpu_smoke.py")], {}, 1500),
-    ("bench_warm", [PY, os.path.join(REPO, "bench.py"), "--warm"], {}, 4200),
+    # --warm internal worst case: 2×2400 s populate + 2×600 s verify.
+    ("bench_warm", [PY, os.path.join(REPO, "bench.py"), "--warm"], {}, 6600),
     ("bench_verify", [PY, os.path.join(REPO, "bench.py")], {}, 1800),
     # HDRTV_DB_DMA probe: the double-buffered halo DMA conv3 path is opt-in
     # until proven on real Mosaic (80cab31). Small first, then 1080p A/B.
@@ -110,11 +112,22 @@ def run_step(name: str, argv: list[str], env_over: dict, budget: int) -> bool:
     with open(log_path, "w") as lf:
         lf.write(f"# {' '.join(argv)} env={env_over} budget={budget}s\n")
         lf.flush()
+        # Own session + killpg on timeout (a bare subprocess kill leaves the
+        # step's process tree holding the TPU). bench.py's attempt children
+        # detach into their OWN sessions, which killpg cannot reach — so the
+        # bench steps' budgets sit ABOVE bench.py's internal self-budgets
+        # (6600 > 2×2400+2×600, 1800 > 1500) and bench.py reaps its own
+        # children; the post-failure probe catches any survivor anyway.
+        proc = subprocess.Popen(argv, cwd=REPO, env=env, stdout=lf,
+                                stderr=subprocess.STDOUT, start_new_session=True)
         try:
-            r = subprocess.run(argv, cwd=REPO, env=env, timeout=budget,
-                               stdout=lf, stderr=subprocess.STDOUT)
-            rc = r.returncode
+            rc = proc.wait(timeout=budget)
         except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
             rc = -9
     dt = round(time.time() - t0, 1)
     tail = ""

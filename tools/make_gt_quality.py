@@ -169,8 +169,13 @@ def main() -> None:
                 frame_ids=frame_ids,
             )
             psnr = summary["mean_psnr"]
+            if psnr is None or summary["mean_ssim"] is None:
+                # zero scored frames (run_quality_benchmark returns None
+                # means) — skip the row rather than abort the whole sweep
+                print(f"skip {key}: benchmark scored no frames", file=sys.stderr)
+                continue
             rows.append(
-                f"| {key} | {'∞ (teacher)' if psnr and psnr > 90 else f'{psnr:.2f}'} "
+                f"| {key} | {'∞ (teacher)' if psnr > 90 else f'{psnr:.2f}'} "
                 f"| {summary['mean_ssim']:.4f} | {summary['mean_delta_e_itp']:.3f} |"
             )
             print(f"{family} {key}: psnr={psnr} ssim={summary['mean_ssim']}", flush=True)
