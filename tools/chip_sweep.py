@@ -59,6 +59,10 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
     ("dbdma_544_on", _bm("--height", "544", "--width", "960"), {"HDRTV_DB_DMA": "1"}, 2400),
     ("dbdma_1080_off", _bm(), {"HDRTV_DB_DMA": "0"}, 2400),
     ("dbdma_1080_on", _bm(), {"HDRTV_DB_DMA": "1"}, 2400),
+    # Device trace for the roofline work (profile where the ~13 ms of
+    # non-roofline 1080p time goes — VERDICT #3). The profiled jit
+    # signature differs from the cached one: budget a fresh compile.
+    ("trace_1080", _bm("--trace", os.path.join(REPO, "logs", "chip_sweep_r4", "trace_1080")), {}, 3600),
     # Post-outage revalidation sweep (VERDICT #7): refresh every headline.
     ("modes_1080_int8", _bm("--precision", "int8"), {}, 2400),
     ("modes_720", _bm("--height", "720", "--width", "1280"), {}, 2400),
