@@ -64,6 +64,10 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
     # signature differs from the cached one: budget a fresh compile.
     ("trace_1080", _bm("--trace", os.path.join(REPO, "logs", "chip_sweep_r4", "trace_1080")), {}, 3600),
     # Post-outage revalidation sweep (VERDICT #7): refresh every headline.
+    # The lax-only row is the GSPMD mesh path's per-chip numerator (the
+    # program multi-chip GSPMD actually runs) AND bench.py's fallback rate —
+    # last measured round 1 (~96 ms/1080p), never re-measured since.
+    ("modes_1080_lax", _bm(), {"HDRTV_DISABLE_PALLAS": "1"}, 2400),
     ("modes_1080_int8", _bm("--precision", "int8"), {}, 2400),
     ("modes_720", _bm("--height", "720", "--width", "1280"), {}, 2400),
     ("modes_hg", _bm("--hg"), {}, 3600),
