@@ -11,6 +11,59 @@ import shutil
 from typing import Any
 
 
+def _bounded_device_probe(issues: list[str]) -> dict[str, Any]:
+    """Device query in a budgeted subprocess: ``jax.devices()`` blocks for
+    minutes against a wedged relay, and a diagnostics command must never
+    hang (bench.py's relay probe, same discipline). Budget:
+    HDRTV_DOCTOR_PROBE_TIMEOUT_S (default 120 s)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from hdrtv_tpu.utils.env import env_int
+
+    budget = env_int("HDRTV_DOCTOR_PROBE_TIMEOUT_S", 120, lo=5)
+    # Propagate a parent-side jax.config platform override (tests force CPU
+    # via jax.config, which a child process cannot see — and the axon plugin
+    # ignores the JAX_PLATFORMS env var). Reading the config value does NOT
+    # initialize the backend — that's the hang being avoided.
+    import jax
+
+    platforms = getattr(jax.config, "jax_platforms", None) or ""
+    force = (
+        f"jax.config.update('jax_platforms', {platforms!r})\n" if platforms else ""
+    )
+    script = (
+        "import json, jax\n"
+        + force
+        + "d = jax.devices()\n"
+        "print('DOCTOR ' + json.dumps({'platform': d[0].platform if d else 'none',"
+        " 'device_kind': getattr(d[0], 'device_kind', '?') if d else '',"
+        " 'device_count': len(d)}))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=budget,
+        )
+    except subprocess.TimeoutExpired:
+        issues.append(
+            f"device probe exceeded {budget}s (wedged relay?) — "
+            "rerun with --no-device to skip"
+        )
+        return {"device_probe": "timeout"}
+    for line in r.stdout.splitlines():
+        if line.startswith("DOCTOR "):
+            out = _json.loads(line[len("DOCTOR "):])
+            if not out.get("device_count"):
+                issues.append("jax reports no devices.")
+            return out
+    issues.append(
+        f"device probe failed rc={r.returncode}: {(r.stderr or r.stdout).strip()[-200:]}"
+    )
+    return {"device_probe": "failed"}
+
+
 def check_tpu_runtime(*, probe_device: bool = True) -> dict[str, Any]:
     """Validate jax/TPU, binaries, weights, and the engine cache.
 
@@ -29,12 +82,7 @@ def check_tpu_runtime(*, probe_device: bool = True) -> dict[str, Any]:
 
         details["jaxlib"] = getattr(jaxlib, "__version__", "unknown")
         if probe_device:
-            devices = jax.devices()
-            details["platform"] = devices[0].platform if devices else "none"
-            details["device_kind"] = getattr(devices[0], "device_kind", "?") if devices else ""
-            details["device_count"] = len(devices)
-            if not devices:
-                issues.append("jax reports no devices.")
+            details.update(_bounded_device_probe(issues))
     except Exception as exc:  # noqa: BLE001 — report, never crash the check
         issues.append(f"jax import/device query failed: {type(exc).__name__}: {exc}")
 
