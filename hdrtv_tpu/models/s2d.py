@@ -1060,46 +1060,49 @@ def _ensemble_mega(
             n_first=n_first, scale=scale, out_dtype=policy.compute_dtype,
         )
 
-    if _halo.active():
-        # One 3×3 (LE.__in_fused) inside the head; mods is a replicated
-        # global vector. xs: (Hb,Wb,12) → W axis 1; (Hb,2,Wb,6) → axis 2.
-        fea_pre, c0, agcm = _halo.run_stage(
-            head, [xs], [xs.ndim - 2], need=1, mod=8, out_axis=1
-        )
-    else:
-        fea_pre, c0, agcm = head(xs)
-
     # The chain stays float even in native-int8 mode: per-layer VMEM
     # quantization doubled the kernel (1.59 → 3.19 ms, round-3 trace) — for
     # 1×1 dots the VPU quantize cost matches the MXU dot it accelerates, and
     # the block-diagonal weight wastes 3/4 of the int8 contraction. (The
     # qargs path in fused_cond_chain remains unit-tested for exactness.)
-    c_feat, cond1 = fused_cond_chain(
-        c0,
-        [w11("LE.cond_first.2"), w11("LE.cond_first.4"),
-         w11("LE.CondNet1.0"), w11("LE.CondNet1.2"), w11("LE.CondNet1.4")],
-    )
+    chain_steps = [
+        w11("LE.cond_first.2"), w11("LE.cond_first.4"),
+        w11("LE.CondNet1.0"), w11("LE.CondNet1.2"), w11("LE.CondNet1.4"),
+    ]
 
-    fea0 = _sft_conv(
-        p, "LE.SFT_layer1", "LE.HR_conv1", fea_pre[None], cond1[None],
-        policy=policy, relu_fused=True,
-    )
+    if _halo.active():
+        # MERGED L1 exchange #1: head (one 3×3) → cond chain (1×1s,
+        # pointwise) → SFT1+HR_conv1 (one 3×3) under a single shifted
+        # window, radius 2 — halves the L1 ext materializations and
+        # ppermutes vs per-stage hooks (PERF_NOTES round-4 ext-copy cost
+        # model). Contamination travels 1 col/conv inward; the final crop
+        # removes exactly 2. mods is a replicated global vector.
+        # xs: (Hb,Wb,12) → W axis 1; (Hb,2,Wb,6) → axis 2.
+        def head_sft(xs_in):
+            fea_pre_i, c0_i, agcm_i = head(xs_in)
+            c_feat_i, cond1_i = fused_cond_chain(c0_i, chain_steps)
+            fea0_i = _sft_conv(
+                p, "LE.SFT_layer1", "LE.HR_conv1", fea_pre_i[None], cond1_i[None],
+                policy=policy, relu_fused=True,
+            )
+            return fea0_i[0], c_feat_i, cond1_i, agcm_i
+
+        fea0_l, c_feat, cond1, agcm = _halo.run_stage(
+            head_sft, [xs], [xs.ndim - 2], need=2, mod=8, out_axis=1
+        )
+        fea0 = fea0_l[None]
+    else:
+        fea_pre, c0, agcm = head(xs)
+        c_feat, cond1 = fused_cond_chain(c0, chain_steps)
+        fea0 = _sft_conv(
+            p, "LE.SFT_layer1", "LE.HR_conv1", fea_pre[None], cond1[None],
+            policy=policy, relu_fused=True,
+        )
     cond2, cond3, cond4 = _le_cond_downs(p, c_feat[None], policy=policy)
     out = _le_mid(p, fea0, cond2, cond3, cond4, policy=policy)
     # up_conv3 output stays coarse: fused_tail unfolds the d2s and adds the
     # fea0 skip in VMEM (up_coarse) — the round-3 trace's add.530 + d2s
     # copies disappear.
-    upc = conv_s1(p, "LE.up_conv3.0", out, policy=policy, relu_fused=True)
-    hb0, wb0, c0f = fea0.shape[1:]
-    coarse_ok = (
-        hb0 % 2 == 0 and wb0 % 2 == 0
-        and upc.shape[1:] == (hb0 // 2, wb0 // 2, 4 * c0f)
-    )
-    if coarse_ok:
-        s, up_coarse = fea0[0], upc[0]
-    else:
-        s, up_coarse = (d2s_blocks(upc)[0] + fea0[0]), None
-
     sft2 = [
         w11("LE.SFT_layer2.SFT_scale_conv0"), w11("LE.SFT_layer2.SFT_scale_conv1"),
         w11("LE.SFT_layer2.SFT_shift_conv0"), w11("LE.SFT_layer2.SFT_shift_conv1"),
@@ -1114,13 +1117,34 @@ def _ensemble_mega(
             up_coarse=up_in,
         )
 
+    def up3_coarse(out_in, fea0_in):
+        """up_conv3 + the coarse-skip decision on (unbatched) inputs."""
+        upc_i = conv_s1(p, "LE.up_conv3.0", out_in[None], policy=policy, relu_fused=True)
+        hb0, wb0, c0f = fea0_in.shape
+        if (
+            hb0 % 2 == 0 and wb0 % 2 == 0
+            and upc_i.shape[1:] == (hb0 // 2, wb0 // 2, 4 * c0f)
+        ):
+            return fea0_in, upc_i[0]
+        return d2s_blocks(upc_i)[0] + fea0_in, None
+
     if _halo.active():
-        # HR_conv2 + conv_last → radius 2; up_coarse rides at r/2. Packed
-        # output is (Hb,2,Wb,6) → crop axis 2; unpacked (Hb,Wb,C) → axis 1.
+        # MERGED L1 exchange #2: up_conv3 (3×3 at L2 = radius 2 at L1) +
+        # the tail (HR_conv2 + conv_last → radius 2) under one shifted
+        # window, radius 4; ``out`` rides at r/2 in its half-res domain.
+        # The tail consumes up_coarse no closer than 1 L2 col from the
+        # window edge, so up_conv3's single contaminated edge column is
+        # never read (PERF_NOTES round-4 merge design). Packed output is
+        # (Hb,2,Wb,6) → crop axis 2; unpacked (Hb,Wb,C) → axis 1.
+        def up_tail(out_in, fea0_in, cond1_in, agcm_in):
+            s_i, up_i = up3_coarse(out_in, fea0_in)
+            return tail(s_i, cond1_in, agcm_in, up_i)
+
         return _halo.run_stage(
-            tail, [s, cond1, agcm, up_coarse], [1, 1, 1, 1],
-            need=2, mod=8, out_axis=2 if pack else 1, coarse_idx=(3,),
+            up_tail, [out[0], fea0[0], cond1, agcm], [1, 1, 1, 1],
+            need=4, mod=8, out_axis=2 if pack else 1, coarse_idx=(0,),
         )
+    s, up_coarse = up3_coarse(out[0], fea0[0])
     return tail(s, cond1, agcm, up_coarse)
 
 
