@@ -61,6 +61,22 @@ def _stage(fn, x: jax.Array, *, pool: bool = False, up: bool = False) -> jax.Arr
         out_axis=2, out_stride=2 if pool else 1, out_upscale=2 if up else 1,
     )
 
+
+def _stage_pair(fn, x: jax.Array, *, pool: bool) -> jax.Array:
+    """Two chained 3×3 blocks under ONE shifted window (halves the per-stage
+    ext materializations — PERF_NOTES round-4 merge design). ``pool``: the
+    pair is conv→2×2 pool→conv (encoder): contamination accumulates
+    1 (conv) + 1 (pool boundary) + 2 (half-res conv) ≤ radius 4, output
+    stride 2, even radius keeps the pooling grid start-aligned. Without
+    ``pool`` (conv1→subpos_max→conv2): two radius-1 convs → radius 2."""
+    if not _halo.active():
+        return fn(x)
+    if pool:
+        return _halo.run_stage(
+            fn, [x], [2], need=4, mod=2, align=2, out_axis=2, out_stride=2
+        )
+    return _halo.run_stage(fn, [x], [2], need=2, mod=1, align=1, out_axis=2)
+
 __all__ = [
     "hg_s2d_transform",
     "hg_s2d_apply",
@@ -241,20 +257,27 @@ def hg_s2d_apply(
             c = _batch_norm(p, "hg.conv1.1", c, policy=policy)
         return relu(c)
 
-    c1 = _stage(_conv1, img_s2d)
-
-    # Levels 2-6 + decoder to conv9: natural tensors at grid res and below
+    # Levels 1-6 + decoder to conv9: natural tensors at grid res and below
     # (hg_apply verbatim, with maxpool1 as the sub-position lane max and the
-    # ≥128-channel convs on the Pallas block kernel). Each 3×3 block is one
-    # halo stage under manual W-sharding.
+    # ≥128-channel convs on the Pallas block kernel). Under manual
+    # W-sharding, chained blocks share one halo window (_stage_pair) —
+    # conv1+conv2 are the two grid-resolution (biggest-tensor) stages, and
+    # each encoder level's conv→pool→conv pair exchanges once.
     def _blk(name, pool=False):
         return lambda x: _conv_block_f(p, name, x, policy=policy, pool_out=pool)
 
-    c2 = _stage(lambda x: _conv_block_f(p, "hg.conv2", subpos_max(x), policy=policy), c1)
-    c3 = _stage(_blk("hg.conv3_2"), _stage(_blk("hg.conv3_1", True), c2, pool=True))
-    c4 = _stage(_blk("hg.conv4_2"), _stage(_blk("hg.conv4_1", True), c3, pool=True))
-    c5 = _stage(_blk("hg.conv5_2"), _stage(_blk("hg.conv5_1", True), c4, pool=True))
-    code = _stage(_blk("hg.conv_code2"), _stage(_blk("hg.conv_code1", True), c5, pool=True))
+    def _pair(n1, n2):
+        return lambda x: _blk(n2)(_blk(n1, True)(x))
+
+    c1_c2 = _stage_pair(
+        lambda x: ((c := _conv1(x)), _conv_block_f(p, "hg.conv2", subpos_max(c), policy=policy)),
+        img_s2d, pool=False,
+    )
+    c1, c2 = c1_c2
+    c3 = _stage_pair(_pair("hg.conv3_1", "hg.conv3_2"), c2, pool=True)
+    c4 = _stage_pair(_pair("hg.conv4_1", "hg.conv4_2"), c3, pool=True)
+    c5 = _stage_pair(_pair("hg.conv5_1", "hg.conv5_2"), c4, pool=True)
+    code = _stage_pair(_pair("hg.conv_code1", "hg.conv_code2"), c5, pool=True)
 
     def _upb(name):
         return lambda x: _up_block_f(p, name, x, policy=policy)
