@@ -608,18 +608,20 @@ def _trunk3_up_fused(p, fea3, cond4, *, policy):
     stage streams through VMEM."""
     from hdrtv_tpu.utils.env import env_bool
 
-    if _halo.active():
-        # 4 resblocks (8 convs) + up_conv1 → radius 9 in the natural /8
-        # domain. Small-mesh shards narrower than 2r take run_stage's
-        # gather-replicate-slice path (the L3 tensor is tiny).
-        return _halo.run_stage(
-            lambda f, c: _trunk3_up_fused(p, f, c, policy=policy),
-            [fea3, cond4], [2, 2], need=9, mod=8, out_axis=2,
-        )
     if env_bool("HDRTV_DISABLE_PALLAS", False) or not env_bool("HDRTV_TRUNK3_KERNEL", True):
         return None
     if jax.default_backend() != "tpu" and not env_bool("HDRTV_MEGAKERNEL_INTERPRET", False):
         return None
+    if _halo.active():
+        # 4 resblocks (8 convs) + up_conv1 → radius 9 in the natural /8
+        # domain. Small-mesh shards narrower than 2r take run_stage's
+        # gather-replicate-slice path (the L3 tensor is tiny). Flag/backend
+        # ineligibility returns None ABOVE this hook so an unused stage
+        # never emits its halo exchange into the traced graph.
+        return _halo.run_stage(
+            lambda f, c: _trunk3_up_fused(p, f, c, policy=policy),
+            [fea3, cond4], [2, 2], need=9, mod=8, out_axis=2,
+        )
     if fea3.shape[0] != 1 or fea3.shape[2] % 8 != 0:
         return None
     hb3 = fea3.shape[1]
@@ -729,8 +731,24 @@ def _le_mid(p: Params, fea0: jax.Array, cond2, cond3, cond4, *, policy: Policy) 
     at L1. The L0 head/tail around this are either the plain helpers below
     (le_s2d) or the fused megakernels (ops/megakernel.py)."""
     act = relu
-    fea1 = conv_s2(p, "LE.down_conv1", fea0, policy=policy, relu_fused=True)
-    fea1 = _resblock(p, "LE.recon_trunk1.0", fea1, cond2, conv_s1, conv_1x1, policy=policy)
+    if _halo.active():
+        # MERGED L1→L2 exchange: down_conv1 (stride-2, 1 contaminated
+        # half-col from the window-edge left pad) + trunk1 resblock (two
+        # convs → ±2 at L2) under one window — crop r/2 ≥ 3 ⇒ need 6
+        # (mod 16 keeps fused_down2's (wb/2) % 8 on the extended width);
+        # cond2 rides in its half-res domain at r/2.
+        fea1 = _halo.run_stage(
+            lambda f, c: _resblock(
+                p, "LE.recon_trunk1.0",
+                conv_s2(p, "LE.down_conv1", f, policy=policy, relu_fused=True),
+                c, conv_s1, conv_1x1, policy=policy,
+            ),
+            [fea0, cond2], [2, 2], need=6, mod=16, out_axis=2, out_stride=2,
+            coarse_idx=(1,),
+        )
+    else:
+        fea1 = conv_s2(p, "LE.down_conv1", fea0, policy=policy, relu_fused=True)
+        fea1 = _resblock(p, "LE.recon_trunk1.0", fea1, cond2, conv_s1, conv_1x1, policy=policy)
 
     fea2 = conv_s2(p, "LE.down_conv2", fea1, policy=policy, relu_fused=True)
     fea2 = _resblock(p, "LE.recon_trunk2.0", fea2, cond3, conv_s1, conv_1x1, policy=policy)
@@ -760,6 +778,18 @@ def _le_mid(p: Params, fea0: jax.Array, cond2, cond3, cond4, *, policy: Policy) 
     # up_conv2: s2d conv at L2 + PS fold; the block d2s + skip add fuse into
     # the trunk5 resblock kernel (up_coarse — the d2s transpose and the add
     # pass never touch HBM; ReLU already fused into the conv).
+    if _halo.active():
+        # MERGED L3→L2 exchange: up_conv2 (3×3 at L3 → 1 contaminated L3
+        # col) + trunk5 resblock (±2 at L2); trunk5's d2s-unfold reads
+        # up_coarse no closer than 1 L3 col from the window edge at r=4.
+        return _halo.run_stage(
+            lambda o, f1, c2: _resblock(
+                p, "LE.recon_trunk5.0", f1, c2, conv_s1, conv_1x1, policy=policy,
+                up_coarse=conv_s1(p, "LE.up_conv2.0", o, policy=policy, relu_fused=True),
+            ),
+            [out, fea1, cond2], [2, 2, 2], need=4, mod=8, out_axis=2,
+            coarse_idx=(0,),
+        )
     upc = conv_s1(p, "LE.up_conv2.0", out, policy=policy, relu_fused=True)
     return _resblock(p, "LE.recon_trunk5.0", fea1, cond2, conv_s1, conv_1x1, policy=policy, up_coarse=upc)
 

@@ -103,7 +103,7 @@ def probe(budget: int = 300) -> bool:
         return False
 
 
-def wait_for_relay(max_wait_s: int = 7200) -> bool:
+def wait_for_relay(max_wait_s: int = 28800) -> bool:
     """Sparse probing during a wedge: one bounded probe every 10 min."""
     deadline = time.monotonic() + max_wait_s
     while time.monotonic() < deadline:
