@@ -781,14 +781,16 @@ def _le_mid(p: Params, fea0: jax.Array, cond2, cond3, cond4, *, policy: Policy) 
     if _halo.active():
         # MERGED L3→L2 exchange: up_conv2 (3×3 at L3 → 1 contaminated L3
         # col) + trunk5 resblock (±2 at L2); trunk5's d2s-unfold reads
-        # up_coarse no closer than 1 L3 col from the window edge at r=4.
+        # up_coarse no closer than 1 L3 col from the window edge at r≥4.
+        # coarse_conv=True keeps up_conv2's ext width (w_L3 + r) mod-8
+        # fused-eligible — the joint pick may widen r at some widths.
         return _halo.run_stage(
             lambda o, f1, c2: _resblock(
                 p, "LE.recon_trunk5.0", f1, c2, conv_s1, conv_1x1, policy=policy,
                 up_coarse=conv_s1(p, "LE.up_conv2.0", o, policy=policy, relu_fused=True),
             ),
             [out, fea1, cond2], [2, 2, 2], need=4, mod=8, out_axis=2,
-            coarse_idx=(0,),
+            coarse_idx=(0,), coarse_conv=True,
         )
     upc = conv_s1(p, "LE.up_conv2.0", out, policy=policy, relu_fused=True)
     return _resblock(p, "LE.recon_trunk5.0", fea1, cond2, conv_s1, conv_1x1, policy=policy, up_coarse=upc)
@@ -1161,7 +1163,9 @@ def _ensemble_mega(
     if _halo.active():
         # MERGED L1 exchange #2: up_conv3 (3×3 at L2 = radius 2 at L1) +
         # the tail (HR_conv2 + conv_last → radius 2) under one shifted
-        # window, radius 4; ``out`` rides at r/2 in its half-res domain.
+        # window, radius ≥4 picked jointly so BOTH the fine ext width and
+        # ``out``'s half-res ext width (w/2 + r) stay mod-8 fused-eligible
+        # (coarse_conv=True); ``out`` rides at r/2 in its half-res domain.
         # The tail consumes up_coarse no closer than 1 L2 col from the
         # window edge, so up_conv3's single contaminated edge column is
         # never read (PERF_NOTES round-4 merge design). Packed output is
@@ -1173,6 +1177,7 @@ def _ensemble_mega(
         return _halo.run_stage(
             up_tail, [out[0], fea0[0], cond1, agcm], [1, 1, 1, 1],
             need=4, mod=8, out_axis=2 if pack else 1, coarse_idx=(0,),
+            coarse_conv=True,
         )
     s, up_coarse = up3_coarse(out[0], fea0[0])
     return tail(s, cond1, agcm, up_coarse)

@@ -103,19 +103,28 @@ def _axis_n(name: str) -> int:
     return lax.psum(1, name)
 
 
-def pick_radius(w_local: int, need: int, *, mod: int = 8, align: int = 2) -> int:
+def pick_radius(
+    w_local: int, need: int, *, mod: int = 8, align: int = 2,
+    coarse_w: int | None = None, coarse_mod: int = 8,
+) -> int:
     """Smallest radius ≥ ``need`` that keeps the extended width eligible.
 
     ``mod``: the stage's extended-width divisibility requirement (8 for the
     stride-1 megakernels' ``_use_fused_kernel`` check, 16 for fused_down2's
     ``(wb/2) % 8``, 4·stride for resample windows). ``align``: radius
     granularity (2 keeps coarse-domain companion inputs at ``r/2`` aligned,
-    4 for the ¼-res downsample). All-static shape math — free at trace time.
+    4 for the ¼-res downsample). ``coarse_w``: when a half-res companion
+    input is consumed by its OWN fused conv (not just folded into the fine
+    kernel), its extended width ``coarse_w + r`` must satisfy ``coarse_mod``
+    too — without this the merged-exchange window silently drops that conv
+    to the lax path. All-static shape math — free at trace time.
     """
     r = max(need, align)
     r += (-r) % align
-    for _ in range(2 * mod):
-        if (w_local + 2 * r) % mod == 0:
+    for _ in range(4 * mod):
+        if (w_local + 2 * r) % mod == 0 and (
+            coarse_w is None or (coarse_w + r) % coarse_mod == 0
+        ):
             return r
         r += align
     # Unreachable width/mod combination (odd shard width): the fused paths
@@ -205,12 +214,15 @@ def run_stage(
     out_stride: int = 1,
     out_upscale: int = 1,
     coarse_idx=(),
+    coarse_conv: bool = False,
 ):
     """Run one spatially-overlapping stage under manual sharding.
 
     ``fn(*inputs)`` is the unmodified single-device stage (lax or Pallas);
     ``waxes[i]`` is input i's W axis; ``coarse_idx`` marks half-resolution
     companion inputs (they get radius r/2, keeping window starts aligned).
+    ``coarse_conv``: the first coarse input is consumed by its own fused
+    conv, so its extended width must stay mod-8 eligible (see pick_radius).
     Wide shards use shifted-window ext→fn→crop; shards narrower than 2r
     (the deep tiny UNet levels on small meshes) fall back to
     gather→replicated fn→slice, which is exact and cheap at those sizes.
@@ -221,7 +233,12 @@ def run_stage(
         return fn(*inputs)
     name = axis_name()
     w = inputs[0].shape[waxes[0]]
-    r = pick_radius(w, need, mod=mod, align=align)
+    coarse_w = None
+    if coarse_conv and coarse_idx:
+        ci = coarse_idx[0]
+        if inputs[ci] is not None:
+            coarse_w = inputs[ci].shape[waxes[ci]]
+    r = pick_radius(w, need, mod=mod, align=align, coarse_w=coarse_w)
     if _axis_n(name) == 1:
         with suspended():
             return fn(*inputs)

@@ -404,9 +404,14 @@ def export_video(video_path: str | None, processor, cfg: ExportConfig, *, source
     q.put(None)
     wt.join(timeout=60)
     if wt.is_alive():
-        # Never size a writer while the thread may still construct one from
-        # a frame (source dims would corrupt a fixed-stride container).
-        raise RuntimeError("export writer thread stalled (>60s past last frame)")
+        if not writer_box:
+            # Never size a writer while the thread may still construct one
+            # from a frame (source dims would corrupt a fixed-stride
+            # container) — only this pre-construction window is a race.
+            raise RuntimeError("export writer thread stalled (>60s past last frame)")
+        # Writer exists: a slow disk flushing a deep backlog is healthy,
+        # not a failure — wait it out (the thread exits on the sentinel).
+        wt.join()
     writer = _ensure_writer(h, w)  # zero-frame source: still emit the container
     writer.close()
     source.close()

@@ -325,7 +325,14 @@ class PipelineRunner:
                     )
                     self.on_metrics(snap)
         finally:
-            inflight.put(None)
+            try:
+                # Bounded: if the feeder died and its drain loop already gave
+                # up (e.g. ring==1 and we were mid-submit past its 5 s drain
+                # window), the ring may be full with no consumer — the
+                # sentinel is only a wake-up, never worth deadlocking run().
+                inflight.put(None, timeout=10.0)
+            except queue.Full:
+                pass
             feeder_done.wait(timeout=10.0)
         if feeder_error:
             raise feeder_error[0]  # a silent sink is a lying benchmark

@@ -83,6 +83,15 @@ class Y4MFileSink:
     def close(self) -> None:
         if self._w is not None:
             self._w.close()
+            # Y4M headers cannot carry PQ/BT.2020 tags — ship the same color
+            # sidecar the export path writes so downstream ffmpeg/mpv use
+            # doesn't silently default to bt709 (pipeline/export.py).
+            import json
+
+            from hdrtv_tpu.pipeline.export import _y4m_sidecar
+
+            with open(self.path + ".json", "w") as f:
+                json.dump(_y4m_sidecar(self.path), f, indent=2)
 
 
 def _quality_args(live: bool = False) -> list[str]:

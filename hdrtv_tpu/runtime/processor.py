@@ -383,7 +383,7 @@ class HDRTVNetTPU:
             # and the 4 encoder pools divide evenly on every shard
             # (models/hg_s2d.py _stage). W % (32·n_sp) == 0 ⇒ the base
             # program's own 16·n_sp constraint holds too.
-            return "hg.conv1.0.weight" in self.params and (w // 2) % (16 * n_sp) == 0
+            return "hg.conv1.0.weight" in self.params and w % (32 * n_sp) == 0
         return w % (16 * n_sp) == 0
 
     def _mesh_flat_fn(self, h: int, w3: int):

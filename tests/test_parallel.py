@@ -387,6 +387,13 @@ class TestShardMapTurbo:
         # byte-domain ¼-res downsample: radius multiple of 12 bytes
         r = pick_radius(720, 24, mod=12, align=12)
         assert r >= 24 and r % 12 == 0 and (720 + 2 * r) % 12 == 0
+        # merged exchange whose coarse companion is consumed by its OWN
+        # fused conv: the coarse extended width (w_c + r) must stay mod-8
+        # too, or the up-convs silently drop to the lax path (round-4 fix)
+        r = pick_radius(240, 4, mod=8, coarse_w=120)
+        assert r >= 4 and (240 + 2 * r) % 8 == 0 and (120 + r) % 8 == 0 and r % 2 == 0
+        r = pick_radius(120, 4, mod=8, coarse_w=60)
+        assert r >= 4 and (120 + 2 * r) % 8 == 0 and (60 + r) % 8 == 0
 
 
 class TestShardingEfficiency:
@@ -645,6 +652,10 @@ class TestShardMapHG:
         h, w = 64, 2 * 16 * 4 * 2  # (w/2) % (16·n_sp) == 0 → HG shard_map
         pm = HDRTVNetTPU(path, precision="fp32", persistent_cache=False, mesh=mesh)
         assert pm._mesh_manual_ok(h, w * 3)
+        # widths that don't divide w % (32·n_sp) — incl. odd ones, which the
+        # old (w//2) gate wrongly admitted — must fall back to GSPMD
+        assert not pm._mesh_manual_ok(h, (w + 2) * 3)
+        assert not pm._mesh_manual_ok(h, (w * 4 + 1) * 3)
         frame = (np.random.RandomState(13).rand(h, w, 3) * 255).astype(np.uint8)
         out = pm.process_rgb48(frame)
         assert ("shard_map_hg", h, w * 3) in pm._mesh_fns, "HG shard_map path not taken"
@@ -782,3 +793,54 @@ class TestShardMapMegaGeometry:
         out = np.asarray(jax.jit(sm)(replicate_params(sp, mesh), flat))
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1, f"max LSB diff {diff.max()} ({(diff > 1).sum()} px)"
+
+    def test_merged_windows_keep_fused_conv_eligibility(self, cpu_devices, monkeypatch):
+        """Every 128-multiple conv inside the merged shifted windows must see
+        a mod-8 extended width — otherwise on TPU it silently drops from the
+        Pallas fused conv to the lax path (round-4 coarse_conv fix: the
+        up-convs ride at r/2, so the joint radius pick must keep w_c + r
+        mod-8 too)."""
+        import os
+
+        from jax.sharding import PartitionSpec as P
+
+        from hdrtv_tpu.models import s2d as s2d_mod
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+        from hdrtv_tpu.models.import_torch import load_npz
+        from hdrtv_tpu.models.layers import F32
+        from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_flat, s2d_transform_params
+        from hdrtv_tpu.parallel import halo
+        from hdrtv_tpu.parallel.mesh import replicate_params, spatial_mesh
+
+        self._patch_kernels(monkeypatch)
+        weights = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "weights", "hr_fp32.npz"
+        )
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(load_npz(weights)).items()}
+        cfg = ModelConfig()
+        h, w = 64, 1024
+
+        bad: list[tuple] = []
+        seen = [0]
+        orig = s2d_mod._use_fused_kernel
+
+        def spy(x, wgt):
+            c, co = wgt.shape[2], wgt.shape[3]
+            if c % 128 == 0 and co % 128 == 0 and x.shape[0] == 1:
+                seen[0] += 1
+                if x.shape[2] % 8 != 0:
+                    bad.append((tuple(x.shape), tuple(wgt.shape)))
+            return orig(x, wgt)
+
+        monkeypatch.setattr(s2d_mod, "_use_fused_kernel", spy)
+        flat = jnp.asarray(np.zeros((h, w * 3), np.uint8))
+        mesh = spatial_mesh(8)
+
+        def body(p, fl):
+            with halo.manual_axis("spatial"):
+                return ensemble_s2d_rgb48_flat(p, fl, None, cfg, policy=F32, bgr=True)
+
+        sm = halo.make_shard_map(body, mesh, (P(), P(None, "spatial")), P(None, "spatial"))
+        jax.jit(sm).lower(replicate_params(sp, mesh), flat)  # trace only
+        assert seen[0] > 0, "spy saw no 128-multiple convs — vacuous test"
+        assert not bad, f"fused-conv-ineligible ext widths under shard_map: {bad}"

@@ -417,6 +417,16 @@ class TestY4MFileSink:
             assert rd.frame_count == 3
             assert rd.fmt.ctag == "422p10" and abs(rd.fps - 24.0) < 1e-6
             assert rd.read_rgb_unit(2).shape == (32, 64, 3)
+        # Y4M can't carry PQ/BT.2020 tags — the capture must ship the same
+        # color sidecar the export path writes (else downstream defaults to
+        # bt709 and renders wrong colors)
+        import json
+
+        with open(path + ".json") as f:  # same suffix the export path uses
+            side = json.load(f)
+        assert side["color"]["transfer"] == "smpte2084"
+        assert side["color"]["primaries"] == "bt2020"
+        assert "containerize_with" in side
 
     def test_file_rung_raw_unchanged(self, tmp_path):
         from hdrtv_tpu.pipeline.sinks import FileSink, make_sink

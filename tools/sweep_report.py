@@ -37,7 +37,8 @@ def _json_lines(path: str) -> list[dict]:
 
 
 def build_report() -> str:
-    status = {r["step"]: r for r in _json_lines(os.path.join(OUT, "status.jsonl"))}
+    records = _json_lines(os.path.join(OUT, "status.jsonl"))
+    status = {r["step"]: r for r in records}
     lines = [
         f"## Chip-sweep results ({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})",
         "",
@@ -47,7 +48,7 @@ def build_report() -> str:
         "| step | config | ms/frame | fps | note |",
         "|---|---|---|---|---|",
     ]
-    order = [r["step"] for r in _json_lines(os.path.join(OUT, "status.jsonl"))]
+    order = [r["step"] for r in records]
     seen = set()
     for step in order:
         if step in seen or step in ("probe", "sweep"):
