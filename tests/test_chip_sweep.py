@@ -69,3 +69,39 @@ class TestChipSweep:
         assert ok
         recs = [json.loads(l) for l in open(tmp_path / "status.jsonl")]
         assert recs[-1]["ok"] and "hello" in recs[-1]["tail"]
+
+    def test_deadline_skips_steps_that_cannot_finish(self, tmp_path, monkeypatch):
+        """--deadline-epoch: the sweep must never hold the TPU into the
+        round driver's own bench window — a step only starts if its WHOLE
+        budget fits before the deadline (a mid-flight kill would wedge the
+        relay), and the relay wait is capped to the deadline too."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("chip_sweep", TOOL)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(mod, "OUT", str(tmp_path))
+        monkeypatch.setattr(mod, "probe", lambda *a, **k: True)  # relay "up"
+        ran = []
+        monkeypatch.setattr(
+            mod, "run_step", lambda name, argv, env, budget: (ran.append(name), True)[1]
+        )
+        # fits: budget 5s vs ~60s to deadline; doesn't fit: budget 2400s
+        monkeypatch.setattr(
+            mod, "STEPS",
+            [("fits", ["x"], {}, 5), ("too_big", ["x"], {}, 2400)],
+        )
+        monkeypatch.setattr(
+            sys, "argv",
+            ["chip_sweep", "--deadline-epoch", str(time.time() + 60)],
+        )
+        assert mod.main() == 0
+        assert ran == ["fits"]
+        recs = [json.loads(l) for l in open(tmp_path / "status.jsonl")]
+        skipped = [r for r in recs if r["step"] == "too_big"]
+        assert skipped and "skipped" in skipped[0]["out"]
+        # no deadline → nothing skipped
+        ran.clear()
+        monkeypatch.setattr(sys, "argv", ["chip_sweep"])
+        assert mod.main() == 0
+        assert ran == ["fits", "too_big"]

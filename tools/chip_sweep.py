@@ -152,6 +152,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", help="comma list of step names to run")
     ap.add_argument("--list", action="store_true")
+    ap.add_argument(
+        "--deadline-epoch", type=float, default=None,
+        help="unix time after which NO new step may start (and no step whose "
+        "budget would cross it) — the sweep must never hold the TPU when the "
+        "round driver's own bench.py runs (one TPU process at a time)",
+    )
     args = ap.parse_args()
     if args.list:
         for name, argv, env_over, budget in STEPS:
@@ -167,15 +173,27 @@ def main() -> int:
             return 2
         steps = [s for s in STEPS if s[0] in want]
 
-    if not wait_for_relay():
+    def _remaining() -> float:
+        if args.deadline_epoch is None:
+            return float("inf")
+        return args.deadline_epoch - time.time()
+
+    if not wait_for_relay(int(max(1, min(_remaining() - 600, 28800)))):
         log_status({"step": "sweep", "ok": False, "out": "relay never recovered"})
         return 1
     for name, argv, env_over, budget in steps:
+        # A running step can't be killed safely (a killed in-flight compile
+        # wedges the relay), so a step only STARTS if its whole budget fits
+        # before the deadline.
+        if budget > _remaining():
+            log_status({"step": name, "ok": False,
+                        "out": f"skipped: budget {budget}s > {int(max(0, _remaining()))}s to deadline"})
+            continue
         ok = run_step(name, argv, env_over, budget)
         if not ok and not probe():
             # step failure + dead relay = wedge: pause sparsely, then go on
             log_status({"step": name, "ok": False, "out": "relay wedged; waiting"})
-            if not wait_for_relay():
+            if not wait_for_relay(int(max(1, min(_remaining() - 600, 28800)))):
                 log_status({"step": "sweep", "ok": False, "out": "wedge never cleared"})
                 return 1
     log_status({"step": "sweep", "ok": True})
