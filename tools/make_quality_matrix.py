@@ -156,6 +156,11 @@ def main() -> None:
         "must not be compared row-to-row.",
         "",
         f"Measured on `{dev}` ({time.strftime('%Y-%m-%d')}), eager bit-faithful W8A8/FP8",
+        *([
+            "(CPU fallback run during a TPU-relay outage: the sweep is pure jax",
+            "math in fp32 — quality metrics are platform-agnostic to float",
+            "tolerance; the on-chip regeneration is queued in tools/chip_sweep.py)",
+        ] if "cpu" in dev.lower() else []),
         "emulation of each shipped reference checkpoint (`models/layers.py` fake-quant path),",
         "PSNR/SSIM/ΔEITP computed on device on the deterministic sweep frames",
         "(`bench/sweep.py`). Temporal stability: output-delta amplification on a",
