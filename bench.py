@@ -104,8 +104,10 @@ def _child_probe() -> dict:
 
     t0 = time.perf_counter()
     x = jnp.ones((256, 256), jnp.bfloat16)
-    val = float(np.asarray((x @ x).sum()))
-    return {"ok": val == 256.0 * 256.0 * 256.0, "probe_s": round(time.perf_counter() - t0, 1),
+    # Sum in f32 and compare with tolerance: the probe tests the relay,
+    # not the backend's reduction-accumulator precision.
+    val = float(np.asarray((x @ x).astype(jnp.float32).sum()))
+    return {"ok": abs(val - 256.0**3) < 1.0, "probe_s": round(time.perf_counter() - t0, 1),
             "device": str(jax.devices()[0].platform)}
 
 
@@ -121,6 +123,10 @@ def _child_main(mode: str) -> None:
         else:
             if mode == "lax":
                 os.environ["HDRTV_DISABLE_PALLAS"] = "1"
+            else:
+                # An inherited HDRTV_DISABLE_PALLAS would silently turn the
+                # turbo headline into a lax measurement.
+                os.environ.pop("HDRTV_DISABLE_PALLAS", None)
             out = measure_fps()
     except BaseException as exc:  # noqa: BLE001 — the parent wants the reason
         print(_RESULT_TAG + json.dumps({"error": f"{type(exc).__name__}: {exc}"[:400]}), flush=True)

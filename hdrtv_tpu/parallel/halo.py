@@ -56,11 +56,21 @@ def make_shard_map(body, mesh, in_specs, out_specs):
     mixes replicated params with sharded activations by design."""
     sm = getattr(jax, "shard_map", None)
     if sm is not None:
+        # Probe the signature instead of catching TypeError: a genuine
+        # argument error from the caller must surface, not be masked by a
+        # legacy-import fallback.
+        import inspect
+
         try:
+            kw = inspect.signature(sm).parameters
+        except (TypeError, ValueError):  # pragma: no cover — C-level callable
+            kw = {}
+        if "check_vma" in kw:
             return sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                       check_vma=False)
-        except TypeError:
-            pass
+        if "check_rep" in kw:
+            return sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_rep=False)
     from jax.experimental.shard_map import shard_map as sm  # jax < 0.8
 
     return sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -232,7 +242,14 @@ def run_stage(
     if not active():
         return fn(*inputs)
     name = axis_name()
-    w = inputs[0].shape[waxes[0]]
+    # The radius eligibility math is in the FINE domain: measure w on the
+    # first non-coarse input (the coarse_conv merge sites pass the coarse
+    # companion first, and its ext width is w_c + r, not w_c + 2r).
+    fine_i = next(
+        (i for i, x in enumerate(inputs) if x is not None and i not in coarse_idx),
+        0,
+    )
+    w = inputs[fine_i].shape[waxes[fine_i]]
     coarse_w = None
     if coarse_conv and coarse_idx:
         ci = coarse_idx[0]

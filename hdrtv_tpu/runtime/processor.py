@@ -168,6 +168,7 @@ class HDRTVNetTPU:
         self.registry = engine_mod.EngineRegistry() if persistent_cache else None
         self._timings: dict[str, float] = {}
         self._mesh_batch_fns: dict[int, Any] = {}
+        self._mesh_lax_traced: set[tuple[int, int]] = set()
 
     # ------------------------------------------------------------------
     # Fused stages (traced per static frame shape)
@@ -433,26 +434,32 @@ class HDRTVNetTPU:
                 f"mesh spatial inference needs the turbo arch and W divisible "
                 f"by 8×spatial axis (got {w3 // 3}px over {n_sp} devices)"
             )
+        flat_dev = jax.device_put(flat_dev, flat_sharding(self.mesh))
         if self._mesh_manual_ok(h, w3):
-            flat_dev = jax.device_put(flat_dev, flat_sharding(self.mesh))
             if self.cfg.use_hg:
                 return self._mesh_hg_fn_manual(h, w3)(self.params, flat_dev)
             return self._mesh_flat_fn_manual(h, w3)(self.params, flat_dev)
-        flat_dev = jax.device_put(flat_dev, flat_sharding(self.mesh))
         fn = self._mesh_flat_fn(h, w3)
-        # Trace-time guard: the W-sharded program must stay pure lax — GSPMD
-        # cannot partition Pallas custom calls (it would replicate them,
-        # silently serializing the mesh). env_bool is read while tracing, so
-        # force the lax path for this program's first (tracing) call.
+        key = (h, w3)
+        if key in self._mesh_lax_traced:
+            return fn(flat_dev)
+        # Trace-time guard: the W-sharded GSPMD program must stay pure lax —
+        # GSPMD cannot partition Pallas custom calls (it would replicate
+        # them, silently serializing the mesh). env_bool is read while
+        # tracing, so force the lax path for this program's first (tracing)
+        # call ONLY — mutating the process-global env on every frame would
+        # race any concurrent trace of a turbo program.
         prev = os.environ.get("HDRTV_DISABLE_PALLAS")
         os.environ["HDRTV_DISABLE_PALLAS"] = "1"
         try:
-            return fn(flat_dev)
+            out = fn(flat_dev)
         finally:
             if prev is None:
                 os.environ.pop("HDRTV_DISABLE_PALLAS", None)
             else:
                 os.environ["HDRTV_DISABLE_PALLAS"] = prev
+        self._mesh_lax_traced.add(key)
+        return out
 
     @functools.partial(jax.jit, static_argnums=0)
     def _letterbox_flat_jit(self, flat: jax.Array) -> jax.Array:
@@ -562,7 +569,11 @@ class HDRTVNetTPU:
                 tok = (outs[i - k_inflight][0, 0] & jnp.uint16(0)).astype(jnp.uint8)
                 f = f | tok
             outs.append(self._dispatch_rgb48_flat(f))
-        return jnp.stack(outs).reshape(n, h, w, 3)
+        # Derive the output frame shape from the outputs: with
+        # proc_resolution set, the flat program letterboxes internally and
+        # (oh, ow) differ from the input (h, w).
+        stacked = jnp.stack(outs)
+        return stacked.reshape(n, stacked.shape[1], stacked.shape[2] // 3, 3)
 
     def _batch_mesh_fn(self, mesh):
         """Mesh DP: each device lax.maps its local frame shard (shard_map
@@ -570,21 +581,24 @@ class HDRTVNetTPU:
         Validated on the virtual CPU mesh; on hardware where the Mosaic
         compile of a mapped kernel body is prohibitive, pair per-host
         dispatch chaining with parallel/multihost.py instead."""
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+
+        from hdrtv_tpu.parallel import halo
 
         def per_shard(flat_local):
             return jax.lax.map(self._rgb48_flat_body, flat_local)
 
-        sharded = shard_map(
-            per_shard, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
-            check_rep=False,
-        )
+        # halo.make_shard_map handles both shard_map API generations
+        # (jax.experimental.shard_map/check_rep vs jax.shard_map/check_vma).
+        sharded = halo.make_shard_map(per_shard, mesh, (P("data"),), P("data"))
 
         @jax.jit
         def run(frames_u8):
             n, h, w, _ = frames_u8.shape
-            return sharded(frames_u8.reshape(n, h, w * 3)).reshape(n, h, w, 3)
+            out = sharded(frames_u8.reshape(n, h, w * 3))
+            # Output frame shape comes from the program (letterboxed when
+            # proc_resolution is set), not from the input.
+            return out.reshape(n, out.shape[1], out.shape[2] // 3, 3)
 
         return run
 
@@ -655,7 +669,13 @@ class HDRTVNetTPU:
         if self.mesh is not None and self.mesh.shape.get("spatial", 1) > 1:
             jax.block_until_ready(self._mesh_rgb48_flat(jnp.zeros((height, width * 3), jnp.uint8)))
         elif rgb48:
-            jax.block_until_ready(self._process_rgb48_jit(dummy))
+            # Warm the flat byte-row program (incl. the HG split when
+            # active) — the program the runner/host API actually dispatch.
+            # Warming the NHWC _process_rgb48_jit here would leave the first
+            # real frame paying the full cold compile.
+            jax.block_until_ready(
+                self._dispatch_rgb48_flat(jnp.zeros((height, width * 3), jnp.uint8))
+            )
         else:
             jax.block_until_ready(self._process_bgr_u8_jit(dummy))
         dt = time.perf_counter() - t0

@@ -74,3 +74,30 @@ def test_bench_budget_kills_hung_attempt():
     assert rc != 0
     assert line["value"] == 0.0
     assert "error" in line
+
+
+def test_child_turbo_clears_inherited_disable_pallas(monkeypatch, capsys):
+    """An inherited HDRTV_DISABLE_PALLAS must not silently turn the turbo
+    headline into a lax measurement (round-4 review fix)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_mod_t", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.delenv("HDRTV_BENCH_PLATFORM", raising=False)
+    seen = {}
+
+    def fake_measure():
+        seen["dp"] = os.environ.get("HDRTV_DISABLE_PALLAS")
+        return {"fps": 1.0}
+
+    monkeypatch.setattr(bench, "measure_fps", fake_measure)
+    monkeypatch.setenv("HDRTV_DISABLE_PALLAS", "1")
+    bench._child_main("turbo")
+    assert seen["dp"] is None
+    # and the lax child sets it
+    monkeypatch.delenv("HDRTV_DISABLE_PALLAS", raising=False)
+    bench._child_main("lax")
+    assert seen["dp"] == "1"
+    capsys.readouterr()

@@ -395,6 +395,46 @@ class TestShardMapTurbo:
         r = pick_radius(120, 4, mod=8, coarse_w=60)
         assert r >= 4 and (120 + 2 * r) % 8 == 0 and (60 + r) % 8 == 0
 
+    def test_run_stage_coarse_first_radius(self, cpu_devices):
+        """run_stage must measure the FINE width for the radius pick even
+        when the coarse companion is passed first, as at the two coarse_conv
+        merge sites (round-4 review fix). Fine 44/shard + coarse 22/shard:
+        the correct joint pick gives mod-8 ext widths for both; the pre-fix
+        coarse-width math had no solution and fell through to an unchecked
+        radius that broke fused-conv eligibility."""
+        from jax.sharding import PartitionSpec as P
+
+        from hdrtv_tpu.parallel import halo
+        from hdrtv_tpu.parallel.mesh import spatial_mesh
+
+        mesh = spatial_mesh(2)
+        rng = np.random.RandomState(7)
+        fine = jnp.asarray(rng.rand(1, 8, 88, 4).astype(np.float32))
+        coarse = jnp.asarray(rng.rand(1, 8, 44, 4).astype(np.float32))
+        seen = {}
+
+        def stage(c, f):
+            seen["coarse_ext"] = c.shape[2]
+            seen["fine_ext"] = f.shape[2]
+            return f
+
+        def local(c, f):
+            with halo.manual_axis("spatial"):
+                return halo.run_stage(
+                    stage, [c, f], [2, 2], need=4, mod=8, out_axis=2,
+                    coarse_idx=(0,), coarse_conv=True,
+                )
+
+        spec = P(None, None, "spatial", None)
+        out = np.asarray(
+            jax.jit(halo.make_shard_map(local, mesh, (spec, spec), spec))(coarse, fine)
+        )
+        # identity stage → ext/crop must round-trip the fine tensor exactly
+        np.testing.assert_array_equal(out, np.asarray(fine))
+        # both extended widths megakernel-eligible (mod 8), halo actually used
+        assert seen["fine_ext"] % 8 == 0 and seen["fine_ext"] > 44
+        assert seen["coarse_ext"] % 8 == 0 and seen["coarse_ext"] > 22
+
 
 class TestShardingEfficiency:
     def test_sharded_program_is_pure_halo_exchange(self, tiny_params_cfg, cpu_devices):

@@ -107,6 +107,21 @@ class TestProcessorAPI:
         assert any(r.width == 64 and r.height == 32 for r in recs)
         assert p.registry.validate(recs[0].key, p.model_hash)
 
+    def test_warmup_warms_the_flat_program(self, proc, monkeypatch):
+        """warmup_compile must warm the flat byte-row program the runner and
+        host API actually dispatch — warming the NHWC variant leaves the
+        first real frame paying the full cold compile (round-4 fix)."""
+        calls = []
+        orig = proc._dispatch_rgb48_flat
+
+        def spy(flat):
+            calls.append(tuple(flat.shape))
+            return orig(flat)
+
+        monkeypatch.setattr(proc, "_dispatch_rgb48_flat", spy)
+        proc.warmup_compile(64, 32)
+        assert calls == [(32, 192)]
+
 
 class TestLetterbox:
     def test_letterbox_plan_and_values(self):
@@ -146,6 +161,40 @@ class TestLetterbox:
         proc2 = HDRTVNetTPU(WEIGHTS, precision="fp32", persistent_cache=False)
         ref = proc2.process_rgb48(pre)
         assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_batch_letterboxes_to_processing_resolution(self):
+        """process_rgb48_batch with proc_resolution set returns frames at the
+        processing resolution (round-4 fix: the batch reshape must derive its
+        shape from the letterboxed outputs, not the input frames)."""
+        from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+        proc = HDRTVNetTPU(
+            WEIGHTS, precision="fp32", persistent_cache=False,
+            proc_resolution=(96, 64),
+        )
+        frames = (np.random.RandomState(2).rand(2, 128, 96, 3) * 255).astype(np.uint8)
+        out = proc.process_rgb48_batch(frames)
+        assert out.shape == (2, 64, 96, 3)
+        np.testing.assert_array_equal(out[0], proc.process_rgb48(frames[0]))
+
+    def test_batch_mesh_letterboxes_to_processing_resolution(self, cpu_devices):
+        """The mesh-DP batch path letterboxes per frame too (same round-4
+        reshape fix in _batch_mesh_fn)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from hdrtv_tpu.runtime.processor import HDRTVNetTPU
+
+        proc = HDRTVNetTPU(
+            WEIGHTS, precision="fp32", persistent_cache=False,
+            proc_resolution=(96, 64),
+        )
+        mesh = Mesh(np.asarray(cpu_devices[:2]).reshape(2, 1), ("data", "spatial"))
+        frames = (np.random.RandomState(3).rand(2, 128, 96, 3) * 255).astype(np.uint8)
+        out = proc.process_rgb48_batch(frames, mesh=mesh)
+        assert out.shape == (2, 64, 96, 3)
+        ref = proc.process_rgb48(frames[1])
+        assert np.abs(out[1].astype(int) - ref.astype(int)).max() <= 1
 
 
 class TestHGSplitExecution:
