@@ -106,7 +106,11 @@ class _FfmpegWriter:
 
     def close(self):
         self.proc.stdin.close()
-        self.proc.wait(timeout=120)
+        rc = self.proc.wait(timeout=120)
+        if rc != 0:
+            # An encode that fails at container finalize (moov write, BSF
+            # error) leaves a truncated file — must not report success.
+            raise RuntimeError(f"ffmpeg exited rc={rc} while finalizing the container")
 
 
 class _RawWriter:
@@ -157,7 +161,8 @@ class _Y4MWriter:
     def __init__(self, cfg: ExportConfig, width: int, height: int, fps: float):
         from hdrtv_tpu.bench.y4m import Y4MWriter
 
-        self.path = cfg.output if cfg.output.endswith(".y4m") else os.path.splitext(cfg.output)[0] + ".y4m"
+        # case-insensitive to match export_video_multihost's suffix check
+        self.path = cfg.output if cfg.output.lower().endswith(".y4m") else os.path.splitext(cfg.output)[0] + ".y4m"
         self._w = Y4MWriter(self.path, width, height, fps=fps, ctag="422p10")
         with open(self.path + ".json", "w") as f:
             json.dump(_y4m_sidecar(self.path), f, indent=2)
@@ -248,6 +253,13 @@ def export_video_multihost(
 
         source = VideoSource(video_path) if video_path else SyntheticSource(*processing_dims(cfg.resolution_key))
     n_frames = getattr(source, "frame_count", None) or getattr(source, "frames", 0)
+    if int(n_frames) <= 0:
+        # cv2 legitimately reports 0 frames for some containers/streams; a
+        # farm planned from that would "succeed" with an empty master.
+        raise ValueError(
+            f"multi-host export needs a source with a known frame count (got "
+            f"{n_frames!r}); use single-host export, which reads to EOF"
+        )
     ranges = plan_frame_ranges(int(n_frames), hosts)
     start, end = ranges[host_id]
 
@@ -287,6 +299,15 @@ def export_video_multihost(
                     shutil.copyfileobj(f, out_f)
         with open(seg_files[0] + ".json") as f:
             sidecar = json.load(f)
+        # The segment's containerize command references the seg000 path —
+        # rebuild it against the concatenated master (same recipe as
+        # _RawWriter, dims/fps from the segment sidecar).
+        sidecar["containerize_with"] = " ".join(
+            ffmpeg_hdr10_command(
+                sidecar["width"], sidecar["height"], sidecar["fps"],
+                cfg.output, codec="prores", peak_nits=cfg.peak_nits,
+            )
+        ).replace("pipe:0", final)
         with open(final + ".json", "w") as f:
             json.dump(sidecar, f, indent=2)
         stats["output"] = final
@@ -412,12 +433,27 @@ def export_video(video_path: str | None, processor, cfg: ExportConfig, *, source
         # Writer exists: a slow disk flushing a deep backlog is healthy,
         # not a failure — wait it out (the thread exits on the sentinel).
         wt.join()
-    writer = _ensure_writer(h, w)  # zero-frame source: still emit the container
-    writer.close()
-    source.close()
+    # Finalize order matters: the in-run error (error[0]) is the root cause
+    # and must win over any close()-time exception; source.close() must run
+    # regardless (decode thread + capture leak otherwise); and when every
+    # write failed, don't construct a fresh writer just to close it.
+    writer = writer_box[0] if writer_box else None
+    close_err: Exception | None = None
+    try:
+        if writer is None and not error:
+            writer = _ensure_writer(h, w)  # zero-frame source: still emit the container
+        if writer is not None:
+            try:
+                writer.close()
+            except Exception as e:
+                close_err = e
+    finally:
+        source.close()
     dt = time.monotonic() - t0
     if error:
         raise error[0]
+    if close_err is not None:
+        raise close_err
     return {
         "frames": frames,
         "seconds": round(dt, 2),

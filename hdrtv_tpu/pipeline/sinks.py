@@ -459,7 +459,10 @@ class MpvPipeSink:
                 break
             try:
                 self._fifo_fd.write(buf)
-            except BrokenPipeError:
+            except Exception:
+                # Any write failure (EPIPE on mpv exit, fd closed by a racing
+                # close(), other OSError) must set _stop — producers gate on
+                # it; a silently-dead writer would leave them blocked in put.
                 self._stop.set()
 
     def show(self, rgb48: np.ndarray, pts: float | None = None) -> None:
@@ -481,7 +484,16 @@ class MpvPipeSink:
                     except queue.Empty:
                         pass
         else:
-            self._queue.put(buf)  # file-paced playback: backpressure is correct
+            # File-paced playback: backpressure is correct, but it must stay
+            # interruptible — if mpv dies while we hold a full queue, the
+            # writer thread exits without draining and an unconditional put
+            # would block this producer forever.
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(buf, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
         self.frames += 1
 
     def close(self) -> None:
@@ -583,7 +595,10 @@ def make_sink(
         try:
             return cls(width, height, fps, drop_to_latest=live, **kwargs)
         except Exception:
-            kind = "null"
+            # mpv rung failed: take the FILE rung when a capture path was
+            # requested (matching the explicit DISABLE_MPV branch above) —
+            # skipping straight to null would silently discard the capture.
+            kind = "file" if path else "null"
     if kind == "file":
         out = path or "out.rgb48"
         if out.lower().endswith(".y4m"):

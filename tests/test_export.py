@@ -251,3 +251,84 @@ class TestY4MExport:
         with open(stats["output"] + ".json") as f:
             sc = json.load(f)
         assert (sc["width"], sc["height"]) == (96, 64)
+
+
+class TestExportFailureHandling:
+    """Round-4 review fixes: honest failure reporting in export_video and
+    the multihost planner."""
+
+    def test_write_failure_surfaces_root_cause_and_closes_source(self, tmp_path):
+        """When every write fails (writer construction error), export_video
+        must raise the ROOT-CAUSE error — not a secondary close()-time one —
+        and still close the source."""
+        import pytest
+
+        from hdrtv_tpu.pipeline.export import ExportConfig, export_video
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        src = SyntheticSource(64, 32, fps=24, frames=2)
+        closed = []
+        orig_close = src.close
+        src.close = lambda: (closed.append(True), orig_close())[1]
+        # output inside a directory that doesn't exist → _RawWriter __init__
+        # raises on every frame in the writer thread
+        cfg = ExportConfig(output=str(tmp_path / "nope" / "master.mov"), codec="raw")
+        with pytest.raises(FileNotFoundError):
+            export_video(None, FakeProcessor(), cfg, source=src)
+        assert closed  # source.close() ran despite the failure
+
+    def test_multihost_rejects_unknown_frame_count(self, tmp_path):
+        """A source reporting 0 frames must fail loudly instead of producing
+        an empty 'successful' farm export (cv2 reports 0 for some streams)."""
+        import pytest
+
+        from hdrtv_tpu.pipeline.export import ExportConfig, export_video_multihost
+
+        class ZeroCountSource:
+            width, height, fps, frame_count = 64, 32, 24.0, 0
+
+            def read_with_meta(self, timeout=5.0):
+                return None
+
+            def seek(self, n):
+                pass
+
+            def close(self):
+                pass
+
+        cfg = ExportConfig(output=str(tmp_path / "farm.mov"), codec="raw")
+        with pytest.raises(ValueError, match="frame count"):
+            export_video_multihost(
+                None, FakeProcessor(), cfg, hosts=2, host_id=0,
+                source=ZeroCountSource(),
+            )
+
+    def test_y4m_writer_suffix_case_insensitive(self, tmp_path):
+        """_Y4MWriter must treat .Y4M as already-suffixed (the multihost
+        planner's lowercase check and the writer must agree)."""
+        from hdrtv_tpu.pipeline.export import ExportConfig, _Y4MWriter
+
+        cfg = ExportConfig(output=str(tmp_path / "OUT.Y4M"), codec="y4m")
+        wtr = _Y4MWriter(cfg, 64, 32, 24.0)
+        assert wtr.path == str(tmp_path / "OUT.Y4M")
+        wtr.write(np.zeros((32, 64, 3), np.uint16))
+        wtr.close()
+        assert os.path.getsize(wtr.path) > 0
+
+    def test_multihost_raw_sidecar_references_final_master(self, tmp_path):
+        """The reassembled raw master's sidecar must containerize the FINAL
+        concatenation, not segment 0 (round-4 fix)."""
+        from hdrtv_tpu.pipeline.export import ExportConfig, export_video_multihost
+        from hdrtv_tpu.pipeline.source import SyntheticSource
+
+        cfg = ExportConfig(output=str(tmp_path / "farm.mov"), codec="raw")
+        for hid in (1, 0):  # host 1 first so host 0's wait is instant
+            stats = export_video_multihost(
+                None, FakeProcessor(), cfg, hosts=2, host_id=hid,
+                source=SyntheticSource(64, 32, fps=24, frames=6),
+            )
+        final = stats["output"]
+        with open(final + ".json") as f:
+            sidecar = json.load(f)
+        assert "seg000" not in sidecar["containerize_with"]
+        assert final in sidecar["containerize_with"]

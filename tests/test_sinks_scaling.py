@@ -186,6 +186,22 @@ class TestMpvLadder:
         sink = make_sink("mpv", 64, 32, 30.0)
         assert isinstance(sink, NullSink)
 
+    def test_make_sink_mpv_failure_takes_file_rung_when_path_given(
+        self, tmp_path, monkeypatch
+    ):
+        """The documented ladder is mpv → file → null: an mpv startup failure
+        with a capture path must land on the FILE rung, not silently discard
+        the requested capture (round-4 review fix)."""
+        from hdrtv_tpu.pipeline.sinks import FileSink, make_sink
+
+        _install_fake_mpv(tmp_path, monkeypatch, refuse="*")
+        path = str(tmp_path / "golden.rgb48")
+        sink = make_sink("mpv", 64, 32, 30.0, path=path)
+        assert isinstance(sink, FileSink)
+        sink.show(np.zeros((32, 64, 3), np.uint16))
+        sink.close()
+        assert os.path.getsize(path) == 32 * 64 * 3 * 2
+
 
 class TestSideBySide:
     def test_panes_and_routing(self, tmp_path, monkeypatch):

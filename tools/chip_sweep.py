@@ -140,8 +140,10 @@ def run_step(name: str, argv: list[str], env_over: dict, budget: int) -> bool:
     dt = round(time.time() - t0, 1)
     tail = ""
     try:
-        with open(log_path) as lf:
-            tail = lf.read()[-300:].replace("\n", " | ")
+        with open(log_path, "rb") as lf:
+            lf.seek(0, os.SEEK_END)
+            lf.seek(max(0, lf.tell() - 300))
+            tail = lf.read().decode("utf-8", "replace").replace("\n", " | ")
     except OSError:
         pass
     log_status({"step": name, "ok": rc == 0, "rc": rc, "seconds": dt, "tail": tail})
@@ -190,12 +192,20 @@ def main() -> int:
                         "out": f"skipped: budget {budget}s > {int(max(0, _remaining()))}s to deadline"})
             continue
         ok = run_step(name, argv, env_over, budget)
-        if not ok and not probe():
-            # step failure + dead relay = wedge: pause sparsely, then go on
-            log_status({"step": name, "ok": False, "out": "relay wedged; waiting"})
-            if not wait_for_relay(int(max(1, min(_remaining() - 600, 28800)))):
-                log_status({"step": "sweep", "ok": False, "out": "wedge never cleared"})
-                return 1
+        if not ok:
+            # The post-failure probe holds the chip up to 300 s — it too must
+            # fit before the deadline (one TPU process at a time: the round
+            # driver's bench.py owns the chip after --deadline-epoch).
+            if _remaining() < 360:
+                log_status({"step": name, "ok": False,
+                            "out": "failed near deadline; yielding the chip"})
+                break
+            if not probe():
+                # step failure + dead relay = wedge: pause sparsely, then go on
+                log_status({"step": name, "ok": False, "out": "relay wedged; waiting"})
+                if not wait_for_relay(int(max(1, min(_remaining() - 600, 28800)))):
+                    log_status({"step": "sweep", "ok": False, "out": "wedge never cleared"})
+                    return 1
     log_status({"step": "sweep", "ok": True})
     return 0
 
