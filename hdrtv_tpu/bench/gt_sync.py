@@ -110,7 +110,7 @@ class HDRGroundTruthReader:
         gui_hdr_io.py:416 select=eq(n,..) batching)."""
         if self._y4m is not None or not self.exact:
             return  # y4m reads are O(1) — nothing to batch
-        missing = [i for i in indices if i not in self._exact_cache]
+        missing = [i for i in indices if i >= 0 and i not in self._exact_cache]
         if missing:
             self._cache_put(self._hdr_io.read_frames_exact(self.path, missing))
 
@@ -147,6 +147,11 @@ class HDRGroundTruthReader:
             self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
         ok, frame = self.cap.read()
         if not ok:
+            # The capture position moved (failed seek+read) but no frame was
+            # produced — invalidate the sequential-read cursor so the next
+            # request re-seeks instead of decoding whatever frame the capture
+            # happens to sit on.
+            self._pos = -1
             return None
         self._pos = frame_idx + 1
         peak = 65535.0 if frame.dtype == np.uint16 else 255.0
@@ -208,6 +213,9 @@ def find_sync_offset(
         window_frames = max(1, int(round(env_float("HDRTVNET_GT_SYNC_OFFSET_SEARCH_S", 2.0) * fps)))
     if min_gain is None:
         min_gain = env_float("HDRTVNET_GT_SYNC_OFFSET_MIN_GAIN", 0.06)
+    if cache_key is not None:
+        # a narrow-window result must not be served to wider-window callers
+        cache_key = f"{cache_key}|w{window_frames}|g{min_gain}"
     if cache_path and cache_key and os.path.isfile(cache_path):
         try:
             with open(cache_path) as f:

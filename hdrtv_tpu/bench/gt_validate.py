@@ -143,9 +143,19 @@ def validate_gt_pair(
     }
     reader = HDRGroundTruthReader(gt_path, exact=False)
     try:
+        from hdrtv_tpu.bench.gt_sync import file_token
+
         fmap = make_frame_map(src_info.fps or 30.0, reader.fps)
-        # window defaults to ±HDRTVNET_GT_SYNC_OFFSET_SEARCH_S seconds
-        offset, score = find_sync_offset(sdr_frames, reader, fmap)
+        # window defaults to ±HDRTVNET_GT_SYNC_OFFSET_SEARCH_S seconds.
+        # The search is cached per (file signature pair, probe count) — the
+        # reference's 'cached per file signature' sync behavior
+        # (gui_objective_metrics.py:101-107 file-token role): repeated
+        # benchmark sessions over the same pair skip the frame-decode sweep.
+        offset, score = find_sync_offset(
+            sdr_frames, reader, fmap,
+            cache_path=os.path.join("logs", "gt_sync_cache.json"),
+            cache_key=f"{file_token(source_path)}||{file_token(gt_path)}|n{sample_count}",
+        )
     finally:
         reader.close()
     _check_cancel(cancel_check)

@@ -112,17 +112,25 @@ def select_distinct_frames(
         seek = getattr(source, "seek", None)
         if seek is not None:
             seek(0)
-        while len(probes) < max_probes:
+        # Bound the TOTAL scan, not just accepted probes: a source whose
+        # credit-free region mostly fails QC must not decode the whole movie
+        # (nor hold every rejected thumbnail in memory).
+        reads, max_reads = 0, max_probes * probe_stride * 2
+        while len(probes) < max_probes and reads < max_reads:
             meta = source.read_with_meta()
             if meta is None:
                 break
+            reads += 1
             frame, fidx, _ = meta
             if fidx > hi:
                 break
             if fidx % probe_stride == 0 and fidx >= lo:
                 small = frame[::8, ::8].astype(np.float32) / 255.0
                 ok, _reason = frame_qc(frame)
-                (probes if ok else rejected).append((fidx, small, visual_interest(frame)))
+                if ok:
+                    probes.append((fidx, small, visual_interest(frame)))
+                elif len(rejected) < max_probes:
+                    rejected.append((fidx, small, visual_interest(frame)))
     if not probes:
         probes = rejected
     probes.sort(key=lambda t: -t[2])
@@ -170,7 +178,16 @@ def evaluate_pair(
 
     from hdrtv_tpu.ops.resize import resize_area
 
-    pred, gt, _ = crop_shared_black_borders(pred_rgb01, gt_rgb01)
+    pred = np.asarray(pred_rgb01)
+    gt = np.asarray(gt_rgb01)
+    if pred.shape[:2] != gt.shape[:2]:
+        # Differing-res SDR/GT pairing is the normal case (the GT master is
+        # usually full-res): bring GT to the prediction's pixel grid FIRST —
+        # crop_shared_black_borders no-ops on mismatched shapes and the
+        # device metrics would broadcast-error (reference _prepare_metric_pair
+        # resizes to common dims before the border crop).
+        gt = np.asarray(resize_area(jnp.asarray(gt[None]), pred.shape[0], pred.shape[1]))[0]
+    pred, gt, _ = crop_shared_black_borders(pred, gt)
     h, w = pred.shape[:2]
     if max(h, w) > max_side:
         s = max_side / max(h, w)
@@ -309,6 +326,15 @@ def run_quality_benchmark(
             # queue notes) — skip the exact re-decode/re-search
             offset, score = verify_cache[cache_key]
         elif post_verify and (verify_max_items == 0 or verified_items < verify_max_items):
+            # Batch the known-upfront ±window candidates into ONE exact
+            # decode pass (prefetch_exact) instead of one ffmpeg spawn per
+            # candidate frame inside the search loop.
+            pf = getattr(gt_reader, "prefetch_exact", None)
+            if pf is not None and getattr(gt_reader, "exact", False):
+                try:
+                    pf(range(gt_idx - verify_window, gt_idx + verify_window + 1))
+                except Exception:
+                    pass  # per-frame reads below remain the fallback
             offset, score = post_verify_alignment(
                 sdr_rgb01, gt_read, gt_idx, window=verify_window
             )

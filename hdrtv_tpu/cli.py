@@ -388,6 +388,7 @@ def cmd_quality(args) -> int:
     from hdrtv_tpu.pipeline.source import VideoSource
     from hdrtv_tpu.bench.gt_sync import HDRGroundTruthReader, make_frame_map
 
+    sync_offset = 0
     if not args.no_validate_gt:
         # The reference validates the GT pair before enabling metrics
         # (gui_ground_truth.py:36-158); same gate here, skippable for
@@ -399,9 +400,12 @@ def cmd_quality(args) -> int:
             print(f"GT validation failed: {res.message}")
             return 2
         print(f"GT validated: {res.message}")
+        # Feed the measured sync offset into the frame map — post-verify's
+        # ±2-frame local search cannot recover a larger offset on its own.
+        sync_offset = int(getattr(res, "offset_frames", 0) or 0)
     sdr = VideoSource(args.video)
     gt = HDRGroundTruthReader(args.gt)
-    fmap = make_frame_map(sdr.fps, gt.fps)
+    fmap = make_frame_map(sdr.fps, gt.fps, sync_offset)
     cfg = QualityRunConfig(
         precision_key=args.precision,
         resolution_key=args.resolution,

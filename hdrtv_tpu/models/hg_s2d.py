@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hdrtv_tpu.models.hg import _batch_norm, _conv_block, _up_block
+from hdrtv_tpu.models.hg import _conv_block, _up_block
 from hdrtv_tpu.models.layers import F32, Params, Policy, conv2d, max_pool2, relu
 from hdrtv_tpu.models.s2d import b_s2d, w_ps_permute, w_s2d_1x1, w_s2d_s1
 from hdrtv_tpu.parallel import halo as _halo
@@ -187,6 +187,14 @@ def pad_reflect_s2d(x: jax.Array, pgh: int, pgw: int) -> jax.Array:
     if pgh == 0 and pgw == 0:
         return x
     n, hb, wb, c4 = x.shape
+    if pgh > hb - 1 or pgw > wb - 1:
+        # Reflection reads up to hb-1-pgh; beyond that numpy-style negative
+        # starts would silently clamp and crash later with a confusing
+        # concat shape mismatch.
+        raise ValueError(
+            f"frame too small for HG /32 reflect padding: s2d grid {hb}x{wb} "
+            f"cannot reflect-pad by ({pgh},{pgw}) grid rows/cols"
+        )
     cn = c4 // 4
     xa = x.reshape(n, hb, wb, 2, 2, cn)
     if pgh:
@@ -250,12 +258,12 @@ def hg_s2d_apply(
     """
     img_s2d = policy.cast(img_s2d)
 
-    # Level 1 in s2d: conv1 (12→256, BN folded) + relu.
+    # Level 1 in s2d: conv1 (12→256, BN folded) + relu. hg_s2d_transform
+    # always folds conv1's BN when it builds the s2d weight, so there is no
+    # unfolded-BN case here (the natural 64-ch stats could not broadcast
+    # against the 256-ch s2d activation anyway).
     def _conv1(x):
-        c = conv2d(p, "hg.conv1.0", x, padding=1, policy=policy)
-        if "hg.conv1.1.running_mean" in p:
-            c = _batch_norm(p, "hg.conv1.1", c, policy=policy)
-        return relu(c)
+        return relu(conv2d(p, "hg.conv1.0", x, padding=1, policy=policy))
 
     # Levels 1-6 + decoder to conv9: natural tensors at grid res and below
     # (hg_apply verbatim, with maxpool1 as the sub-position lane max and the

@@ -34,7 +34,41 @@ _HDR_PRIMARIES = {"bt2020"}
 
 
 def probe_media(path: str) -> MediaInfo:
-    """ffprobe when available (authoritative), cv2 fallback otherwise."""
+    """ffprobe when available (authoritative), cv2 fallback otherwise.
+
+    ``.y4m`` masters are parsed natively (bench/y4m.py) — Y4M headers cannot
+    carry transfer/primaries tags, so the export path's ``<path>.json`` color
+    sidecar (pipeline/export.py _y4m_sidecar) is consulted for HDR detection;
+    ffprobe would report them untagged too."""
+    if path.lower().endswith(".y4m"):
+        try:
+            from hdrtv_tpu.bench.y4m import Y4MReader
+
+            r = Y4MReader(path)
+            try:
+                fmt = r.fmt
+                transfer = primaries = ""
+                try:
+                    with open(path + ".json") as f:
+                        color = json.load(f).get("color", {})
+                    transfer = str(color.get("transfer") or "")
+                    primaries = str(color.get("primaries") or "")
+                except (OSError, json.JSONDecodeError, AttributeError):
+                    pass
+                return MediaInfo(
+                    width=fmt.width,
+                    height=fmt.height,
+                    fps=fmt.fps,
+                    frame_count=r.frame_count,
+                    is_hdr=transfer in _HDR_TRANSFERS or primaries in _HDR_PRIMARIES,
+                    color_transfer=transfer,
+                    color_primaries=primaries,
+                    pix_fmt=f"yuv{fmt.ctag}",
+                )
+            finally:
+                r.close()
+        except (OSError, ValueError):
+            pass  # unreadable/foreign y4m: fall through to ffprobe/cv2
     if shutil.which("ffprobe"):
         try:
             out = subprocess.run(

@@ -156,6 +156,33 @@ class TestProbe:
         assert not info.is_hdr
         assert not should_bypass_processing(info)
 
+    def test_probe_media_y4m_native_with_color_sidecar(self, tmp_path):
+        """A y4m master + the export path's PQ/BT.2020 sidecar must probe as
+        HDR without any binary (round-4 fix: the native y4m GT path was
+        rejected by GT validation because probe_media didn't know y4m)."""
+        import json
+
+        from hdrtv_tpu.bench.y4m import Y4MWriter
+        from hdrtv_tpu.pipeline.export import _y4m_sidecar
+        from hdrtv_tpu.runtime.probe import probe_media
+
+        path = str(tmp_path / "gt.y4m")
+        w = Y4MWriter(path, 64, 32, fps=25.0, ctag="422p10")
+        for _ in range(4):
+            w.write_rgb_unit(np.full((32, 64, 3), 0.5, np.float32), matrix="bt2020nc")
+        w.close()
+        # without the sidecar: valid geometry, honest not-HDR
+        info = probe_media(path)
+        assert (info.width, info.height, info.frame_count) == (64, 32, 4)
+        assert abs(info.fps - 25.0) < 1e-6
+        assert not info.is_hdr
+        # with the sidecar: PQ/BT.2020 detected
+        with open(path + ".json", "w") as f:
+            json.dump(_y4m_sidecar(path), f)
+        info = probe_media(path)
+        assert info.is_hdr and info.color_transfer == "smpte2084"
+        assert info.pix_fmt == "yuv422p10"
+
     def test_active_picture_detection(self):
         from hdrtv_tpu.runtime.probe import detect_active_picture
 

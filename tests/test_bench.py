@@ -91,6 +91,48 @@ class TestQualityBench:
         assert frames == sorted(frames)
         assert len(set(frames)) == 5
 
+    def test_evaluate_pair_reconciles_mismatched_resolutions(self):
+        """The normal GT pairing has a full-res GT vs a processing-res
+        prediction — evaluate_pair must resize to the prediction grid
+        instead of crashing in the device metrics (round-4 fix)."""
+        from hdrtv_tpu.bench.quality import evaluate_pair
+
+        rng = np.random.RandomState(0)
+        pred = rng.rand(48, 64, 3).astype(np.float32)
+        # GT is the same content at 2× resolution
+        gt = np.repeat(np.repeat(pred, 2, axis=0), 2, axis=1)
+        m = evaluate_pair(pred, gt, peak_nits=1000.0)
+        assert m["psnr"] > 25.0  # same content → high score, no crash
+
+    def test_selection_scan_is_bounded_for_all_rejected_sources(self):
+        """A source whose frames all fail QC must not be decoded end-to-end:
+        the sequential scan is bounded in TOTAL reads, not accepted probes
+        (round-4 fix)."""
+        from hdrtv_tpu.bench.quality import select_distinct_frames
+
+        class AllDark:
+            frame_count = 10_000  # long source; the scan must not read it all
+            fps = 24.0
+            path = None
+
+            def __init__(self):
+                self.reads = 0
+                self._i = -1
+
+            def seek(self, n):
+                self._i = n - 1
+
+            def read_with_meta(self, timeout=5.0):
+                self.reads += 1
+                self._i += 1
+                # all-black frames fail the too-dark QC gate
+                return np.zeros((64, 96, 3), np.uint8), self._i, self._i / 24.0
+
+        src = AllDark()
+        frames = select_distinct_frames(src, 3, probe_stride=24, max_probes=50)
+        assert frames  # rejected pool still yields a selection
+        assert src.reads <= 50 * 24 * 2 + 1  # bounded scan
+
 
 class TestGTSync:
     def test_frame_map_rate_aware(self):
@@ -98,6 +140,80 @@ class TestGTSync:
 
         fmap = make_frame_map(sdr_fps=24.0, gt_fps=48.0)
         assert fmap(10) == 20
+
+    def test_fast_reader_reseeks_after_failed_read(self):
+        """A failed seek+read moves the capture but produces no frame — the
+        sequential-read cursor must be invalidated or the next sequential
+        request decodes whatever frame the capture sits on (round-4 fix)."""
+        from hdrtv_tpu.bench.gt_sync import HDRGroundTruthReader
+
+        r = HDRGroundTruthReader.__new__(HDRGroundTruthReader)
+        r._y4m = None
+        import cv2
+
+        r._cv2 = cv2
+
+        class FakeCap:
+            pos = 0
+
+            def set(self, prop, v):
+                self.pos = int(v)
+
+            def read(self):
+                if self.pos >= 100:
+                    return False, None
+                f = np.full((4, 4, 3), self.pos, np.uint8)
+                self.pos += 1
+                return True, f
+
+        r.cap = FakeCap()
+        r._pos = 0
+        a = r.read_unit_rgb_fast(5)
+        assert int(round(float(a[0, 0, 0]) * 255)) == 5
+        assert r.read_unit_rgb_fast(200) is None  # failed read moved the cap
+        b = r.read_unit_rgb_fast(6)  # sequential w.r.t. the stale cursor
+        assert b is not None
+        assert int(round(float(b[0, 0, 0]) * 255)) == 6
+
+    def test_sync_offset_cache_roundtrip(self, tmp_path):
+        """find_sync_offset's disk cache: second identical call decodes
+        nothing; a different window is a different key (round-4 wiring)."""
+        from hdrtv_tpu.bench.gt_sync import find_sync_offset
+
+        calls = []
+        rng = np.random.RandomState(0)
+        gt_frames = {i: rng.rand(16, 16, 3).astype(np.float32) for i in range(6)}
+
+        class Reader:
+            fps = 24.0
+
+            def read_unit_rgb(self, i):
+                calls.append(i)
+                return gt_frames.get(int(i))
+
+        sdr = {2: gt_frames[2]}
+        cp = str(tmp_path / "cache.json")
+        off, score = find_sync_offset(
+            sdr, Reader(), lambda i: i, window_frames=1,
+            cache_path=cp, cache_key="k",
+        )
+        n1 = len(calls)
+        assert n1 > 0 and off == 0
+        off2, score2 = find_sync_offset(
+            sdr, Reader(), lambda i: i, window_frames=1,
+            cache_path=cp, cache_key="k",
+        )
+        assert (off2, score2) == (off, score)
+        assert len(calls) == n1  # cache hit — no new decodes
+        find_sync_offset(
+            sdr, Reader(), lambda i: i, window_frames=2,
+            cache_path=cp, cache_key="k",
+        )
+        assert len(calls) > n1  # wider window = different key → recomputed
+
+    def test_frame_map_sync_offset(self):
+        from hdrtv_tpu.bench.gt_sync import make_frame_map
+
         fmap_off = make_frame_map(24.0, 24.0, offset_frames=3)
         assert fmap_off(10) == 13
 

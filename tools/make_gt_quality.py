@@ -158,7 +158,7 @@ def main() -> None:
             from hdrtv_tpu.bench.quality import QualityRunConfig, run_quality_benchmark
 
             summary = run_quality_benchmark(
-                QualityRunConfig(precision_key=key, frame_count=args.frames),
+                QualityRunConfig(precision_key=key, frame_count=args.frames, use_hg=use_hg),
                 proc,
                 ArraySource(clip),
                 gt_reader,
@@ -202,6 +202,13 @@ def main() -> None:
         "",
     ]
     block = "\n".join(header + sections)
+
+    if not sections:
+        # Nothing measured (missing checkpoints, every preset skipped): do
+        # NOT splice — that would erase a previously measured table and
+        # replace it with a dated header claiming a measurement.
+        print("no rows measured; leaving QUALITY.md untouched", file=sys.stderr)
+        sys.exit(1)
 
     if args.out:
         with open(args.out, "w") as f:
