@@ -23,6 +23,8 @@ import os
 
 import numpy as np
 
+_SYNC_CACHE_MAX = 64  # disk sync-offset cache entries (FIFO-trimmed)
+
 
 class HDRGroundTruthReader:
     """Random-access GT frame reader returning [0,1] RGB float frames.
@@ -250,18 +252,28 @@ def find_sync_offset(
     if best_offset != 0 and best_score - base < min_gain:
         best_offset, best_score = 0, base
 
-    if cache_path and cache_key:
-        cache = {}
-        if os.path.isfile(cache_path):
-            try:
-                with open(cache_path) as f:
-                    cache = json.load(f)
-            except json.JSONDecodeError:
-                cache = {}
-        cache[cache_key] = {"offset": best_offset, "score": best_score}
-        os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
-        with open(cache_path, "w") as f:
-            json.dump(cache, f)
+    # Persist only real measurements: the -1.0 "no GT frames decoded"
+    # sentinel would turn a transient decode failure into a permanent
+    # cached mismatch for this file pair. The write itself is best-effort
+    # (read-only checkouts must not fail an otherwise-correct search).
+    if cache_path and cache_key and best_score >= 0.0:
+        try:
+            cache = {}
+            if os.path.isfile(cache_path):
+                try:
+                    with open(cache_path) as f:
+                        cache = json.load(f)
+                except json.JSONDecodeError:
+                    cache = {}
+            cache.pop(cache_key, None)
+            cache[cache_key] = {"offset": best_offset, "score": best_score}
+            while len(cache) > _SYNC_CACHE_MAX:  # FIFO: mtime-keyed entries
+                cache.pop(next(iter(cache)))  # of re-exported files never hit
+            os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+            with open(cache_path, "w") as f:
+                json.dump(cache, f)
+        except OSError:
+            pass
     return best_offset, best_score
 
 

@@ -106,22 +106,26 @@ def select_distinct_frames(
             ok, _reason = frame_qc(frame)
             (probes if ok else rejected).append((fidx, small, visual_interest(frame)))
     else:
-        # sequential scan: always from the start so selection is
-        # deterministic no matter where a previous (queued) run left the
-        # source positioned
+        # sequential scan: always from a deterministic position (lo is a pure
+        # function of the source geometry) no matter where a previous
+        # (queued) run left the source positioned
         seek = getattr(source, "seek", None)
         if seek is not None:
-            seek(0)
-        # Bound the TOTAL scan, not just accepted probes: a source whose
-        # credit-free region mostly fails QC must not decode the whole movie
-        # (nor hold every rejected thumbnail in memory).
+            seek(lo if total else 0)
+        # Bound the TOTAL in-region scan, not just accepted probes: a source
+        # whose credit-free region mostly fails QC must not decode the whole
+        # movie (nor hold every rejected thumbnail in memory). Head frames
+        # below lo (seek-less sources only) don't count against the budget —
+        # otherwise a long head exhausts it before the region is reached and
+        # the selection comes back empty.
         reads, max_reads = 0, max_probes * probe_stride * 2
         while len(probes) < max_probes and reads < max_reads:
             meta = source.read_with_meta()
             if meta is None:
                 break
-            reads += 1
             frame, fidx, _ = meta
+            if fidx >= lo:
+                reads += 1
             if fidx > hi:
                 break
             if fidx % probe_stride == 0 and fidx >= lo:

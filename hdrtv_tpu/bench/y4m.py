@@ -351,4 +351,5 @@ def probe_y4m(path: str) -> dict:
             "fps": r.fmt.fps,
             "frames": r.frame_count,
             "duration": r.frame_count / r.fmt.fps if r.fmt.fps else None,
+            "pix_fmt": f"yuv{r.fmt.ctag}",
         }

@@ -42,31 +42,27 @@ def probe_media(path: str) -> MediaInfo:
     ffprobe would report them untagged too."""
     if path.lower().endswith(".y4m"):
         try:
-            from hdrtv_tpu.bench.y4m import Y4MReader
+            from hdrtv_tpu.bench.y4m import probe_y4m
 
-            r = Y4MReader(path)
+            pv = probe_y4m(path)
+            transfer = primaries = ""
             try:
-                fmt = r.fmt
-                transfer = primaries = ""
-                try:
-                    with open(path + ".json") as f:
-                        color = json.load(f).get("color", {})
-                    transfer = str(color.get("transfer") or "")
-                    primaries = str(color.get("primaries") or "")
-                except (OSError, json.JSONDecodeError, AttributeError):
-                    pass
-                return MediaInfo(
-                    width=fmt.width,
-                    height=fmt.height,
-                    fps=fmt.fps,
-                    frame_count=r.frame_count,
-                    is_hdr=transfer in _HDR_TRANSFERS or primaries in _HDR_PRIMARIES,
-                    color_transfer=transfer,
-                    color_primaries=primaries,
-                    pix_fmt=f"yuv{fmt.ctag}",
-                )
-            finally:
-                r.close()
+                with open(path + ".json") as f:
+                    color = json.load(f).get("color", {})
+                transfer = str(color.get("transfer") or "")
+                primaries = str(color.get("primaries") or "")
+            except (OSError, ValueError, AttributeError):
+                pass  # sidecar is optional: corrupt/absent degrades HDR detect
+            return MediaInfo(
+                width=pv["width"],
+                height=pv["height"],
+                fps=pv["fps"],
+                frame_count=pv["frames"],
+                is_hdr=transfer in _HDR_TRANSFERS or primaries in _HDR_PRIMARIES,
+                color_transfer=transfer,
+                color_primaries=primaries,
+                pix_fmt=pv["pix_fmt"],
+            )
         except (OSError, ValueError):
             pass  # unreadable/foreign y4m: fall through to ffprobe/cv2
     if shutil.which("ffprobe"):

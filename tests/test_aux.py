@@ -182,6 +182,13 @@ class TestProbe:
         info = probe_media(path)
         assert info.is_hdr and info.color_transfer == "smpte2084"
         assert info.pix_fmt == "yuv422p10"
+        # corrupt (non-UTF8) sidecar: optional metadata must degrade, not
+        # knock the whole probe off the native path (review fix)
+        with open(path + ".json", "wb") as f:
+            f.write(b"\xff\xfe\x00garbage")
+        info = probe_media(path)
+        assert (info.width, info.height) == (64, 32)  # still native-parsed
+        assert not info.is_hdr
 
     def test_active_picture_detection(self):
         from hdrtv_tpu.runtime.probe import detect_active_picture

@@ -133,6 +133,29 @@ class TestQualityBench:
         assert frames  # rejected pool still yields a selection
         assert src.reads <= 50 * 24 * 2 + 1  # bounded scan
 
+    def test_selection_head_skip_does_not_consume_scan_budget(self):
+        """A seek-less source with a long credit-skip head must still reach
+        the credit-free region: only in-region reads count against the scan
+        budget (review fix on the round-4 bound)."""
+        from hdrtv_tpu.bench.quality import select_distinct_frames
+
+        rng = np.random.RandomState(1)
+        tex = (rng.rand(16, 64, 96, 3) * 255).astype(np.uint8)
+
+        class NoSeek:  # frame_count=10k/fps=24 → movie_frame_bounds lo=800
+            frame_count = 10_000
+            fps = 24.0
+            path = None
+            _i = -1
+
+            def read_with_meta(self, timeout=5.0):
+                self._i += 1
+                return tex[self._i % 16], self._i, self._i / 24.0
+
+        # budget = 10*24*2 = 480 reads < lo=800: pre-fix this returned []
+        frames = select_distinct_frames(NoSeek(), 2, probe_stride=24, max_probes=10)
+        assert frames and all(f >= 800 for f in frames)
+
 
 class TestGTSync:
     def test_frame_map_rate_aware(self):
@@ -210,6 +233,55 @@ class TestGTSync:
             cache_path=cp, cache_key="k",
         )
         assert len(calls) > n1  # wider window = different key → recomputed
+
+    def test_sync_offset_cache_robustness(self, tmp_path):
+        """Review fixes on the disk cache: an unwritable path never fails the
+        search, the -1.0 no-frames sentinel is not persisted, and the cache
+        file is FIFO-capped (stale mtime-keyed entries can't grow forever)."""
+        import json as _json
+
+        from hdrtv_tpu.bench import gt_sync
+        from hdrtv_tpu.bench.gt_sync import find_sync_offset
+
+        frame = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+
+        class Reader:
+            fps = 24.0
+
+            def read_unit_rgb(self, i):
+                return frame if 0 <= int(i) < 4 else None
+
+        class DeadReader(Reader):
+            def read_unit_rgb(self, i):
+                return None
+
+        # unwritable: cache_path nested under a regular FILE → OSError inside
+        blocker = tmp_path / "blocker"
+        blocker.write_text("x")
+        off, score = find_sync_offset(
+            {2: frame}, Reader(), lambda i: i, window_frames=1,
+            cache_path=str(blocker / "cache.json"), cache_key="k",
+        )
+        assert off == 0 and score > 0  # search result intact, no raise
+
+        # sentinel: a reader that decodes nothing must not poison the cache
+        cp = tmp_path / "cache.json"
+        off, score = find_sync_offset(
+            {2: frame}, DeadReader(), lambda i: i, window_frames=1,
+            cache_path=str(cp), cache_key="dead",
+        )
+        assert score == -1.0 and not cp.exists()
+
+        # FIFO cap: > _SYNC_CACHE_MAX distinct keys keep only the newest
+        for k in range(gt_sync._SYNC_CACHE_MAX + 6):
+            find_sync_offset(
+                {2: frame}, Reader(), lambda i: i, window_frames=1,
+                cache_path=str(cp), cache_key=f"k{k}",
+            )
+        cache = _json.loads(cp.read_text())
+        assert len(cache) == gt_sync._SYNC_CACHE_MAX
+        last = f"k{gt_sync._SYNC_CACHE_MAX + 5}|w1|g0.06"
+        assert last in cache and not any(k.startswith("k0|") for k in cache)
 
     def test_frame_map_sync_offset(self):
         from hdrtv_tpu.bench.gt_sync import make_frame_map
