@@ -284,6 +284,49 @@ class TestQualityQueueCommand:
         assert [s["precision"] for s in lines] == ["FP16"]
         assert os.path.isdir(lines[0]["session_dir"])
 
+    def test_quality_e2e_y4m_gt_validation_and_offset(self, tmp_path, capsys):
+        """Full no-binary quality path: cli quality WITHOUT --no-validate-gt
+        against a y4m HDR GT (native probe + PQ sidecar) whose content leads
+        the SDR clip by 2 frames — validation must detect HDR, find the +2
+        sync offset, and feed it into the scoring frame map (round-4 e2e)."""
+        import cv2
+
+        from hdrtv_tpu.bench.y4m import Y4MWriter
+        from hdrtv_tpu.pipeline.export import _y4m_sidecar
+
+        rng = np.random.RandomState(7)
+        frames = rng.randint(0, 255, (32, 32, 64, 3), np.uint8)  # distinct
+        sdr_path = str(tmp_path / "clip.avi")
+        w = cv2.VideoWriter(sdr_path, cv2.VideoWriter_fourcc(*"MJPG"), 25.0, (64, 32))
+        for i in range(30):
+            w.write(frames[i])
+        w.release()
+        # GT: same content with 2 lead frames → SDR i pairs with GT i+2
+        gt_path = str(tmp_path / "gt.y4m")
+        gw = Y4MWriter(gt_path, 64, 32, fps=25.0, ctag="422p10")
+        gw.write_rgb_unit(np.zeros((32, 64, 3), np.float32), matrix="bt2020nc")
+        gw.write_rgb_unit(np.zeros((32, 64, 3), np.float32), matrix="bt2020nc")
+        for i in range(30):
+            gw.write_rgb_unit(
+                frames[i][..., ::-1].astype(np.float32) / 255.0, matrix="bt2020nc"
+            )
+        gw.close()
+        with open(gt_path + ".json", "w") as f:
+            json.dump(_y4m_sidecar(gt_path), f)
+
+        rc = main([
+            "quality", "--model", WEIGHTS, "--video", sdr_path, "--gt", gt_path,
+            "--resolution", "540p", "--frames", "2",
+            "--out", str(tmp_path / "out"),
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "GT validated" in out
+        assert "+2 frames" in out  # offset found and reported
+        summary = json.loads(out[out.index("{"):])  # single-run indented JSON
+        assert os.path.isdir(summary["session_dir"])
+        assert summary["mean_psnr"] is not None
+
     def test_queue_rejects_unknown_preset(self, tmp_path, capsys):
         path = self._clip(tmp_path)
         rc = main([
