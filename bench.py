@@ -213,14 +213,74 @@ def warm() -> None:
     raise SystemExit(0 if ok and warm_ok else 1)
 
 
+def _yield_chip_sweep() -> None:
+    """Ask a running tools/chip_sweep.py to release the chip (one TPU process
+    at a time — the driver bench outranks the unattended sweep). The sweep
+    polls OUT/YIELD every ≤10 s, kills its in-flight step, and exits; if it
+    doesn't within the grace window, kill it by its RECORDED pids (never by
+    pattern)."""
+    if os.environ.get("HDRTV_SWEEP_CHILD"):
+        return  # we ARE a sweep step — never yield our own parent
+    out = os.environ.get("HDRTV_SWEEP_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "logs", "chip_sweep_r4"
+    )
+
+    def _alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            return False
+        try:  # a zombie (exited, unreaped by its parent) is NOT holding the chip
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().rsplit(")", 1)[-1].split()[0] != "Z"
+        except (OSError, IndexError):
+            return True
+
+    pid_path = os.path.join(out, "driver.pid")
+    try:
+        with open(pid_path) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    if not _alive(pid):
+        return
+    try:
+        with open(os.path.join(out, "YIELD"), "w") as f:
+            f.write(str(time.time()))
+    except OSError:
+        pass
+    grace = float(os.environ.get("HDRTV_BENCH_YIELD_WAIT_S", "60") or 60)
+    deadline = time.time() + grace
+    while time.time() < deadline:
+        if not _alive(pid):
+            return  # sweep exited cleanly
+        time.sleep(2)
+    sys.stderr.write("bench: chip_sweep ignored YIELD; killing recorded pids\n")
+    try:
+        with open(os.path.join(out, "step.pgid")) as f:
+            os.killpg(int(f.read().strip()), signal.SIGKILL)
+    except (OSError, ValueError):
+        pass
+    try:
+        os.killpg(pid, signal.SIGKILL)  # driver (setpgrp leader) + its probes
+    except (OSError, ValueError):
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            pass
+    time.sleep(5)
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--warm":
+        _yield_chip_sweep()
         warm()
         return
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         _child_main(sys.argv[2])
         return
 
+    _yield_chip_sweep()
     total_s = float(os.environ.get("HDRTV_BENCH_TIMEOUT_S", "1500") or 1500)
     probe_s = float(os.environ.get("HDRTV_BENCH_PROBE_BUDGET_S", "240") or 240)
     # 600 s leaves headroom for a COLD turbo compile (~5 min on the remote

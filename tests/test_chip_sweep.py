@@ -70,6 +70,94 @@ class TestChipSweep:
         recs = [json.loads(l) for l in open(tmp_path / "status.jsonl")]
         assert recs[-1]["ok"] and "hello" in recs[-1]["tail"]
 
+    def test_yield_kills_running_step_within_seconds(self, tmp_path, monkeypatch):
+        """bench.py touches OUT/YIELD → the sweep must kill its in-flight
+        step and report it yielded, well inside the step's budget (the
+        cooperative chip handoff to the round driver's bench)."""
+        import importlib.util
+        import threading
+
+        spec = importlib.util.spec_from_file_location("chip_sweep", TOOL)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(mod, "OUT", str(tmp_path))
+
+        def drop_flag():
+            time.sleep(2)
+            open(tmp_path / "YIELD", "w").close()
+
+        threading.Thread(target=drop_flag, daemon=True).start()
+        t0 = time.time()
+        ok = mod.run_step("holder", [sys.executable, "-c", "import time; time.sleep(120)"],
+                          {}, budget=300)
+        assert not ok and time.time() - t0 < 30  # killed by yield, not budget
+        recs = [json.loads(l) for l in open(tmp_path / "status.jsonl")]
+        assert recs[-1]["step"] == "holder" and recs[-1].get("yielded")
+        assert not os.path.exists(tmp_path / "step.pgid")  # cleaned up
+
+    def test_yield_interrupts_relay_wait(self, tmp_path, monkeypatch):
+        """A sweep stuck in the sparse relay-wait loop must exit rc=3 within
+        seconds of YIELD instead of sleeping out its 10-min cycle."""
+        import importlib.util
+        import threading
+
+        spec = importlib.util.spec_from_file_location("chip_sweep", TOOL)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(mod, "OUT", str(tmp_path))
+        monkeypatch.setattr(mod, "probe", lambda *a, **k: False)  # relay down
+
+        def drop_flag():
+            time.sleep(2)
+            open(tmp_path / "YIELD", "w").close()
+
+        threading.Thread(target=drop_flag, daemon=True).start()
+        monkeypatch.setattr(sys, "argv", ["chip_sweep"])
+        t0 = time.time()
+        rc = mod.main()
+        assert rc == 3 and time.time() - t0 < 60
+        recs = [json.loads(l) for l in open(tmp_path / "status.jsonl")]
+        assert any(r.get("out") == "yielded to bench.py" for r in recs)
+        assert not os.path.exists(tmp_path / "driver.pid")  # cleaned up
+
+    def test_bench_yield_handshake(self, tmp_path):
+        """bench.py's _yield_chip_sweep: drops the flag and waits for the
+        recorded driver pid to exit; sweep children (HDRTV_SWEEP_CHILD) never
+        signal their own parent."""
+        import importlib.util
+
+        bench_path = os.path.join(os.path.dirname(TOOL), "..", "bench.py")
+        spec = importlib.util.spec_from_file_location("bench_mod", bench_path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        # a stand-in "sweep driver" that exits as soon as the flag appears
+        proc = subprocess.Popen([
+            sys.executable, "-c",
+            "import os,sys,time\n"
+            f"flag = os.path.join({str(tmp_path)!r}, 'YIELD')\n"
+            "for _ in range(600):\n"
+            "    if os.path.exists(flag): sys.exit(3)\n"
+            "    time.sleep(0.1)\n",
+        ])
+        (tmp_path / "driver.pid").write_text(str(proc.pid))
+        os.environ["HDRTV_SWEEP_DIR"] = str(tmp_path)
+        try:
+            # sweep child: must be a no-op (flag never dropped)
+            os.environ["HDRTV_SWEEP_CHILD"] = "1"
+            bench._yield_chip_sweep()
+            assert not os.path.exists(tmp_path / "YIELD")
+            del os.environ["HDRTV_SWEEP_CHILD"]
+            t0 = time.time()
+            bench._yield_chip_sweep()
+            assert time.time() - t0 < 30  # driver saw the flag and exited
+            assert proc.wait(timeout=10) == 3
+        finally:
+            os.environ.pop("HDRTV_SWEEP_DIR", None)
+            os.environ.pop("HDRTV_SWEEP_CHILD", None)
+            if proc.poll() is None:
+                proc.kill()
+
     def test_deadline_skips_steps_that_cannot_finish(self, tmp_path, monkeypatch):
         """--deadline-epoch: the sweep must never hold the TPU into the
         round driver's own bench window — a step only starts if its WHOLE

@@ -31,7 +31,16 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "logs", "chip_sweep_r4")
+OUT = os.environ.get("HDRTV_SWEEP_DIR") or os.path.join(REPO, "logs", "chip_sweep_r4")
+
+# Cooperative chip handoff: bench.py (the round driver's benchmark — the
+# highest-priority chip user) touches OUT/YIELD before probing. The sweep
+# checks the flag every ≤10 s — between probes, inside the relay-wait
+# sleep, and DURING a running step (killing the step's process group) —
+# and exits rc=3 within seconds, so the driver bench never shares the
+# chip with a sweep step (one TPU process at a time). driver.pid /
+# step.pgid let bench.py hard-kill a stuck sweep by recorded pid (never
+# by pattern) if the flag isn't honored in time.
 
 PROBE = (
     "import time,numpy as np,jax,jax.numpy as jnp;t0=time.time();"
@@ -82,6 +91,10 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
 ]
 
 
+def yield_requested() -> bool:
+    return os.path.exists(os.path.join(OUT, "YIELD"))
+
+
 def log_status(rec: dict) -> None:
     rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(os.path.join(OUT, "status.jsonl"), "a") as f:
@@ -90,31 +103,46 @@ def log_status(rec: dict) -> None:
 
 
 def probe(budget: int = 300) -> bool:
-    try:
-        r = subprocess.run(
-            [PY, "-c", PROBE], cwd=REPO, timeout=budget,
-            capture_output=True, text=True,
-        )
-        ok = r.returncode == 0 and "PROBE OK" in r.stdout
-        log_status({"step": "probe", "ok": ok, "out": r.stdout.strip()[-120:]})
-        return ok
-    except subprocess.TimeoutExpired:
-        log_status({"step": "probe", "ok": False, "out": "timeout"})
-        return False
+    proc = subprocess.Popen(
+        [PY, "-c", PROBE], cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    deadline = time.monotonic() + budget
+    while True:  # 10 s slices so a YIELD interrupts even a hung probe
+        try:
+            out, _ = proc.communicate(timeout=min(10, max(0.1, deadline - time.monotonic())))
+            ok = proc.returncode == 0 and "PROBE OK" in (out or "")
+            log_status({"step": "probe", "ok": ok, "out": (out or "").strip()[-120:]})
+            return ok
+        except subprocess.TimeoutExpired:
+            if yield_requested() or time.monotonic() >= deadline:
+                proc.kill()
+                out, _ = proc.communicate()
+                why = "yielded" if yield_requested() else "timeout"
+                log_status({"step": "probe", "ok": False, "out": why})
+                return False
 
 
 def wait_for_relay(max_wait_s: int = 28800) -> bool:
     """Sparse probing during a wedge: one bounded probe every 10 min."""
     deadline = time.monotonic() + max_wait_s
     while time.monotonic() < deadline:
+        if yield_requested():
+            return False
         if probe():
             return True
-        time.sleep(600)
+        sleep_until = time.monotonic() + 600
+        while time.monotonic() < min(sleep_until, deadline):
+            if yield_requested():
+                return False
+            time.sleep(10)
     return False
 
 
 def run_step(name: str, argv: list[str], env_over: dict, budget: int) -> bool:
-    env = dict(os.environ, **{k: str(v) for k, v in env_over.items()})
+    # HDRTV_SWEEP_CHILD: bench.py steps must not YIELD their own parent
+    env = dict(os.environ, HDRTV_SWEEP_CHILD="1",
+               **{k: str(v) for k, v in env_over.items()})
     log_path = os.path.join(OUT, f"{name}.log")
     t0 = time.time()
     with open(log_path, "w") as lf:
@@ -129,14 +157,27 @@ def run_step(name: str, argv: list[str], env_over: dict, budget: int) -> bool:
         proc = subprocess.Popen(argv, cwd=REPO, env=env, stdout=lf,
                                 stderr=subprocess.STDOUT, start_new_session=True)
         try:
-            rc = proc.wait(timeout=budget)
-        except subprocess.TimeoutExpired:
+            with open(os.path.join(OUT, "step.pgid"), "w") as pf:
+                pf.write(str(proc.pid))
+        except OSError:
+            pass
+        deadline = time.monotonic() + budget
+        rc = None
+        while rc is None:
             try:
-                os.killpg(proc.pid, signal.SIGKILL)
-            except (ProcessLookupError, PermissionError):
-                proc.kill()
-            proc.wait()
-            rc = -9
+                rc = proc.wait(timeout=min(10, max(0.1, deadline - time.monotonic())))
+            except subprocess.TimeoutExpired:
+                if yield_requested() or time.monotonic() >= deadline:
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        proc.kill()
+                    proc.wait()
+                    rc = -9
+        try:
+            os.remove(os.path.join(OUT, "step.pgid"))
+        except OSError:
+            pass
     dt = round(time.time() - t0, 1)
     tail = ""
     try:
@@ -146,7 +187,10 @@ def run_step(name: str, argv: list[str], env_over: dict, budget: int) -> bool:
             tail = lf.read().decode("utf-8", "replace").replace("\n", " | ")
     except OSError:
         pass
-    log_status({"step": name, "ok": rc == 0, "rc": rc, "seconds": dt, "tail": tail})
+    rec = {"step": name, "ok": rc == 0, "rc": rc, "seconds": dt, "tail": tail}
+    if yield_requested():
+        rec["yielded"] = True
+    log_status(rec)
     return rc == 0
 
 
@@ -166,6 +210,30 @@ def main() -> int:
             print(f"{name:20s} budget={budget:5d}s env={env_over} :: {' '.join(argv)}")
         return 0
     os.makedirs(OUT, exist_ok=True)
+    try:
+        os.setpgrp()  # group leader: killpg(driver.pid) reaches our probes too
+    except OSError:
+        pass
+    # stale flag from a finished bench run must not instantly yield us
+    try:
+        os.remove(os.path.join(OUT, "YIELD"))
+    except OSError:
+        pass
+    try:
+        with open(os.path.join(OUT, "driver.pid"), "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+    try:
+        return _main_steps(args)
+    finally:
+        try:
+            os.remove(os.path.join(OUT, "driver.pid"))
+        except OSError:
+            pass
+
+
+def _main_steps(args) -> int:
     steps = STEPS
     if args.only:
         want = {s.strip() for s in args.only.split(",") if s.strip()}
@@ -180,19 +248,32 @@ def main() -> int:
             return float("inf")
         return args.deadline_epoch - time.time()
 
+    def _yielded() -> bool:
+        if yield_requested():
+            log_status({"step": "sweep", "ok": False, "out": "yielded to bench.py"})
+            return True
+        return False
+
     if not wait_for_relay(int(max(1, min(_remaining() - 600, 28800)))):
+        if _yielded():
+            return 3
         log_status({"step": "sweep", "ok": False, "out": "relay never recovered"})
         return 1
     for name, argv, env_over, budget in steps:
-        # A running step can't be killed safely (a killed in-flight compile
-        # wedges the relay), so a step only STARTS if its whole budget fits
-        # before the deadline.
+        # A running step shouldn't be killed (a killed in-flight compile can
+        # wedge the relay), so a step only STARTS if its whole budget fits
+        # before the deadline. A YIELD is the exception: starving the round
+        # driver's bench is strictly worse than the wedge risk.
+        if _yielded():
+            return 3
         if budget > _remaining():
             log_status({"step": name, "ok": False,
                         "out": f"skipped: budget {budget}s > {int(max(0, _remaining()))}s to deadline"})
             continue
         ok = run_step(name, argv, env_over, budget)
         if not ok:
+            if _yielded():
+                return 3
             # The post-failure probe holds the chip up to 300 s — it too must
             # fit before the deadline (one TPU process at a time: the round
             # driver's bench.py owns the chip after --deadline-epoch).
@@ -204,6 +285,8 @@ def main() -> int:
                 # step failure + dead relay = wedge: pause sparsely, then go on
                 log_status({"step": name, "ok": False, "out": "relay wedged; waiting"})
                 if not wait_for_relay(int(max(1, min(_remaining() - 600, 28800)))):
+                    if _yielded():
+                        return 3
                     log_status({"step": "sweep", "ok": False, "out": "wedge never cleared"})
                     return 1
     log_status({"step": "sweep", "ok": True})
