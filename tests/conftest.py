@@ -17,6 +17,13 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores JAX_PLATFORMS; jax.config wins.
 jax.config.update("jax_platforms", "cpu")
 
+import tempfile  # noqa: E402
+
+# Hermetic chip-sweep handoff dir: bench.py tests run main() end-to-end,
+# whose _yield_chip_sweep would otherwise signal (and kill) a REAL
+# tools/chip_sweep.py waiting on the relay via logs/chip_sweep_r4.
+os.environ.setdefault("HDRTV_SWEEP_DIR", tempfile.mkdtemp(prefix="sweepdir_test_"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

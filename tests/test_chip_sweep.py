@@ -120,7 +120,7 @@ class TestChipSweep:
         assert any(r.get("out") == "yielded to bench.py" for r in recs)
         assert not os.path.exists(tmp_path / "driver.pid")  # cleaned up
 
-    def test_bench_yield_handshake(self, tmp_path):
+    def test_bench_yield_handshake(self, tmp_path, monkeypatch):
         """bench.py's _yield_chip_sweep: drops the flag and waits for the
         recorded driver pid to exit; sweep children (HDRTV_SWEEP_CHILD) never
         signal their own parent."""
@@ -141,20 +141,18 @@ class TestChipSweep:
             "    time.sleep(0.1)\n",
         ])
         (tmp_path / "driver.pid").write_text(str(proc.pid))
-        os.environ["HDRTV_SWEEP_DIR"] = str(tmp_path)
+        monkeypatch.setenv("HDRTV_SWEEP_DIR", str(tmp_path))
         try:
             # sweep child: must be a no-op (flag never dropped)
-            os.environ["HDRTV_SWEEP_CHILD"] = "1"
+            monkeypatch.setenv("HDRTV_SWEEP_CHILD", "1")
             bench._yield_chip_sweep()
             assert not os.path.exists(tmp_path / "YIELD")
-            del os.environ["HDRTV_SWEEP_CHILD"]
+            monkeypatch.delenv("HDRTV_SWEEP_CHILD")
             t0 = time.time()
             bench._yield_chip_sweep()
             assert time.time() - t0 < 30  # driver saw the flag and exited
             assert proc.wait(timeout=10) == 3
         finally:
-            os.environ.pop("HDRTV_SWEEP_DIR", None)
-            os.environ.pop("HDRTV_SWEEP_CHILD", None)
             if proc.poll() is None:
                 proc.kill()
 
