@@ -156,6 +156,47 @@ class TestChipSweep:
             if proc.poll() is None:
                 proc.kill()
 
+    def test_sweep_report_renders_all_row_types(self, tmp_path, monkeypatch):
+        """tools/sweep_report.py is the transcription tool for sweep results;
+        it must render bench_modes rows, bench.py metric lines, warm-cache
+        status, and failures from status.jsonl + per-step logs."""
+        import importlib.util
+
+        tool = os.path.join(os.path.dirname(TOOL), "sweep_report.py")
+        spec = importlib.util.spec_from_file_location("sweep_report", tool)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(mod, "OUT", str(tmp_path))
+
+        with open(tmp_path / "status.jsonl", "w") as f:
+            for rec in [
+                {"step": "probe", "ok": True},
+                {"step": "bench_warm", "ok": True, "rc": 0, "seconds": 900.0},
+                {"step": "bench_verify", "ok": True, "rc": 0, "seconds": 120.0},
+                {"step": "modes_1080_int8", "ok": True, "rc": 0, "seconds": 300.0},
+                {"step": "modes_4k", "ok": False, "rc": -9, "seconds": 5400.0},
+                {"step": "sweep", "ok": True},
+            ]:
+                f.write(json.dumps(rec) + "\n")
+        (tmp_path / "bench_warm.log").write_text(
+            json.dumps({"warmed": True, "cache_hit_verified": True}) + "\n")
+        (tmp_path / "bench_verify.log").write_text(
+            json.dumps({"metric": "1080p_nohg_bf16_fps", "value": 50.56,
+                        "unit": "fps", "vs_baseline": 1.731, "compile_s": 8.2}) + "\n")
+        (tmp_path / "modes_1080_int8.log").write_text(
+            "noise line\n" + json.dumps({
+                "ms_per_frame": 18.8, "fps": 53.2, "mode": "nohg",
+                "precision": "int8-full-qat", "resolution": "1080p",
+                "native_int8": True}) + "\n")
+
+        rep = mod.build_report()
+        assert "warmed=True" in rep and "cache_hit_verified=True" in rep
+        assert "| bench_verify | 1080p_nohg_bf16_fps | 19.78 | 50.56 |" in rep
+        assert "vs_baseline=1.731" in rep
+        assert "nohg int8-full-qat 1080p | 18.8 | 53.2" in rep
+        assert "| modes_4k | — | — | — | FAILED rc=-9" in rep
+        assert "probe" not in rep.splitlines()[-3]  # probe/sweep rows omitted
+
     def test_deadline_skips_steps_that_cannot_finish(self, tmp_path, monkeypatch):
         """--deadline-epoch: the sweep must never hold the TPU into the
         round driver's own bench window — a step only starts if its WHOLE

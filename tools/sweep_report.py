@@ -17,7 +17,7 @@ import os
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "logs", "chip_sweep_r4")
+OUT = os.environ.get("HDRTV_SWEEP_DIR") or os.path.join(REPO, "logs", "chip_sweep_r4")
 
 
 def _json_lines(path: str) -> list[dict]:
