@@ -82,9 +82,36 @@ def measure_fps(height: int | None = None, width: int | None = None, n: int | No
     frame = jax.device_put(
         jnp.asarray((np.random.RandomState(0).rand(height, width * 3) * 255).astype(np.uint8))
     )
+    # Observe jax's own persistent-cache hit/miss line for THIS program:
+    # compile_s alone cannot distinguish a recompile from the axon relay's
+    # slow first-load of a deserialized executable (measured round 4: the
+    # lax program warm-loads in ~220-270 s with a logged cache HIT at ~8 s,
+    # while turbo warm-loads in ~18 s — same cache, different load cost).
+    import logging
+
+    hits: list[str] = []
+
+    class _HitFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if "cache hit for 'jit_step'" in msg:
+                hits.append("hit")
+            elif "CACHE MISS for 'jit_step'" in msg:
+                hits.append("miss")
+            return True
+
+    comp_logger = logging.getLogger("jax._src.compiler")
+    prev_level = comp_logger.level
+    comp_logger.setLevel(logging.DEBUG)
+    f = _HitFilter()
+    comp_logger.addFilter(f)
     t_c0 = time.perf_counter()
-    packed, frame = step(sp, frame)
-    _ = np.asarray(packed[:2, :2])  # warm + force first execution
+    try:
+        packed, frame = step(sp, frame)
+        _ = np.asarray(packed[:2, :2])  # warm + force first execution
+    finally:
+        comp_logger.removeFilter(f)
+        comp_logger.setLevel(prev_level)
     compile_s = time.perf_counter() - t_c0
 
     t0 = time.perf_counter()
@@ -93,7 +120,10 @@ def measure_fps(height: int | None = None, width: int | None = None, n: int | No
         packed, f = step(sp, f)
     _ = np.asarray(packed[:2, :2])  # fetch forces the chain to complete
     dt = (time.perf_counter() - t0) / n
-    return {"fps": 1.0 / dt, "compile_s": round(compile_s, 1)}
+    out = {"fps": 1.0 / dt, "compile_s": round(compile_s, 1)}
+    if hits:
+        out["cache_hit"] = hits[0] == "hit"
+    return out
 
 
 def _child_probe() -> dict:
@@ -194,20 +224,25 @@ def warm() -> None:
     out = {}
     for mode in ("turbo", "lax"):  # pass 1: populate (may cold-compile)
         res = _run_child(mode, budget)
-        out[mode] = {k: res.get(k) for k in ("fps", "compile_s", "error") if k in res}
+        out[mode] = {k: res.get(k) for k in ("fps", "compile_s", "cache_hit", "error") if k in res}
     ok = all("fps" in v for v in out.values())
     warm_ok = False
     if ok:
-        # pass 2: verify — a warm load reports compile_s of a few seconds
-        # (executable deserialize); ≥60s means the cache key missed and the
-        # driver's bench run would recompile.
+        # pass 2: verify — the child reports jax's own persistent-cache
+        # hit/miss line for the bench program. compile_s alone cannot tell a
+        # recompile from the relay's slow warm-load (the lax program
+        # warm-loads in ~220-270 s WITH a cache hit; turbo in ~18 s), so the
+        # time check is only the fallback when no hit/miss line was seen.
         for mode in ("turbo", "lax"):
             res = _run_child(mode, 600)
             out[mode + "_verify"] = {
-                k: res.get(k) for k in ("fps", "compile_s", "error") if k in res
+                k: res.get(k) for k in ("fps", "compile_s", "cache_hit", "error") if k in res
             }
         warm_ok = all(
-            out.get(m + "_verify", {}).get("compile_s", 1e9) < 60 for m in ("turbo", "lax")
+            out.get(m + "_verify", {}).get(
+                "cache_hit", out.get(m + "_verify", {}).get("compile_s", 1e9) < 60
+            )
+            for m in ("turbo", "lax")
         )
     print(json.dumps({"warmed": ok, "cache_hit_verified": warm_ok, **out}), flush=True)
     raise SystemExit(0 if ok and warm_ok else 1)

@@ -71,6 +71,46 @@ def default_cache_root() -> str:
     return os.path.join(os.path.expanduser("~"), ".cache", "hdrtv_tpu", "engines")
 
 
+def default_seed_root() -> str:
+    """Committed cache-seed directory inside the repo.
+
+    The runtime cache root (``~/.cache``) does not survive a machine
+    rebuild, but the git tree does — so warmed executables for the headline
+    bench programs are committed under ``.engine_cache_seed/`` and copied
+    into the runtime root on :func:`enable_persistent_cache`. XLA's cache
+    key already encodes HLO + compile options + jaxlib version, so a stale
+    seed entry is simply never hit (it cannot poison anything)."""
+    root = env_str("HDRTV_ENGINE_SEED_DIR")
+    if root:
+        return root
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".engine_cache_seed")
+
+
+def seed_cache(root: str, seed: str | None = None) -> int:
+    """Copy committed seed entries into the runtime cache root (idempotent;
+    entries are content-keyed files so same-name == same-bytes). Returns the
+    number of entries copied."""
+    import shutil
+
+    seed = seed or default_seed_root()
+    if not os.path.isdir(seed):
+        return 0
+    n = 0
+    for name in os.listdir(seed):
+        if not name.endswith("-cache"):
+            continue
+        dst = os.path.join(root, name)
+        if os.path.exists(dst):
+            continue
+        try:
+            shutil.copyfile(os.path.join(seed, name), dst)
+            n += 1
+        except OSError:
+            continue
+    return n
+
+
 def enable_persistent_cache(root: str | None = None) -> str:
     """Point XLA's persistent compilation cache at the engine root.
 
@@ -81,6 +121,7 @@ def enable_persistent_cache(root: str | None = None) -> str:
     _strip_mosaic_debuginfo()
     root = root or default_cache_root()
     os.makedirs(root, exist_ok=True)
+    seed_cache(root)
     jax.config.update("jax_compilation_cache_dir", root)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

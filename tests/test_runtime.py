@@ -43,6 +43,28 @@ class TestEngineRegistry:
         assert engine._DEBUGINFO_STRIPPED
         assert tcc._lower_mosaic_module_to_asm.__name__ == "stripped"
 
+    def test_seed_cache_copies_committed_entries(self, tmp_path, monkeypatch):
+        """The committed .engine_cache_seed survives the between-rounds
+        machine rebuild; enable_persistent_cache copies its entries into the
+        runtime root (idempotently) so the driver bench never cold-compiles
+        after a reboot."""
+        seed = tmp_path / "seed"
+        root = tmp_path / "root"
+        seed.mkdir()
+        root.mkdir()
+        (seed / "jit_x-aaaa-cache").write_bytes(b"exe-bytes")
+        (seed / "not_a_cache.txt").write_bytes(b"ignored")
+        monkeypatch.setenv("HDRTV_ENGINE_SEED_DIR", str(seed))
+        from hdrtv_tpu.runtime.engine import seed_cache
+
+        assert seed_cache(str(root)) == 1
+        assert (root / "jit_x-aaaa-cache").read_bytes() == b"exe-bytes"
+        assert not (root / "not_a_cache.txt").exists()
+        # idempotent: existing entries are never re-copied/overwritten
+        (root / "jit_x-aaaa-cache").write_bytes(b"newer")
+        assert seed_cache(str(root)) == 0
+        assert (root / "jit_x-aaaa-cache").read_bytes() == b"newer"
+
     def test_model_fingerprint_detects_weight_swap(self):
         from hdrtv_tpu.runtime.engine import model_fingerprint
 
