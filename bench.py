@@ -31,6 +31,13 @@ fallback compile → rc=124, no JSON at all). The sequence is:
 
 Total wall-clock is capped at HDRTV_BENCH_TIMEOUT_S (default 1500 s), far
 under the driver's patience, and a JSON line is printed on every path.
+
+Round 5 (VERDICT r4 item 1): the probe is now a RETRY LOOP across the whole
+budget — the relay's observed failure mode is flapping, and round 4's
+single-probe policy surrendered ~1250 s of budget after one failed attempt.
+Every successful run also persists its number to logs/bench_last_good.json,
+and every error JSON carries the probe-attempt history plus the last known
+good measurement (clearly labeled metadata — never the scored metric).
 """
 
 from __future__ import annotations
@@ -123,6 +130,12 @@ def measure_fps(height: int | None = None, width: int | None = None, n: int | No
     out = {"fps": 1.0 / dt, "compile_s": round(compile_s, 1)}
     if hits:
         out["cache_hit"] = hits[0] == "hit"
+        out["cache_detect"] = "log"
+    else:
+        # The jax._src.compiler log line was not seen (private API — a jax
+        # upgrade may reword it); callers fall back to the compile-time
+        # threshold, which round 4 showed is wrong for slow warm-loads.
+        out["cache_detect"] = "time-fallback"
     return out
 
 
@@ -201,6 +214,41 @@ def _run_child(mode: str, budget_s: float) -> dict:
     return result
 
 
+_LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "logs", "bench_last_good.json"
+)
+
+
+def _save_last_good(value: float, extra: dict | None) -> None:
+    """Persist a successful measurement so a later relay-outage round still
+    transmits evidence (informative metadata in the error JSON, never the
+    scored metric)."""
+    if os.environ.get("HDRTV_BENCH_PLATFORM"):
+        return  # CI plumbing mode (tiny CPU shape) — not a real measurement
+    rec = {
+        "fps": round(value, 2),
+        "vs_baseline": round(value / BASELINE_FPS, 3),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **{k: v for k, v in (extra or {}).items() if k in ("compile_s", "path")},
+    }
+    try:
+        os.makedirs(os.path.dirname(_LAST_GOOD_PATH), exist_ok=True)
+        tmp = _LAST_GOOD_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, _LAST_GOOD_PATH)
+    except OSError:
+        pass
+
+
+def _load_last_good() -> dict | None:
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def _emit(value: float, extra: dict | None = None, ok: bool = True) -> None:
     line = {
         "metric": METRIC,
@@ -210,6 +258,15 @@ def _emit(value: float, extra: dict | None = None, ok: bool = True) -> None:
     }
     if extra:
         line.update(extra)
+    if ok and value > 0:
+        _save_last_good(value, extra)
+    elif not ok:
+        last = _load_last_good()
+        if last:
+            # Clearly-labeled evidence of the last bench.py-measured good
+            # number (VERDICT r4 weak #1) — metadata, not the metric.
+            line["last_good_fps"] = last.get("fps")
+            line["last_good_ts"] = last.get("ts")
     print(json.dumps(line), flush=True)
     raise SystemExit(0 if ok else 1)
 
@@ -233,10 +290,15 @@ def warm() -> None:
         # recompile from the relay's slow warm-load (the lax program
         # warm-loads in ~220-270 s WITH a cache hit; turbo in ~18 s), so the
         # time check is only the fallback when no hit/miss line was seen.
+        # 900 s default: PERF_NOTES r4 records lax warm-loads of 216-578 s
+        # through the relay; 600 s left no headroom for the slow tail.
+        verify_budget = float(os.environ.get("HDRTV_WARM_VERIFY_BUDGET_S", "900") or 900)
         for mode in ("turbo", "lax"):
-            res = _run_child(mode, 600)
+            res = _run_child(mode, verify_budget)
             out[mode + "_verify"] = {
-                k: res.get(k) for k in ("fps", "compile_s", "cache_hit", "error") if k in res
+                k: res.get(k)
+                for k in ("fps", "compile_s", "cache_hit", "cache_detect", "error")
+                if k in res
             }
         warm_ok = all(
             out.get(m + "_verify", {}).get(
@@ -317,10 +379,10 @@ def main() -> None:
 
     _yield_chip_sweep()
     total_s = float(os.environ.get("HDRTV_BENCH_TIMEOUT_S", "1500") or 1500)
-    probe_s = float(os.environ.get("HDRTV_BENCH_PROBE_BUDGET_S", "240") or 240)
+    probe_s = float(os.environ.get("HDRTV_BENCH_PROBE_BUDGET_S", "150") or 150)
     # 600 s leaves headroom for a COLD turbo compile (~5 min on the remote
     # helper) if the relay recovers after an outage with no warm cache —
-    # probe 240 + turbo 600 still leaves the lax fallback >10 min of the
+    # probe + turbo 600 still leaves the lax fallback >10 min of the
     # 1500 s total.
     turbo_s = float(os.environ.get("HDRTV_BENCH_TURBO_BUDGET_S", "600") or 600)
     t_start = time.perf_counter()
@@ -328,28 +390,68 @@ def main() -> None:
     def remaining(margin: float = 30.0) -> float:
         return total_s - (time.perf_counter() - t_start) - margin
 
-    # 1. Relay health: a wedged relay must cost minutes, not the round.
-    probe = _run_child("probe", min(probe_s, remaining()))
-    if not probe.get("ok"):
-        _emit(0.0, {"error": "relay probe failed: " + probe.get("error", "bad result")}, ok=False)
+    # 1. Relay health: RETRY LOOP across the budget (VERDICT r4 item 1a).
+    #    The relay's observed failure mode is flapping on minute-to-hour
+    #    scales; a healthy probe returns in ~15 s, so each bounded attempt
+    #    costs probe_s at worst and the loop keeps trying — with a pause
+    #    between attempts to give the relay a recovery window — until a
+    #    probe succeeds or only the turbo budget's worth of time is left.
+    probe_history: list[dict] = []
+
+    def _probe_until(reserve: float) -> bool:
+        pause = float(os.environ.get("HDRTV_BENCH_PROBE_PAUSE_S", "45") or 45)
+        while True:
+            left = remaining() - reserve
+            if left <= 10:
+                return False
+            res = _run_child("probe", min(probe_s, remaining()))
+            probe_history.append({
+                "ok": bool(res.get("ok")),
+                "probe_s": res.get("probe_s"),
+                "error": res.get("error"),
+                "t": round(time.perf_counter() - t_start),
+            })
+            if res.get("ok"):
+                return True
+            if remaining() - reserve > pause + 10:
+                time.sleep(pause)
+
+    # Reserve enough for a warm turbo attempt (~60 s) — a probe success with
+    # zero seconds left would be useless; but when the cache may be cold the
+    # caller would rather have probed longer than to half-start a compile.
+    turbo_reserve = float(os.environ.get("HDRTV_BENCH_TURBO_RESERVE_S", "90") or 90)
+    if not _probe_until(turbo_reserve):
+        _emit(0.0, {"error": "relay probe never succeeded within budget",
+                    "probe_attempts": probe_history[-8:]}, ok=False)
 
     # 2. Turbo (Pallas megakernel) attempt — the headline path.
     turbo = _run_child("turbo", min(turbo_s, remaining()))
     if "fps" in turbo:
         _emit(turbo["fps"], {"compile_s": turbo.get("compile_s")})
 
-    # 3. Re-probe (a killed compile can wedge the relay), then lax fallback.
-    if turbo.get("timeout"):
-        re = _run_child("probe", min(probe_s, remaining()))
-        if not re.get("ok"):
-            _emit(0.0, {"error": "relay wedged after turbo timeout: "
-                        + turbo.get("error", "")}, ok=False)
+    # 2b. One retry after a transient failure: if the relay still probes
+    #     healthy and the budget allows, a mid-attempt relay hiccup (not a
+    #     real bug) deserves a second chance at the headline number.
+    relay_ok = _probe_until(turbo_reserve)
+    if relay_ok and remaining() > 120:
+        turbo2 = _run_child("turbo", min(turbo_s, remaining()))
+        if "fps" in turbo2:
+            _emit(turbo2["fps"], {"compile_s": turbo2.get("compile_s"), "retried": True})
+        turbo["error"] = (turbo.get("error", "?") + " | retry: "
+                          + turbo2.get("error", "?"))
+    elif not relay_ok and probe_history and not probe_history[-1]["ok"]:
+        _emit(0.0, {"error": "relay wedged after turbo failure: "
+                    + turbo.get("error", ""),
+                    "probe_attempts": probe_history[-8:]}, ok=False)
+
+    # 3. Lax fallback with whatever budget is left.
     lax = _run_child("lax", remaining(60.0))
     if "fps" in lax:
         _emit(lax["fps"], {"compile_s": lax.get("compile_s"), "path": "lax-fallback",
                            "turbo_error": turbo.get("error")})
     _emit(0.0, {"error": "turbo: " + turbo.get("error", "?")
-                + " | lax: " + lax.get("error", "?")}, ok=False)
+                + " | lax: " + lax.get("error", "?"),
+                "probe_attempts": probe_history[-8:]}, ok=False)
 
 
 if __name__ == "__main__":

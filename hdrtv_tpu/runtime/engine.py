@@ -104,9 +104,18 @@ def seed_cache(root: str, seed: str | None = None) -> int:
         if os.path.exists(dst):
             continue
         try:
-            shutil.copyfile(os.path.join(seed, name), dst)
+            # Copy to a temp file and os.replace() into place: bench children
+            # are SIGKILLed on budget overrun, and a kill mid-copy must not
+            # leave a truncated entry that later runs skip as 'existing'.
+            tmp = dst + ".seedtmp"
+            shutil.copyfile(os.path.join(seed, name), tmp)
+            os.replace(tmp, dst)
             n += 1
         except OSError:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
             continue
     return n
 

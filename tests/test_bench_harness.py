@@ -53,11 +53,23 @@ def test_bench_happy_path_emits_metric_json():
 
 def test_bench_probe_failure_is_honest_error_json():
     # An unknown platform makes the probe child die instantly — the parent
-    # must still print the metric JSON with an error and exit nonzero.
-    rc, line = _run({"HDRTV_BENCH_PLATFORM": "definitely_not_a_platform"})
+    # RETRIES probes across the budget (round-5: the relay's failure mode is
+    # flapping), then must still print the metric JSON with an error, the
+    # probe-attempt history, and exit nonzero. Budgets tightened so the
+    # retry loop exhausts in seconds.
+    rc, line = _run(
+        {
+            "HDRTV_BENCH_PLATFORM": "definitely_not_a_platform",
+            "HDRTV_BENCH_TIMEOUT_S": "200",
+            "HDRTV_BENCH_PROBE_PAUSE_S": "1",
+        }
+    )
     assert rc != 0
     assert line["value"] == 0.0
     assert "error" in line and "probe" in line["error"]
+    # Evidence-bearing error JSON (VERDICT r4 weak #1): at least two probe
+    # attempts were made (retry, not single-shot surrender).
+    assert len(line.get("probe_attempts", [])) >= 2
 
 
 def test_bench_budget_kills_hung_attempt():

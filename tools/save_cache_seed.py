@@ -69,11 +69,22 @@ def main() -> int:
                     help="skip entries smaller than this (test/metric jits)")
     ap.add_argument("--max-total-mb", type=float, default=256.0,
                     help="refuse to grow the seed dir beyond this")
+    ap.add_argument("--prune", action="store_true",
+                    help="remove seed entries absent from the runtime cache "
+                    "root (superseded by a recompile under a new content key "
+                    "— they can never be hit again and only bloat git)")
     args = ap.parse_args()
 
     root = default_cache_root()
     seed = default_seed_root()
     os.makedirs(seed, exist_ok=True)
+    pruned = 0
+    if args.prune and os.path.isdir(root):
+        live = set(os.listdir(root))
+        for name in os.listdir(seed):
+            if name.endswith("-cache") and name not in live:
+                os.remove(os.path.join(seed, name))
+                pruned += 1
     copied, skipped, total = 0, 0, 0
     entries = []
     if os.path.isdir(root):
@@ -90,17 +101,28 @@ def main() -> int:
                 continue
             entries.append((name, path, st.st_size))
     budget = args.max_total_mb * 1e6
+    # The cap bounds the SEED DIR's total size, not just this run's additions:
+    # start from the existing contents and only count bytes actually copied
+    # (repeated runs across rounds must not grow past the stated cap).
+    total = sum(
+        os.path.getsize(os.path.join(seed, n))
+        for n in os.listdir(seed)
+        if os.path.isfile(os.path.join(seed, n))
+    )
     for name, path, size in sorted(entries, key=lambda e: -e[2]):
+        dst = os.path.join(seed, name)
+        if os.path.exists(dst):
+            continue
         if total + size > budget:
             skipped += 1
             continue
-        dst = os.path.join(seed, name)
-        if not os.path.exists(dst):
-            shutil.copyfile(path, dst)
-            copied += 1
+        tmp = dst + ".seedtmp"
+        shutil.copyfile(path, tmp)
+        os.replace(tmp, dst)
+        copied += 1
         total += size
-    print(f"seeded {copied} entries ({total/1e6:.1f} MB) into {seed}; "
-          f"skipped {skipped}")
+    print(f"seeded {copied} entries (seed dir now {total/1e6:.1f} MB) into {seed}; "
+          f"skipped {skipped}, pruned {pruned}")
     return 0
 
 
