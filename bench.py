@@ -319,7 +319,7 @@ def _yield_chip_sweep() -> None:
     if os.environ.get("HDRTV_SWEEP_CHILD"):
         return  # we ARE a sweep step — never yield our own parent
     out = os.environ.get("HDRTV_SWEEP_DIR") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "logs", "chip_sweep_r4"
+        os.path.dirname(os.path.abspath(__file__)), "logs", "chip_sweep_r5"
     )
 
     def _alive(pid: int) -> bool:

@@ -363,7 +363,14 @@ def _use_fused_kernel(x: jax.Array, w: jax.Array) -> bool:
 
     if env_bool("HDRTV_DISABLE_PALLAS", False):
         return False
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not env_bool("HDRTV_FORCE_FUSED_TRACE", False):
+        # HDRTV_FORCE_FUSED_TRACE: recorder-only escape for AOT tooling that
+        # TRACES (never executes) the fused path off-TPU to capture kernel
+        # call shapes (tools/multichip_bringup.py record). Deliberately a
+        # separate flag from HDRTV_MEGAKERNEL_INTERPRET: tests that EXECUTE
+        # under that env rely on these kernels staying lax (interpret-mode
+        # Pallas under multi-device shard_map deadlocks in jax — PERF_NOTES
+        # round 4).
         return False
     if x.shape[0] != 1:
         return False

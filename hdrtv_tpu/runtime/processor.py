@@ -370,6 +370,9 @@ class HDRTVNetTPU:
         def fn(params, flat_dev):
             return hg_jit(params, base_jit(params, flat_dev))
 
+        # Exposed for AOT tooling (tools/multichip_bringup.py lowers each
+        # program separately for the Mosaic shape-acceptance proof).
+        fn.base_jit, fn.hg_jit = base_jit, hg_jit
         self._mesh_fns[key] = fn
         return fn
 

@@ -17,7 +17,7 @@ Usage (background, output to a file — never a foreground timeout):
     python tools/chip_sweep.py [--only step1,step2] [--list] \
         > /tmp/r4sweep/driver.log 2>&1
 
-Results: logs + status.jsonl under logs/chip_sweep_r4/.
+Results: logs + status.jsonl under logs/chip_sweep_r5/.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("HDRTV_SWEEP_DIR") or os.path.join(REPO, "logs", "chip_sweep_r4")
+OUT = os.environ.get("HDRTV_SWEEP_DIR") or os.path.join(REPO, "logs", "chip_sweep_r5")
 
 # Cooperative chip handoff: bench.py (the round driver's benchmark — the
 # highest-priority chip user) touches OUT/YIELD before probing. The sweep
@@ -71,7 +71,7 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
     # Device trace for the roofline work (profile where the ~13 ms of
     # non-roofline 1080p time goes — VERDICT #3). The profiled jit
     # signature differs from the cached one: budget a fresh compile.
-    ("trace_1080", _bm("--trace", os.path.join(REPO, "logs", "chip_sweep_r4", "trace_1080")), {}, 3600),
+    ("trace_1080", _bm("--trace", os.path.join(REPO, "logs", "chip_sweep_r5", "trace_1080")), {}, 3600),
     # Post-outage revalidation sweep (VERDICT #7): refresh every headline.
     # The lax-only row is the GSPMD mesh path's per-chip numerator (the
     # program multi-chip GSPMD actually runs) AND bench.py's fallback rate —
