@@ -37,6 +37,86 @@ def _frames(count: int, size: tuple[int, int]) -> list[np.ndarray]:
     return out
 
 
+def _smooth2d(n: np.ndarray, passes: int = 3) -> np.ndarray:
+    for _ in range(passes):
+        n = (np.roll(n, 1, 0) + n + np.roll(n, -1, 0)) * (1.0 / 3.0)
+        n = (np.roll(n, 1, 1) + n + np.roll(n, -1, 1)) * (1.0 / 3.0)
+    return n
+
+
+def natural_frames(count: int, size: tuple[int, int]) -> list[np.ndarray]:
+    """Deterministic synthetic frames with *natural image statistics* —
+    the content classes the reference's quality validation leans on
+    (validate_tensorrt_sources.py sample frames; the QAT recipe's highlight/
+    dark/skin tone-protection masks, quantize_int8_mixed_qat.py):
+
+    - low-frequency scene luminance (sky gradient + smoothed structure)
+    - a skin-tone region (the ΔEITP-critical hue band)
+    - specular highlights near clip (maxRGB > 0.85 — trips the HG mask and
+      the int8 highlight-rolloff failure mode)
+    - deep shadow band (dark-banding / dequant-step visibility)
+    - film grain correlated with luminance (flicker amplification probe)
+    - a slow pan between frames (temporal continuity)
+
+    Replaces the 4-frame 192×256 gradient/noise set for QUALITY.md
+    (VERDICT r4 item 5): gradients+noise under-exercise exactly the spots
+    where quantization fails — skin, speculars, and grain.
+    """
+    h, w = size
+    out = []
+    for i in range(count):
+        rng = np.random.RandomState(1000 + i)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        u, v = xx * (1.0 / w), yy * (1.0 / h)
+        t = i / max(count - 1, 1)
+
+        # Sky/ambient gradient, panning slowly across the sequence.
+        base = 0.22 + 0.45 * (1.0 - v) ** 1.5 + 0.06 * np.sin(2 * np.pi * (u * 1.3 + 0.7 * t))
+        # Low-frequency structure: blocky noise smoothed into soft shapes.
+        coarse = rng.rand(h // 8 + 2, w // 8 + 2).astype(np.float32)
+        n = np.kron(coarse, np.ones((8, 8), np.float32))[:h, :w]
+        n = _smooth2d(n, 4)
+        luma = np.clip(base * (0.55 + 0.9 * n), 0.0, 1.0)
+
+        # Mild color cast: warm top-left, cool shadows.
+        img = np.stack(
+            [
+                luma * (1.0 + 0.12 * np.cos(2 * np.pi * (u + 0.3 * t))),
+                luma,
+                luma * (1.0 + 0.18 * (v - 0.5)),
+            ],
+            -1,
+        )
+
+        # Skin-tone ellipse with soft shading.
+        cy, cx = 0.42 + 0.05 * np.sin(2.1 * i), 0.30 + 0.35 * t
+        d2 = ((v - cy) / 0.16) ** 2 + ((u - cx) / 0.10) ** 2
+        skin_a = np.clip(1.0 - d2, 0.0, 1.0) ** 1.5
+        shade = 0.75 + 0.25 * (1.0 - (u - cx) * 3.0).clip(0.4, 1.0)
+        for c, tone in enumerate((0.80, 0.58, 0.47)):
+            img[..., c] = img[..., c] * (1 - skin_a) + (tone * shade) * skin_a
+
+        # Specular highlights: a few near-clip gaussian peaks (HG mask zone).
+        for k in range(4):
+            py, px = rng.rand(2) * 0.8 + 0.1
+            sig = 0.004 + 0.01 * rng.rand()
+            peak = np.exp(-(((v - py) ** 2 + (u - px) ** 2) / (2 * sig**2)))
+            img += peak[..., None] * np.array(
+                [0.98, 0.96, 0.92], np.float32
+            ) * (0.8 + 0.2 * rng.rand())
+
+        # Deep shadow band along the bottom.
+        shadow = np.clip((v - 0.82) * 8.0, 0.0, 1.0)
+        img *= (1.0 - 0.92 * shadow)[..., None]
+
+        # Film grain, stronger in the midtones (luma-correlated).
+        g_sigma = 0.004 + 0.010 * (luma * (1.0 - luma) * 4.0)
+        img += (rng.randn(h, w, 3).astype(np.float32)) * g_sigma[..., None]
+
+        out.append(np.clip(img, 0.0, 1.0).astype(np.float32))
+    return out
+
+
 def precision_sweep(
     fp32_params: dict,
     cfg,

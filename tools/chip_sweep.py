@@ -59,8 +59,8 @@ def _bm(*extra: str) -> list[str]:
 # must be green first (VERDICT #1), then the perf levers, then quality.
 STEPS: list[tuple[str, list[str], dict, int]] = [
     ("smoke", [PY, os.path.join(REPO, "tools", "tpu_smoke.py")], {}, 1500),
-    # --warm internal worst case: 2×2400 s populate + 2×600 s verify.
-    ("bench_warm", [PY, os.path.join(REPO, "bench.py"), "--warm"], {}, 6600),
+    # --warm internal worst case: 2×2400 s populate + 2×900 s verify.
+    ("bench_warm", [PY, os.path.join(REPO, "bench.py"), "--warm"], {}, 7500),
     ("bench_verify", [PY, os.path.join(REPO, "bench.py")], {}, 1800),
     # HDRTV_DB_DMA probe: the double-buffered halo DMA conv3 path is opt-in
     # until proven on real Mosaic (80cab31). Small first, then 1080p A/B.
@@ -88,6 +88,11 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
     # Quality matrices (VERDICT #4): no-HG refresh + HG table + pseudo-GT.
     ("quality_matrix", [PY, os.path.join(REPO, "tools", "make_quality_matrix.py")], {}, 5400),
     ("gt_quality", [PY, os.path.join(REPO, "tools", "make_gt_quality.py"), "--include-hg"], {}, 3600),
+    # Mosaic acceptance proof (VERDICT r4 #2/#4): compile every megakernel
+    # call the 8-shard 4K shard_map programs dispatch, on the real chip
+    # (compile-only — the per-shard shapes from logs/multichip/kernel_calls.pkl).
+    ("mosaic_prove", [PY, os.path.join(REPO, "tools", "multichip_bringup.py"),
+                      "prove", "--budget-s", "4800"], {}, 5400),
 ]
 
 

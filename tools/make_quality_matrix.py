@@ -85,17 +85,25 @@ def _load_family(use_hg: bool):
     return fp32_params, cfg, presets, loaded
 
 
-def _family_table(use_hg: bool, frames: int, *, temporal_probe: bool):
+def _family_table(use_hg: bool, frames: int, *, temporal_probe: bool,
+                  size: tuple[int, int] = (720, 1280), only_presets=None):
     import time as _t
 
-    from hdrtv_tpu.bench.sweep import precision_sweep
+    from hdrtv_tpu.bench.sweep import natural_frames, precision_sweep
     from hdrtv_tpu.bench.validate import temporal_stability_probe
 
     fp32_params, cfg, presets, loaded = _load_family(use_hg)
-    print(f"{'HG' if use_hg else 'no-HG'} presets: {list(presets)}", flush=True)
+    if only_presets:
+        presets = {k: v for k, v in presets.items()
+                   if k in only_presets or k == "FP32 (reference)"}
+    print(f"{'HG' if use_hg else 'no-HG'} presets: {list(presets)} "
+          f"@ {size[1]}x{size[0]} × {frames} frames", flush=True)
     t0 = _t.time()
-    # HG UNet depth needs /32-divisible dims; (192,256) satisfies both families.
-    entries = precision_sweep(fp32_params, cfg, presets=presets, frame_count=frames)
+    # Natural-statistics content at production resolution (VERDICT r4 item
+    # 5): skin tones, near-clip speculars, deep shadows, film grain, slow
+    # pan. HG's /32 padding is internal to the composite, so any size works.
+    frame_list = natural_frames(frames, size)
+    entries = precision_sweep(fp32_params, cfg, presets=presets, frames=frame_list)
     temporal = {}
     if temporal_probe:
         for name in presets:
@@ -117,10 +125,17 @@ def _family_table(use_hg: bool, frames: int, *, temporal_probe: bool):
     return lines, entries, dt
 
 
+HEADLINE_PRESETS = ("FP16", "INT8 Mixed (QAT)", "INT8 Full (QAT)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUALITY.md"))
-    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--size", default="1280x720", help="WxH of the matrix frames")
+    ap.add_argument("--headline-size", default="1920x1080",
+                    help="WxH for the extra headline-preset table ('' = skip)")
+    ap.add_argument("--headline-frames", type=int, default=8)
     ap.add_argument("--skip-hg", action="store_true", help="no-HG table only")
     args = ap.parse_args()
 
@@ -129,11 +144,23 @@ def main() -> None:
     enable_persistent_cache()
     import jax
 
+    def _wh(s: str) -> tuple[int, int]:
+        w, h = (int(p) for p in s.lower().split("x"))
+        return h, w
+
+    size = _wh(args.size)
     t_all = time.time()
-    nohg_lines, nohg_entries, nohg_dt = _family_table(False, args.frames, temporal_probe=True)
+    nohg_lines, nohg_entries, nohg_dt = _family_table(
+        False, args.frames, temporal_probe=True, size=size)
+    head_lines, head_entries, head_dt = ([], [], 0.0)
+    if args.headline_size:
+        head_lines, head_entries, head_dt = _family_table(
+            False, args.headline_frames, temporal_probe=False,
+            size=_wh(args.headline_size), only_presets=set(HEADLINE_PRESETS))
     hg_lines, hg_entries, hg_dt = ([], [], 0.0)
     if not args.skip_hg:
-        hg_lines, hg_entries, hg_dt = _family_table(True, args.frames, temporal_probe=False)
+        hg_lines, hg_entries, hg_dt = _family_table(
+            True, args.frames, temporal_probe=False, size=size)
 
     dev = jax.devices()[0].device_kind
     lines = [
@@ -155,7 +182,12 @@ def main() -> None:
         "by the FP32 teacher — the two tables answer different questions and",
         "must not be compared row-to-row.",
         "",
-        f"Measured on `{dev}` ({time.strftime('%Y-%m-%d')}), eager bit-faithful W8A8/FP8",
+        f"Measured on `{dev}` ({time.strftime('%Y-%m-%d')}): "
+        f"**{args.frames} natural-statistics frames at {args.size}**"
+        + (f" (+{args.headline_frames} at {args.headline_size} for the headline presets)"
+           if args.headline_size else "")
+        + " — skin tones, near-clip speculars, deep shadows, film grain, slow pan"
+        " (`bench/sweep.py natural_frames`); eager bit-faithful W8A8/FP8",
         *([
             "(CPU fallback run during a TPU-relay outage: the sweep is pure jax",
             "math in fp32 — quality metrics are platform-agnostic to float",
@@ -174,6 +206,19 @@ def main() -> None:
         "",
         f"Sweep wall time: {nohg_dt:.0f}s for {len(nohg_entries)} presets × {args.frames} frames.",
     ]
+    if head_lines:
+        lines += [
+            "",
+            f"### 1b. Headline presets at {args.headline_size}",
+            "",
+            "The production-default resolution (reference default preset:",
+            "INT8 Mixed QAT at 1080p, gui_config.py:162-164) for the three",
+            "headline rows — quality at the delivered pixel count.",
+            "",
+            *head_lines,
+            "",
+            f"Sweep wall time: {head_dt:.0f}s for {len(head_entries)} presets × {args.headline_frames} frames.",
+        ]
     if hg_lines:
         lines += [
             "",
@@ -213,7 +258,7 @@ def main() -> None:
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out} in {time.time() - t_all:.0f}s")
-    print(json.dumps([e.__dict__ for e in nohg_entries + hg_entries], indent=2))
+    print(json.dumps([e.__dict__ for e in nohg_entries + head_entries + hg_entries], indent=2))
 
 
 if __name__ == "__main__":
