@@ -85,6 +85,12 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
     ("batch8_unbounded", _bm("--batch", "8"), {"HDRTV_BATCH_INFLIGHT": "64"}, 2400),
     ("batch8_inflight4", _bm("--batch", "8"), {"HDRTV_BATCH_INFLIGHT": "4"}, 2400),
     ("batch8_inflight3", _bm("--batch", "8"), {"HDRTV_BATCH_INFLIGHT": "3"}, 2400),
+    # Device-resident vs runner split (VERDICT r3 #8 / r4 #2): the honest
+    # projection row next to the tunnel-dominated runner number.
+    ("bench_device_resident",
+     [PY, "-m", "hdrtv_tpu.cli", "bench", "--resolution", "1080p",
+      "--precision", "FP16", "--device-resident-only", "--duration", "10"],
+     {}, 2400),
     # Quality matrices (VERDICT #4): no-HG refresh + HG table + pseudo-GT.
     ("quality_matrix", [PY, os.path.join(REPO, "tools", "make_quality_matrix.py")], {}, 5400),
     ("gt_quality", [PY, os.path.join(REPO, "tools", "make_gt_quality.py"), "--include-hg"], {}, 3600),
