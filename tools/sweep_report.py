@@ -1,6 +1,6 @@
 """Summarize a chip_sweep run into a PERF_NOTES-ready markdown table.
 
-Reads logs/chip_sweep_r4/status.jsonl + per-step logs, extracts every JSON
+Reads logs/chip_sweep_r5/status.jsonl + per-step logs, extracts every JSON
 result line (bench_modes ms/frame rows, bench.py metric lines, warm-cache
 status), and prints a dated markdown section. Append the output to
 PERF_NOTES.md after eyeballing it:
@@ -17,7 +17,7 @@ import os
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("HDRTV_SWEEP_DIR") or os.path.join(REPO, "logs", "chip_sweep_r4")
+OUT = os.environ.get("HDRTV_SWEEP_DIR") or os.path.join(REPO, "logs", "chip_sweep_r5")
 
 
 def _json_lines(path: str) -> list[dict]:
@@ -43,7 +43,7 @@ def build_report() -> str:
         f"## Chip-sweep results ({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})",
         "",
         "Driver: tools/chip_sweep.py (post-outage revalidation — every row",
-        "below is a fresh on-chip measurement, logs/chip_sweep_r4/).",
+        "below is a fresh on-chip measurement, logs/chip_sweep_r5/).",
         "",
         "| step | config | ms/frame | fps | note |",
         "|---|---|---|---|---|",
