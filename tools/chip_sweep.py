@@ -93,7 +93,8 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
      {}, 2400),
     # Quality matrices (VERDICT #4): no-HG refresh + HG table + pseudo-GT.
     ("quality_matrix", [PY, os.path.join(REPO, "tools", "make_quality_matrix.py")], {}, 5400),
-    ("gt_quality", [PY, os.path.join(REPO, "tools", "make_gt_quality.py"), "--include-hg"], {}, 3600),
+    ("gt_quality", [PY, os.path.join(REPO, "tools", "make_gt_quality.py"),
+                    "--include-hg", "--size", "512x320", "--frames", "6"], {}, 5400),
     # Mosaic acceptance proof (VERDICT r4 #2/#4): compile every megakernel
     # call the 8-shard 4K shard_map programs dispatch, on the real chip
     # (compile-only — the per-shard shapes from logs/multichip/kernel_calls.pkl).

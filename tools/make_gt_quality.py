@@ -58,24 +58,17 @@ class ArraySource:
 
 
 def synth_clip(n: int, w: int, h: int) -> list[np.ndarray]:
-    """Deterministic varied-content SDR clip (pan + gradient + highlight +
-    texture — passes the QC gates' dark/flat screens)."""
-    out = []
-    for i in range(n):
-        rng = np.random.RandomState(1000 + i)
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-        img = np.stack(
-            [
-                ((xx + 17 * i) % w) / w,
-                0.25 + 0.5 * yy / h,
-                0.3 + 0.4 * rng.rand(h, w).astype(np.float32),
-            ],
-            -1,
-        )
-        img[h // 6 : h // 3, w // 6 : w // 2] = 0.97  # highlight band
-        img[2 * h // 3 :, : w // 4] *= 0.35  # shadow block
-        out.append((img * 255).astype(np.uint8))
-    return out
+    """Deterministic natural-statistics SDR clip (round 5): skin tones,
+    near-clip speculars, deep shadows, film grain, slow pan — the same
+    content classes the quality matrix now uses (bench/sweep.py
+    natural_frames), BGR u8 for the product pipeline. Passes the QC gates'
+    dark/flat screens (full-range, textured)."""
+    from hdrtv_tpu.bench.sweep import natural_frames
+
+    return [
+        (f[..., ::-1] * 255).astype(np.uint8)  # RGB float → BGR u8
+        for f in natural_frames(n, (h, w))
+    ]
 
 
 def main() -> None:
