@@ -105,6 +105,17 @@ def cmd_convert(args) -> int:
     from hdrtv_tpu.pipeline.runner import PipelineRunner
     from hdrtv_tpu.pipeline.sinks import make_sink
     from hdrtv_tpu.pipeline.source import SyntheticSource, VideoSource
+    from hdrtv_tpu.utils.env import env_bool
+
+    if not env_bool("HDRTVNET_IGNORE_PLAYBACK_LOCK", False):
+        from hdrtv_tpu.bench.wrapper import is_playback_locked
+
+        if is_playback_locked():
+            # The reference locks playback interactions while a benchmark
+            # runs (gui_playback_runtime.py:274-411); one TPU job at a time.
+            print("a supervised benchmark holds the playback lock; "
+                  "HDRTVNET_IGNORE_PLAYBACK_LOCK=1 overrides", file=sys.stderr)
+            return 2
 
     _apply_prefs(args)
     proc = _make_processor(args)
@@ -297,6 +308,29 @@ def cmd_convert(args) -> int:
 
 def cmd_bench(args) -> int:
     import contextlib
+
+    if getattr(args, "supervised", False):
+        # GUI bench-dialog contract (gui_playback_benchmark.py role): the
+        # benchmark runs in an isolated child, output streams live, playback
+        # is locked machine-wide, and the batch CSV renders as the result
+        # table at completion.
+        import sys as _sys
+
+        from hdrtv_tpu.bench.wrapper import PlaybackBenchmarkWrapper
+
+        raw = getattr(args, "_raw_argv", None) or _sys.argv[1:]
+        child = [a for a in raw if a != "--supervised"]
+        w = PlaybackBenchmarkWrapper(
+            argv=[_sys.executable, "-m", "hdrtv_tpu.cli", *child],
+            on_line=lambda line: print(f"  | {line}", flush=True),
+            out_dir=args.out,
+        )
+        rc = w.run()
+        table = w.render_table()
+        if table != "(no batch results)":
+            print(table)
+        print(f"[wrapper] child rc={rc}" + (" (canceled)" if w.canceled else ""))
+        return rc
 
     from hdrtv_tpu.bench.playback import PlaybackRunConfig, run_batch, run_playback_benchmark
 
@@ -1142,6 +1176,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batch matrix: run every resolution × --runs preset")
     b.add_argument("--runs", nargs="+", default=None, metavar="PRESET",
                    help="batch matrix: precision preset keys (config.PRECISIONS)")
+    b.add_argument("--supervised", action="store_true",
+                   help="run the benchmark in a supervised child process "
+                        "(the reference's GUI bench-dialog contract: process "
+                        "isolation, live output streaming, playback lock, "
+                        "cancel-safe, batch-CSV result table — bench/wrapper.py)")
     b.set_defaults(fn=cmd_bench)
 
     q = sub.add_parser("quality", help="model quality benchmark")
@@ -1334,7 +1373,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # CPU e2e drives / supervised children: the axon TPU plugin ignores
+    # JAX_PLATFORMS, so fresh CLI processes honor this env via jax.config
+    # (the HDRTV_BENCH_PLATFORM pattern, bench.py).
+    plat = os.environ.get("HDRTV_CLI_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
+    # Raw argv for commands that re-invoke the CLI in a child process
+    # (bench --supervised); works for programmatic main([...]) callers too.
+    args._raw_argv = list(sys.argv[1:] if argv is None else argv)
     return args.fn(args)
 
 

@@ -26,14 +26,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _db_dma() -> bool:
-    """Double-buffered input halo DMA (round-1 lever, executed round 4):
+def _db_dma(wb: int = 0) -> bool:
+    """Double-buffered input halo DMA (round-1 lever, measured round 5):
     prefetch tile i+1 while computing tile i instead of a synchronous
-    copy-then-compute per grid step. Default-off until the on-chip Mosaic
-    compile + timing probe proves it on this runner (tools/db probe)."""
-    from hdrtv_tpu.utils.env import env_bool
+    copy-then-compute per grid step.
 
-    return env_bool("HDRTV_DB_DMA", False)
+    On-chip A/B (chip_sweep r5): 1080p 19.44 vs 19.97 ms — ON wins 2.7%
+    where tiles are wide; 960×544 5.57 vs 5.43 ms — OFF wins where tiles
+    are small (the second buffer halves the tile rows before the overlap
+    can pay). Default: on for wb ≥ 512 (720p+); HDRTV_DB_DMA=0/1 forces."""
+    import os
+
+    v = os.environ.get("HDRTV_DB_DMA")
+    if v is not None and v != "":
+        return v.strip().lower() not in ("0", "false", "no", "off")
+    return wb >= 512
 
 
 def _pick_th(hb: int, wb: int, c: int, budget: int = 10 * 1024 * 1024, max_th: int = 16,
@@ -290,7 +297,7 @@ def fused_block_conv3(
     out_dtype = out_dtype or x.dtype
     if a_sub and (co % (2 * a_sub) or co // (2 * a_sub) < 128):
         a_sub = 0
-    db = _db_dma()
+    db = _db_dma(wb)
     th = _pick_th(hb, wb, max(c, co), db=db)
     if pool_out and th % 2:  # pooled tiles need even rows
         for cand in range(th - 1, 1, -1):
