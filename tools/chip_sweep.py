@@ -77,7 +77,12 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
     # program multi-chip GSPMD actually runs) AND bench.py's fallback rate —
     # last measured round 1 (~96 ms/1080p), never re-measured since.
     ("modes_1080_lax", _bm(), {"HDRTV_DISABLE_PALLAS": "1"}, 2400),
-    ("modes_1080_int8", _bm("--precision", "int8"), {}, 2400),
+    # The real headline int8 row: shipped full-QAT checkpoint, native W8A8
+    # megakernel path (r3: 18.80 ms). --precision int8 without a model only
+    # revalidates the policy plumbing over fp32 weights.
+    ("modes_1080_int8",
+     _bm("--model", "/root/reference/src/models/weights/original/pytorch_int8/"
+         "hr/HR_original_int8_full_qat.pt"), {}, 2400),
     ("modes_720", _bm("--height", "720", "--width", "1280"), {}, 2400),
     ("modes_hg", _bm("--hg"), {}, 3600),
     ("modes_4k", _bm("--height", "2160", "--width", "3840"), {}, 5400),
