@@ -54,3 +54,26 @@ def test_sweep_accepts_shipped_qat_checkpoints():
     # (README.md:69).
     assert e.layer_mix == {"w8a8-asym": 128}
     assert e.psnr > 28.0
+
+
+class TestNaturalFrames:
+    def test_deterministic_full_range_with_speculars(self):
+        """QUALITY.md content contract: deterministic across calls, full
+        [0,1] range, a near-clip specular population (HG-mask zone / int8
+        highlight-rolloff probe), deep shadows, and nonzero grain."""
+        import numpy as np
+
+        from hdrtv_tpu.bench.sweep import natural_frames
+
+        a = natural_frames(3, (96, 160))
+        b = natural_frames(3, (96, 160))
+        for fa, fb in zip(a, b):
+            assert fa.dtype == np.float32 and fa.shape == (96, 160, 3)
+            assert np.array_equal(fa, fb)  # deterministic
+        f = a[0]
+        assert f.min() <= 0.02 and f.max() >= 0.98  # full range
+        frac_clip = float((f.max(-1) > 0.85).mean())
+        assert 0.003 < frac_clip < 0.2  # speculars present, not dominant
+        # grain: local high-frequency energy well above zero
+        hf = np.abs(np.diff(f, axis=1)).mean()
+        assert hf > 1e-3
