@@ -40,9 +40,12 @@ def main() -> int:
         print(f"rehearsal: moved {root} -> {bak}")
     try:
         t0 = time.time()
+        # Outer timeout must exceed bench.py's internal 1500 s self-cap:
+        # killing the parent first would orphan its detached children on
+        # the chip (bench.py reaps its own on budget).
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, timeout=1500,
+            capture_output=True, text=True, timeout=1800,
         )
         dt = time.time() - t0
         line = next((l for l in out.stdout.splitlines() if l.startswith("{")), "{}")
