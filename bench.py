@@ -72,23 +72,58 @@ def measure_fps(height: int | None = None, width: int | None = None, n: int | No
     from hdrtv_tpu.models.hdrtvnet import ModelConfig
     from hdrtv_tpu.models.import_torch import load_npz
     from hdrtv_tpu.models.layers import BF16
-    from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_flat, s2d_transform_params
+    from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_pairs, s2d_transform_params
 
     here = os.path.dirname(os.path.abspath(__file__))
     params = load_npz(os.path.join(here, "weights", "hr_fp32.npz"))
     sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(params).items()}
     cfg = ModelConfig()
 
-    @jax.jit
-    def step(p, frame2d_u8):
-        # Flat byte-row contract: (H, 3W) u8 frame rows → (H, 3W) u16 RGB48
-        # rows — exactly the decoder-buffer and feeder byte layouts.
-        packed = ensemble_s2d_rgb48_flat(p, frame2d_u8, None, cfg, policy=BF16)
-        return packed, (packed % 256).astype(jnp.uint8)
+    def step(p, xr_u8):
+        # Row-pair-plane contract: (Hb,2,Wb,6) u8 in → same-shape u16 RGB48
+        # out. The same bytes as the decoder-buffer / feeder (H, 3W) rows —
+        # the host view between the layouts is free — but the jit boundary
+        # keeps the layout the megakernels use, skipping both boundary
+        # retiles (~1.4 ms/frame at 1080p, round-5 device profile). The
+        # chain feedback is a zero-valued scalar token OR'd into the input:
+        # still data-dependent (frame i+1 waits on frame i's output), but
+        # one lane-wasteful minor-6 elementwise pass cheaper than the old
+        # full u16→u8 cast (0.58 ms/frame, round-5 profile).
+        packed = ensemble_s2d_rgb48_pairs(p, xr_u8, None, cfg, policy=BF16)
+        # One-byte in-place update on the DONATED input buffer (XLA aliases
+        # u8-in → u8-out: same shape/dtype/layout): frame i+1's input waits
+        # on frame i's output at zero bulk cost. `& 1` (not `& 0`) so XLA
+        # cannot constant-fold the dependence away (round-5 lesson: the
+        # folded token degraded to a 0.4 ms input copy with NO dependence).
+        tok = (packed[0, 0, 0, 0] & jnp.uint16(1)).astype(jnp.uint8)
+        nxt = jax.lax.dynamic_update_slice(
+            xr_u8, tok.reshape(1, 1, 1, 1), (0, 0, 0, 0)
+        )
+        return packed, nxt
 
-    frame = jax.device_put(
-        jnp.asarray((np.random.RandomState(0).rand(height, width * 3) * 255).astype(np.uint8))
+    rm = None
+    if jax.default_backend() == "tpu" and os.environ.get("HDRTV_PIN_LAYOUTS") == "1":
+        # Pin the boundary layouts row-major: kills the remaining relayout
+        # copies (~0.3 ms), BUT executables with explicit entry Formats
+        # fail with INVALID_ARGUMENT after a persistent-cache deserialize
+        # on this runner's relay (round-5 isolation) — so the pin is
+        # opt-in and the driver-scored default stays cache-safe.
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        rm = Format(Layout((0, 1, 2, 3)), SingleDeviceSharding(jax.devices()[0]))
+        step = jax.jit(
+            step, in_shardings=(None, rm), out_shardings=(rm, rm), donate_argnums=1
+        )
+    else:
+        step = jax.jit(step, donate_argnums=1)
+
+    frame_np = (
+        (np.random.RandomState(0).rand(height, width * 3) * 255)
+        .astype(np.uint8)
+        .reshape(height // 2, 2, (width * 3) // 6, 6)
     )
+    frame = jax.device_put(frame_np, rm) if rm is not None else jax.device_put(jnp.asarray(frame_np))
     # Observe jax's own persistent-cache hit/miss line for THIS program:
     # compile_s alone cannot distinguish a recompile from the axon relay's
     # slow first-load of a deserialized executable (measured round 4: the

@@ -184,25 +184,36 @@ def run_device_resident(processor, resolution_key: str, frames: int = 120) -> di
 
     w, h = processing_dims(resolution_key)
 
-    @jax.jit
-    def feedback(packed):
-        # u16 RGB48 rows → u8 rows for the next frame (keeps the chain
-        # data-dependent so XLA cannot overlap-eliminate iterations)
-        return (packed % 256).astype(jnp.uint8)
+    frame_np = (np.random.RandomState(0).rand(h, w * 3) * 255).astype(np.uint8)
+    put = getattr(processor, "put_frame", None)
+    if put is not None:
+        flat, base = put(frame_np), put(frame_np)
+    else:
+        flat, base = jnp.asarray(frame_np), jnp.asarray(frame_np)
+    fmt = getattr(processor, "pairs_format", None) if flat.ndim == 4 else None
 
-    flat = jnp.asarray(
-        (np.random.RandomState(0).rand(h, w * 3) * 255).astype(np.uint8)
-    )
+    def fb_body(packed, base_f):
+        # One-bit token from the output OR'd into the (never-donated) base
+        # frame: the chain stays data-dependent (frame i+1's input waits on
+        # frame i's output) at one u8 pass — the earlier full u16→u8 cast
+        # feedback cost 0.58 ms/frame on the minor-6 pair planes (21/128
+        # lane utilization, round-5 profile). `& 1`, not `& 0`: XLA
+        # constant-folds a zero token and drops the dependence.
+        tok = (packed[(0,) * packed.ndim] & packed.dtype.type(1)).astype(jnp.uint8)
+        return base_f | tok
+
+    feedback = jax.jit(fb_body, out_shardings=fmt) if fmt is not None else jax.jit(fb_body)
+
     t0 = time.perf_counter()
-    out = processor.process_rgb48_device(flat)
-    f = feedback(out)
+    out = processor.process_rgb48_device(flat)  # flat is donated here
+    f = feedback(out, base)
     _ = np.asarray(out[:2, :2])  # force compile + first execution
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(frames):
         out = processor.process_rgb48_device(f)
-        f = feedback(out)
+        f = feedback(out, base)
     _ = np.asarray(out[:2, :2])  # the final fetch completes the chain
     dt = (time.perf_counter() - t0) / max(1, frames)
     return {

@@ -421,18 +421,24 @@ def conv_s1(p, name, x, *, policy, relu_fused: bool = False, skip: jax.Array | N
     return y
 
 
-def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = None, a_sub: int = 1):
+def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = None, a_sub: int = 1, cin: int | None = None, ch0: int = 0):
     """Stride-2 3×3, s2d output: 3×3 stride-2, (1,0) pad over plain s2d.
 
     On TPU this routes to the fused_down2 Pallas kernel (ops/megakernel.py)
     with the activation folded in — XLA's stride-2 conv on the dense-s2d
     weights was the single worst op in the round-1 device profile.
+
+    ``cin``/``ch0``: consume the ``[ch0:ch0+cin]`` channel window of a
+    wider ``x`` — the fused kernel reads the window via its BlockSpecs
+    (no HBM slice); the lax/halo fallbacks slice explicitly.
     """
     from hdrtv_tpu.utils.env import env_bool
 
     if relu_fused:
         act = "relu"
     if _halo.active():
+        if cin is not None:
+            x = x[..., ch0 : ch0 + cin]  # shard_map path keeps the slice
         # mod 16: the extended width must keep fused_down2's (wb/2) % 8.
         return _halo.run_stage(
             lambda xx: conv_s2(p, name, xx, policy=policy, act=act, a_sub=a_sub),
@@ -462,8 +468,10 @@ def conv_s2(p, name, x, *, policy, relu_fused: bool = False, act: str | None = N
                 qa = None
             return fused_down2(
                 policy.cast(x[0]), policy.cast(w), p[f"{name}.bias"], act=act,
-                qargs=qa, a_sub=a_sub,
+                qargs=qa, a_sub=a_sub, cin=cin, ch0=ch0,
             )[None]
+    if cin is not None:
+        x = x[..., ch0 : ch0 + cin]
     y = _conv(p, name, x, stride=2, padding=[(1, 0), (1, 0)], policy=policy)
     if act == "relu":
         return relu(y)
@@ -692,16 +700,15 @@ def agcm_s2d(p: Params, xs: jax.Array, cond_nat: jax.Array, *, policy: Policy) -
 
 
 def _le_cond_downs(p: Params, c: jax.Array, *, policy: Policy):
-    """CondNet2/3/4 down chains from the shared cond feature ``c``."""
-    if "LE.__cond_down.weight" in p:
-        cd = conv_s2(p, "LE.__cond_down", c, policy=policy, act="lrelu", a_sub=3)
-        nch = cd.shape[-1] // 3
-        c2, c3, c4 = cd[..., :nch], cd[..., nch : 2 * nch], cd[..., 2 * nch :]
-    else:
-        c2 = conv_s2(p, "LE.CondNet2.0", c, policy=policy, act="lrelu")
-        c3 = conv_s2(p, "LE.CondNet3.0", c, policy=policy, act="lrelu")
-        c4 = conv_s2(p, "LE.CondNet4.0", c, policy=policy, act="lrelu")
-    def mix_chain(x, steps):
+    """CondNet2/3/4 down chains from the shared cond feature ``c``.
+
+    With the consolidated LE.__cond_down conv, the three branch inputs are
+    channel WINDOWS of its (…, 3·nch) output: consumers read their window
+    through fused-kernel BlockSpecs (cin/ch0) instead of materialized
+    slices — the XLA slice fusion cost ~0.6 ms/frame at 1080p (round-5
+    profile). The lax/halo fallbacks inside each consumer still slice.
+    """
+    def mix_chain(x, steps, *, cin=None, ch0=0):
         """Short 1×1 chains via the fused kernel when eligible."""
         from hdrtv_tpu.utils.env import env_bool
 
@@ -716,19 +723,33 @@ def _le_cond_downs(p: Params, c: jax.Array, *, policy: Policy):
             return fused_mix_chain(
                 policy.cast(x[0]),
                 [(policy.cast(p[f"{n}.weight"][0, 0]), p[f"{n}.bias"], act) for n, act in steps],
+                cin=cin, ch0=ch0,
             )[None]
+        if cin is not None:
+            x = x[..., ch0 : ch0 + cin]
         for n, act in steps:
             x = conv_1x1(p, n, x, policy=policy)
             if act == "lrelu":
                 x = leaky_relu(x, 0.1)
         return x
 
-    cond2 = mix_chain(c2, [("LE.CondNet2.2", "lrelu"), ("LE.CondNet2.4", None)])
+    if "LE.__cond_down.weight" in p:
+        cd = conv_s2(p, "LE.__cond_down", c, policy=policy, act="lrelu", a_sub=3)
+        nch = cd.shape[-1] // 3
+        cond2 = mix_chain(
+            cd, [("LE.CondNet2.2", "lrelu"), ("LE.CondNet2.4", None)], cin=nch, ch0=0
+        )
+        c3 = conv_s2(p, "LE.CondNet3.2", cd, policy=policy, act="lrelu", cin=nch, ch0=nch)
+        c4 = conv_s2(p, "LE.CondNet4.2", cd, policy=policy, act="lrelu", cin=nch, ch0=2 * nch)
+    else:
+        c2 = conv_s2(p, "LE.CondNet2.0", c, policy=policy, act="lrelu")
+        cond2 = mix_chain(c2, [("LE.CondNet2.2", "lrelu"), ("LE.CondNet2.4", None)])
+        c3 = conv_s2(p, "LE.CondNet3.0", c, policy=policy, act="lrelu")
+        c3 = conv_s2(p, "LE.CondNet3.2", c3, policy=policy, act="lrelu")
+        c4 = conv_s2(p, "LE.CondNet4.0", c, policy=policy, act="lrelu")
+        c4 = conv_s2(p, "LE.CondNet4.2", c4, policy=policy, act="lrelu")
 
-    c3 = conv_s2(p, "LE.CondNet3.2", c3, policy=policy, act="lrelu")
     cond3 = mix_chain(c3, [("LE.CondNet3.4", None)])
-
-    c4 = conv_s2(p, "LE.CondNet4.2", c4, policy=policy, act="lrelu")
     cond4 = conv_s2_nat(p, "LE.CondNet4.4", c4, policy=policy)  # natural /8
     return cond2, cond3, cond4
 
@@ -943,6 +964,56 @@ def ensemble_s2d_rgb48_flat(
     x = frame[None].astype(jnp.float32) * (1.0 / 255.0)
     out = ensemble_s2d(p, x, cond, cfg, policy=policy)
     return pack_rgb48(out[0]).reshape(h, w3)
+
+
+def ensemble_s2d_rgb48_pairs(
+    p: Params,
+    xr_u8: jax.Array,
+    cond: jax.Array | None = None,
+    cfg: ModelConfig = ModelConfig(),
+    *,
+    policy: Policy = F32,
+    bgr: bool = False,
+) -> jax.Array:
+    """Row-pair-plane contract: (Hb, 2, Wb, 6) u8 in → (Hb, 2, Wb, 6) u16 out.
+
+    The SAME bytes as the (H, 3W) flat contract — host-side conversion
+    between the two layouts is a free numpy view — but keeping the pair
+    planes on the jit boundary removes BOTH boundary retiles the round-5
+    device profile attributed (~0.8 ms u8 in + ~0.6 ms u16 out per 1080p
+    frame): the head megakernel already consumes pair planes, the packed
+    tail already emits them, and the cond image contracts over them
+    directly (ops/resize.py downsample_quarter_aa_pairs — identical
+    matrices and contraction order to the flat path).
+
+    Mega path only by design; anything the megakernels can't take (odd
+    sizes, non-bf16 policy, HG in this jit, manual sharding) falls back to
+    :func:`ensemble_s2d_rgb48_flat` through in-jit reshapes — correct, just
+    without the boundary win. Callers gate with their own cheap
+    eligibility check (runtime/processor.py _pairs_ok) so the fallback is
+    cold-path only.
+    """
+    hb, _, wb, _ = xr_u8.shape
+    h, w3 = 2 * hb, 6 * wb
+    use_hg = cfg.use_hg and "hg.conv1.0.weight" in p
+    if (
+        not use_hg
+        and not _halo.active()
+        and hb % 2 == 0
+        and wb % 2 == 0
+        and _mega_ok(p, (1, hb, wb, 12), policy)
+    ):
+        if cond is None:
+            from hdrtv_tpu.ops.resize import downsample_quarter_aa_pairs
+
+            cond = downsample_quarter_aa_pairs(xr_u8, bgr=bgr)
+        return _ensemble_mega(
+            p, xr_u8, cond, policy=policy, pack=True, scale=1.0 / 255.0, bgr=bgr
+        )
+    flat = ensemble_s2d_rgb48_flat(
+        p, xr_u8.reshape(h, w3), cond, cfg, policy=policy, bgr=bgr
+    )
+    return flat.reshape(hb, 2, wb, 6)
 
 
 def _cond_quarter_flat(frame2d_u8: jax.Array, *, bgr: bool) -> jax.Array:

@@ -706,6 +706,7 @@ def _down2_kernel(xp, xc, xn, wcat_ref, wr_ref, b_ref, *refs, th, wb, c, hb, act
 def fused_down2(
     x: jax.Array, w: jax.Array, b: jax.Array, *, act: str | None = None,
     out_dtype=None, qargs: dict | None = None, a_sub: int = 1,
+    cin: int | None = None, ch0: int = 0,
 ):
     """Stride-2 3×3 block conv, (1,0) pad: (Hb,Wb,C) → (Hb/2,Wb/2,Co).
 
@@ -721,8 +722,15 @@ def fused_down2(
     int8×int8→int32 on the MXU with the affine zero-point correction folded
     into the bias (zero-block skipping stays exact: skipped blocks quantize
     to code 0, so they contribute nothing to either dot or correction).
+    ``cin``/``ch0``: consume the ``[ch0:ch0+cin]`` channel window of a wider
+    ``x`` via the input BlockSpecs (``ch0`` a multiple of ``cin``) — the
+    caller's channel slice never materializes in HBM.
     """
-    hb, wb, c = x.shape
+    hb, wb, cf = x.shape
+    c = cin if cin is not None else cf
+    if ch0 % c:
+        raise ValueError(f"ch0 {ch0} must be a multiple of the window {c}")
+    kb = ch0 // c
     co = w.shape[-1]
     hbo, wbo = hb // 2, wb // 2
     out_dtype = out_dtype or x.dtype
@@ -782,9 +790,9 @@ def fused_down2(
     n = hbo // th
     # center = 2th input rows; halos are 2-row views (one row used each).
     specs = [
-        pl.BlockSpec((2, wb, c), lambda i: (jnp.maximum(i * th - 1, 0), 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2 * th, wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, wb, c), lambda i: (jnp.minimum((i + 1) * th, hbo - 1), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, wb, c), lambda i: (jnp.maximum(i * th - 1, 0), 0, kb), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * th, wb, c), lambda i: (i, 0, kb), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, wb, c), lambda i: (jnp.minimum((i + 1) * th, hbo - 1), 0, kb), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1248,14 +1256,24 @@ def _mix_chain_kernel(x_ref, *refs, acts):
     out_ref[:] = v.reshape(th, wb, -1).astype(out_ref.dtype)
 
 
-def fused_mix_chain(x: jax.Array, steps, *, out_dtype=None):
+def fused_mix_chain(x: jax.Array, steps, *, out_dtype=None, cin: int | None = None, ch0: int = 0):
     """Chain of 1×1 convs (+activations) in one HBM pass.
 
     ``steps``: list of (w (C,C'), b (C',), act ∈ {None,'relu','lrelu'}).
     Used for the short CondNet tails (HDRUNet3T1_arch.py:123-131) that XLA
     otherwise runs as separate matmul round-trips.
+
+    ``cin``/``ch0``: consume the ``[ch0:ch0+cin]`` channel window of a wider
+    ``x`` directly via the input BlockSpec (``ch0`` must be a multiple of
+    ``cin``) — the caller's channel slice never materializes in HBM (the
+    consolidated cond-down split cost ~0.6 ms/frame at 1080p as an XLA
+    slice fusion, round-5 profile).
     """
-    hb, wb, c = x.shape
+    hb, wb, cf = x.shape
+    c = cin if cin is not None else cf
+    if ch0 % c:
+        raise ValueError(f"ch0 {ch0} must be a multiple of the window {c}")
+    kb = ch0 // c
     out_dtype = out_dtype or x.dtype
     th = pick_rows(hb, limit=_row_limit(wb, 12))
     acts = tuple(act for _, _, act in steps)
@@ -1270,7 +1288,7 @@ def fused_mix_chain(x: jax.Array, steps, *, out_dtype=None):
         kernel,
         out_shape=jax.ShapeDtypeStruct((hb, wb, co), out_dtype),
         grid=(hb // th,),
-        in_specs=[pl.BlockSpec((th, wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec((th, wb, c), lambda i: (i, 0, kb), memory_space=pltpu.VMEM)]
         + [wspec] * (2 * len(steps)),
         out_specs=pl.BlockSpec((th, wb, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),

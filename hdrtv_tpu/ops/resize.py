@@ -170,6 +170,37 @@ def downsample_quarter_aa_flat(frame2d: jax.Array, *, bgr: bool = False) -> jax.
     return y.reshape(1, h // 4, w // 4, 3)
 
 
+def downsample_quarter_aa_pairs(xr: jax.Array, *, bgr: bool = False) -> jax.Array:
+    """(Hb, 2, Wb, 6) uint8 row-pair planes → (1, H/4, W/4, 3) f32 [0,1].
+
+    Same resample matrices (and the same H-then-W contraction order) as
+    :func:`downsample_quarter_aa_flat`, applied directly to the row-pair
+    plane layout via multi-contracting-dim ``dot_general`` — the flat
+    (H, 3W) view never materializes on device.  This is the cond path of
+    the pairs-boundary program (models/s2d.py ensemble_s2d_rgb48_pairs):
+    the round-5 device profile attributed ~0.8 ms/frame at 1080p to the
+    u8 (H, 3W) → (Hb, 2, Wb, 6) boundary retile alone.
+
+    Index map: ``xr[i, a, j, m]`` is fine row ``2i+a``, byte column
+    ``6j+m`` of the flat frame, so the H matrix reshapes to
+    ``(H/4, Hb, 2)`` and the kron-expanded W matrix to
+    ``(Wb, 6, 3·W/4)`` — both pure host-side reshapes of the exact
+    matrices the flat path uses.
+    """
+    hb, _, wbp, _ = xr.shape
+    h, w = 2 * hb, 2 * wbp
+    wh = jnp.asarray(resample_matrix(h, h // 4, 4.0).reshape(h // 4, hb, 2))
+    k = jnp.asarray(_kron_i3(w, w // 4, bgr).reshape(wbp, 6, 3 * (w // 4)))
+    x = xr.astype(jnp.float32) * (1.0 / 255.0)
+    y = jax.lax.dot_general(
+        wh, x, (((1, 2), (0, 1)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )  # (H/4, Wb, 6)
+    y = jax.lax.dot_general(
+        y, k, (((1, 2), (0, 1)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )  # (H/4, 3·W/4)
+    return y.reshape(1, h // 4, w // 4, 3)
+
+
 def downsample_quarter_bilinear(x: jax.Array) -> jax.Array:
     """Non-antialiased bilinear ¼-res (the fast_condition_resize TRT shortcut,
     hdrtvnet_torch.py:2270-2276)."""

@@ -215,11 +215,15 @@ class PipelineRunner:
         frame, idx, pts = meta
         t_submit = time.monotonic()
         # Ship flat byte rows: same bytes, no 3-channel-minor tensor at the
-        # device boundary (avoids XLA lane-padding relayouts).
+        # device boundary (avoids XLA lane-padding relayouts). When the
+        # processor's pair-plane program is active, ship (Hb,2,Wb,6) pair
+        # planes instead — still the same bytes, free host view, and the
+        # device program skips both boundary retiles.
         h = frame.shape[0]
-        dev_out = self.processor.process_rgb48_device(
-            jnp.asarray(np.ascontiguousarray(frame).reshape(h, -1))
-        )
+        flat = np.ascontiguousarray(frame).reshape(h, -1)
+        put = getattr(self.processor, "put_frame", None)
+        dev = put(flat) if put is not None else jnp.asarray(flat)
+        dev_out = self.processor.process_rgb48_device(dev)
         # Side-by-side sinks also want the source frame (SDR pane).
         sdr = frame if hasattr(self.sink, "show_sdr") else None
         inflight.put((dev_out, pts, t_submit, self._generation, sdr))
@@ -262,6 +266,12 @@ class PipelineRunner:
                     break
                 dev_out, pts, t_submit, gen, sdr = item
                 host = np.asarray(dev_out)
+                if host.ndim == 4:
+                    # Pair-plane program output (Hb,2,Wb,6): restore the
+                    # sinks' (H, 3W) byte-row contract — a free numpy view
+                    # of the same RGB48 bytes.
+                    hb, _, wb, _ = host.shape
+                    host = host.reshape(2 * hb, 6 * wb)
                 t_done = time.monotonic()
                 if gen != self._generation:
                     # Stale frame from before a seek/hot-swap: the reference's

@@ -33,6 +33,7 @@ from hdrtv_tpu.models.layers import Policy, policy_for
 from hdrtv_tpu.models.s2d import (
     ensemble_s2d,
     ensemble_s2d_rgb48_flat,
+    ensemble_s2d_rgb48_pairs,
     s2d_transform_params,
 )
 from hdrtv_tpu.ops.pack import pack_rgb48
@@ -482,6 +483,91 @@ class HDRTVNetTPU:
             return self._hg_rest_flat_jit(self._hg_base_flat_jit(flat_dev))
         return self._process_rgb48_flat_jit(flat_dev)
 
+    # -- Row-pair-plane boundary: the no-HG turbo hot path. --
+
+    def wants_pairs(self, h: int, w: int) -> bool:
+        """True when frames at (h, w) should ship as (Hb, 2, Wb, 6) u8 pair
+        planes instead of (H, 3W) flat rows — same bytes, free host-side
+        view (``flat.reshape(h//2, 2, w//2, 6)``), but the jit boundary
+        keeps the layout the megakernels consume/emit, removing both
+        boundary retiles the round-5 device profile measured (~1.4 ms/frame
+        at 1080p). Feeders (pipeline/runner.py _submit, bench/playback.py
+        run_device_resident) call this before device_put."""
+        if not (self.turbo and env_bool("HDRTV_PAIRS_BOUNDARY", True)):
+            return False
+        if self.mesh is not None and self.mesh.shape.get("spatial", 1) > 1:
+            return False
+        if self.cfg.use_hg:
+            return False
+        if self.fast_zero_condition or self.fast_condition_resize:
+            return False
+        if self.proc_resolution is not None and (
+            w, h
+        ) != self.proc_resolution:
+            return False  # device letterbox runs on the flat layout
+        # /8 grid for the megakernels; /4 halves for the pairs cond path.
+        return h % 8 == 0 and w % 8 == 0
+
+    @property
+    def pairs_format(self):
+        """Pinned row-major (jax Format) for the pair-plane boundary, or
+        None when unavailable/disabled. Without the pin, XLA picks
+        `{2,0,3,1}`-style entry layouts for the rank-4 minor-6 arrays and
+        inserts relayout copies against the kernels' row-major constraint
+        (round-5 layout probe, logs/chip_sweep_r5/layout_probe2.log).
+
+        DEFAULT OFF (HDRTV_PIN_LAYOUTS=0): executables compiled with
+        explicit entry Formats execute fine when freshly compiled but fail
+        with `INVALID_ARGUMENT: TPU backend error` after a persistent-cache
+        serialize→deserialize round trip on this runner's relay (round-5
+        isolation: default-layout entries round-trip, pinned entries do
+        not — logs/chip_sweep_r5/*probe*.log). Opt in on hardware whose
+        cache round-trips custom layouts."""
+        if not env_bool("HDRTV_PIN_LAYOUTS", False):
+            return None
+        fmt = getattr(self, "_pairs_fmt", None)
+        if fmt is None:
+            if jax.default_backend() != "tpu":
+                return None
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            fmt = Format(Layout((0, 1, 2, 3)), SingleDeviceSharding(jax.devices()[0]))
+            self._pairs_fmt = fmt
+        return fmt
+
+    def put_frame(self, flat_np: np.ndarray) -> jax.Array:
+        """Host (H, 3W) u8 byte rows → the device array the dispatcher
+        wants: pinned-layout (Hb,2,Wb,6) pair planes when eligible (a free
+        host view + one linear H2D transfer), flat rows otherwise."""
+        h, w = flat_np.shape[0], flat_np.shape[1] // 3
+        if self.wants_pairs(h, w):
+            xr = flat_np.reshape(h // 2, 2, w // 2, 6)
+            fmt = self.pairs_format
+            if fmt is not None:
+                return jax.device_put(xr, fmt)
+            return jnp.asarray(xr)
+        return jnp.asarray(flat_np)
+
+    def _process_rgb48_pairs_jit(self, xr_u8: jax.Array) -> jax.Array:
+        """(Hb, 2, Wb, 6) u8 BGR pair planes → same-shape u16 RGB48, with
+        the jit boundary layouts pinned row-major on TPU."""
+        fn = getattr(self, "_pairs_jit", None)
+        if fn is None:
+
+            def body(xr):
+                return ensemble_s2d_rgb48_pairs(
+                    self.params, xr, None, self.cfg, policy=self.policy, bgr=True
+                )
+
+            fmt = self.pairs_format
+            if fmt is not None:
+                fn = jax.jit(body, in_shardings=fmt, out_shardings=fmt, donate_argnums=0)
+            else:
+                fn = jax.jit(body, donate_argnums=0)
+            self._pairs_jit = fn
+        return fn(xr_u8)
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _process_bgr_u8_jit(self, frame_u8: jax.Array) -> jax.Array:
         x, cond = self._pre(frame_u8)
@@ -527,15 +613,21 @@ class HDRTVNetTPU:
         the output is at the processing resolution (reference behavior)."""
         h, w, _ = frame_bgr.shape
         flat = np.ascontiguousarray(frame_bgr).reshape(h, w * 3)  # free view
+        if self.wants_pairs(h, w):
+            out = np.asarray(self._process_rgb48_pairs_jit(self.put_frame(flat)))
+            return out.reshape(h, w, 3)  # free view of the same u16 bytes
         out = np.asarray(self._dispatch_rgb48_flat(jnp.asarray(flat)))
         return out.reshape(out.shape[0], out.shape[1] // 3, 3)
 
     def process_rgb48_device(self, frame_u8_dev: jax.Array) -> jax.Array:
         """Device-resident variant for the pipelined runner (no host sync).
 
-        Accepts (H, 3W) flat byte rows (preferred — what the runner ships)
-        or (H, W, 3); returns the matching shape in uint16.
+        Accepts (Hb, 2, Wb, 6) pair planes (preferred when ``wants_pairs``
+        — feeders make the free host view before device_put), (H, 3W) flat
+        byte rows, or (H, W, 3); returns the matching shape in uint16.
         """
+        if frame_u8_dev.ndim == 4:
+            return self._process_rgb48_pairs_jit(frame_u8_dev)
         if frame_u8_dev.ndim == 2:
             return self._dispatch_rgb48_flat(frame_u8_dev)
         return self._process_rgb48_jit(frame_u8_dev)
@@ -672,13 +764,21 @@ class HDRTVNetTPU:
         if self.mesh is not None and self.mesh.shape.get("spatial", 1) > 1:
             jax.block_until_ready(self._mesh_rgb48_flat(jnp.zeros((height, width * 3), jnp.uint8)))
         elif rgb48:
-            # Warm the flat byte-row program (incl. the HG split when
-            # active) — the program the runner/host API actually dispatch.
-            # Warming the NHWC _process_rgb48_jit here would leave the first
-            # real frame paying the full cold compile.
-            jax.block_until_ready(
-                self._dispatch_rgb48_flat(jnp.zeros((height, width * 3), jnp.uint8))
-            )
+            # Warm the program the runner/host API actually dispatch: the
+            # pair-plane program when eligible, else the flat byte-row
+            # program (incl. the HG split when active). Warming the NHWC
+            # _process_rgb48_jit here would leave the first real frame
+            # paying the full cold compile.
+            if self.wants_pairs(height, width):
+                jax.block_until_ready(
+                    self._process_rgb48_pairs_jit(
+                        jnp.zeros((height // 2, 2, width // 2, 6), jnp.uint8)
+                    )
+                )
+            else:
+                jax.block_until_ready(
+                    self._dispatch_rgb48_flat(jnp.zeros((height, width * 3), jnp.uint8))
+                )
         else:
             jax.block_until_ready(self._process_bgr_u8_jit(dummy))
         dt = time.perf_counter() - t0

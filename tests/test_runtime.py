@@ -129,20 +129,30 @@ class TestProcessorAPI:
         assert any(r.width == 64 and r.height == 32 for r in recs)
         assert p.registry.validate(recs[0].key, p.model_hash)
 
-    def test_warmup_warms_the_flat_program(self, proc, monkeypatch):
-        """warmup_compile must warm the flat byte-row program the runner and
-        host API actually dispatch — warming the NHWC variant leaves the
-        first real frame paying the full cold compile (round-4 fix)."""
-        calls = []
-        orig = proc._dispatch_rgb48_flat
+    def test_warmup_warms_the_dispatched_program(self, proc, monkeypatch):
+        """warmup_compile must warm the program the runner and host API
+        actually dispatch — the pair-plane program when eligible (round 5),
+        else the flat byte-row program (round-4 fix). Warming the NHWC
+        variant would leave the first real frame paying the cold compile."""
+        flat_calls, pairs_calls = [], []
+        orig_flat = proc._dispatch_rgb48_flat
+        orig_pairs = proc._process_rgb48_pairs_jit
 
-        def spy(flat):
-            calls.append(tuple(flat.shape))
-            return orig(flat)
+        def spy_flat(flat):
+            flat_calls.append(tuple(flat.shape))
+            return orig_flat(flat)
 
-        monkeypatch.setattr(proc, "_dispatch_rgb48_flat", spy)
+        def spy_pairs(xr):
+            pairs_calls.append(tuple(xr.shape))
+            return orig_pairs(xr)
+
+        monkeypatch.setattr(proc, "_dispatch_rgb48_flat", spy_flat)
+        monkeypatch.setattr(proc, "_process_rgb48_pairs_jit", spy_pairs)
         proc.warmup_compile(64, 32)
-        assert calls == [(32, 192)]
+        if proc.wants_pairs(32, 64):
+            assert pairs_calls == [(16, 2, 32, 6)] and flat_calls == []
+        else:
+            assert flat_calls == [(32, 192)] and pairs_calls == []
 
 
 class TestLetterbox:

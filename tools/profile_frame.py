@@ -38,23 +38,45 @@ def capture(log_dir: str, height: int, width: int, n: int) -> None:
     from hdrtv_tpu.models.hdrtvnet import ModelConfig
     from hdrtv_tpu.models.import_torch import load_npz
     from hdrtv_tpu.models.layers import BF16
-    from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_flat, s2d_transform_params
+    from hdrtv_tpu.models.s2d import ensemble_s2d_rgb48_pairs, s2d_transform_params
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     params = load_npz(os.path.join(here, "weights", "hr_fp32.npz"))
     sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(params).items()}
     cfg = ModelConfig()
 
-    # The PRODUCT program: flat (H, 3W) byte rows in → (H, 3W) u16 out (the
-    # megakernel path bench.py measures), not the old HWC ensemble_s2d.
-    @jax.jit
-    def step(p, rows_u8):
-        packed = ensemble_s2d_rgb48_flat(p, rows_u8, None, cfg, policy=BF16)
-        return packed, (packed % 256).astype(jnp.uint8)
+    # The PRODUCT program: (Hb,2,Wb,6) u8 pair planes in → same-shape u16
+    # out, boundary layouts pinned row-major, scalar-token chain feedback —
+    # exactly the program bench.py measures (round-5 pairs boundary).
+    def step(p, xr_u8):
+        packed = ensemble_s2d_rgb48_pairs(p, xr_u8, None, cfg, policy=BF16)
+        # Non-foldable one-byte DUS on the donated input (see bench.py).
+        tok = (packed[0, 0, 0, 0] & jnp.uint16(1)).astype(jnp.uint8)
+        nxt = jax.lax.dynamic_update_slice(
+            xr_u8, tok.reshape(1, 1, 1, 1), (0, 0, 0, 0)
+        )
+        return packed, nxt
 
-    frame = jax.device_put(
-        jnp.asarray((np.random.RandomState(0).rand(height, width * 3) * 255).astype(np.uint8))
+    rm = None
+    if jax.default_backend() == "tpu" and os.environ.get("HDRTV_PIN_LAYOUTS") == "1":
+        # Opt-in only: pinned entry Formats break the persistent-cache
+        # deserialize on this relay (see bench.py / processor.pairs_format).
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        rm = Format(Layout((0, 1, 2, 3)), SingleDeviceSharding(jax.devices()[0]))
+        step = jax.jit(
+            step, in_shardings=(None, rm), out_shardings=(rm, rm), donate_argnums=1
+        )
+    else:
+        step = jax.jit(step, donate_argnums=1)
+
+    frame_np = (
+        (np.random.RandomState(0).rand(height, width * 3) * 255)
+        .astype(np.uint8)
+        .reshape(height // 2, 2, (width * 3) // 6, 6)
     )
+    frame = jax.device_put(frame_np, rm) if rm is not None else jax.device_put(jnp.asarray(frame_np))
     packed, frame = step(sp, frame)
     _ = np.asarray(packed[:2, :2])  # force warm execution
 
