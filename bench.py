@@ -463,7 +463,9 @@ def main() -> None:
     # 2. Turbo (Pallas megakernel) attempt — the headline path.
     turbo = _run_child("turbo", min(turbo_s, remaining()))
     if "fps" in turbo:
-        _emit(turbo["fps"], {"compile_s": turbo.get("compile_s")})
+        _emit(turbo["fps"], {"compile_s": turbo.get("compile_s"),
+                             "cache_hit": turbo.get("cache_hit"),
+                             "cache_detect": turbo.get("cache_detect")})
 
     # 2b. One retry after a transient failure: if the relay still probes
     #     healthy and the budget allows, a mid-attempt relay hiccup (not a
@@ -472,7 +474,10 @@ def main() -> None:
     if relay_ok and remaining() > 120:
         turbo2 = _run_child("turbo", min(turbo_s, remaining()))
         if "fps" in turbo2:
-            _emit(turbo2["fps"], {"compile_s": turbo2.get("compile_s"), "retried": True})
+            _emit(turbo2["fps"], {"compile_s": turbo2.get("compile_s"),
+                                  "cache_hit": turbo2.get("cache_hit"),
+                                  "cache_detect": turbo2.get("cache_detect"),
+                                  "retried": True})
         turbo["error"] = (turbo.get("error", "?") + " | retry: "
                           + turbo2.get("error", "?"))
     elif not relay_ok and probe_history and not probe_history[-1]["ok"]:
@@ -483,7 +488,10 @@ def main() -> None:
     # 3. Lax fallback with whatever budget is left.
     lax = _run_child("lax", remaining(60.0))
     if "fps" in lax:
-        _emit(lax["fps"], {"compile_s": lax.get("compile_s"), "path": "lax-fallback",
+        _emit(lax["fps"], {"compile_s": lax.get("compile_s"),
+                           "cache_hit": lax.get("cache_hit"),
+                           "cache_detect": lax.get("cache_detect"),
+                           "path": "lax-fallback",
                            "turbo_error": turbo.get("error")})
     _emit(0.0, {"error": "turbo: " + turbo.get("error", "?")
                 + " | lax: " + lax.get("error", "?"),
