@@ -49,6 +49,11 @@ def test_bench_happy_path_emits_metric_json():
     assert line["unit"] == "fps"
     assert line["value"] > 0
     assert line["vs_baseline"] > 0
+    # Cache transparency in the scored artifact (round 5): the JSON must say
+    # whether the number came from a warm persistent-cache hit and which
+    # detection path said so — not leave that to compile_s inference.
+    assert "cache_hit" in line
+    assert "cache_detect" in line
 
 
 def test_bench_probe_failure_is_honest_error_json():
