@@ -96,6 +96,13 @@ STEPS: list[tuple[str, list[str], dict, int]] = [
      [PY, "-m", "hdrtv_tpu.cli", "bench", "--resolution", "1080p",
       "--precision", "FP16", "--device-resident-only", "--duration", "10"],
      {}, 2400),
+    # The same honest device-resident row at the 4K north-star resolution
+    # (round-5 close: the jit_step 4K pairs number is 72.65 ms; this runs
+    # the PipelineRunner's own program).
+    ("bench_device_resident_4k",
+     [PY, "-m", "hdrtv_tpu.cli", "bench", "--resolution", "4K",
+      "--precision", "FP16", "--device-resident-only", "--duration", "10"],
+     {}, 5400),
     # Quality matrices (VERDICT #4): no-HG refresh + HG table + pseudo-GT.
     ("quality_matrix", [PY, os.path.join(REPO, "tools", "make_quality_matrix.py")], {}, 5400),
     ("gt_quality", [PY, os.path.join(REPO, "tools", "make_gt_quality.py"),
