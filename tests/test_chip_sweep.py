@@ -175,6 +175,7 @@ class TestChipSweep:
                 {"step": "bench_verify", "ok": True, "rc": 0, "seconds": 120.0},
                 {"step": "modes_1080_int8", "ok": True, "rc": 0, "seconds": 300.0},
                 {"step": "modes_4k", "ok": False, "rc": -9, "seconds": 5400.0},
+                {"step": "bench_device_resident_4k", "ok": True, "rc": 0, "seconds": 198.0},
                 {"step": "sweep", "ok": True},
             ]:
                 f.write(json.dumps(rec) + "\n")
@@ -189,8 +190,17 @@ class TestChipSweep:
                 "precision": "int8-full-qat", "resolution": "1080p",
                 "native_int8": True}) + "\n")
 
+        # cli bench --device-resident prints PRETTY-PRINTED (multi-line)
+        # JSON — the report must still extract it (round-5 blob fallback).
+        (tmp_path / "bench_device_resident_4k.log").write_text(
+            "WARNING: platform banner\n" + json.dumps({
+                "device_fps": 13.95, "device_model_ms": 71.706, "frames": 300,
+                "compile_s": 168.1, "resolution": "3840x2160",
+                "methodology": "device-resident"}, indent=2) + "\n")
+
         rep = mod.build_report()
         assert "warmed=True" in rep and "cache_hit_verified=True" in rep
+        assert "| bench_device_resident_4k | device-resident 3840x2160 | 71.706 | 13.95 |" in rep
         assert "| bench_verify | 1080p_nohg_bf16_fps | 19.78 | 50.56 |" in rep
         assert "vs_baseline=1.731" in rep
         assert "nohg int8-full-qat 1080p | 18.8 | 53.2" in rep

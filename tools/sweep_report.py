@@ -36,6 +36,33 @@ def _json_lines(path: str) -> list[dict]:
     return rows
 
 
+def _json_blobs(path: str) -> list[dict]:
+    """Multi-line JSON objects (the cli bench --device-resident output is
+    pretty-printed); used only as a fallback when no single-line rows parse."""
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return []
+    dec = json.JSONDecoder()
+    out, i = [], 0
+    while True:
+        j = text.find("{", i)
+        if j < 0:
+            break
+        try:
+            obj, end = dec.raw_decode(text[j:])
+        except json.JSONDecodeError:
+            i = j + 1
+            continue
+        if isinstance(obj, dict):
+            out.append(obj)
+            i = j + max(end, 1)
+        else:
+            i = j + 1
+    return out
+
+
 def build_report() -> str:
     records = _json_lines(os.path.join(OUT, "status.jsonl"))
     status = {r["step"]: r for r in records}
@@ -61,10 +88,21 @@ def build_report() -> str:
             lines.append(f"| {step} | — | — | — | FAILED rc={st.get('rc')} ({st.get('seconds', '?')}s) |")
             continue
         if not results:
+            # Fallback for pretty-printed output, narrowed to the
+            # device-resident schema (quality logs hold preset arrays
+            # that are summarized in QUALITY.md, not here).
+            results = [r for r in _json_blobs(log) if "device_fps" in r]
+        if not results:
             lines.append(f"| {step} | — | — | — | ok, no JSON row ({st.get('seconds', '?')}s) |")
             continue
         for r in results:
-            if "ms_per_frame" in r:
+            if "device_fps" in r:
+                cfg = f"device-resident {r.get('resolution', '')}".strip()
+                lines.append(
+                    f"| {step} | {cfg} | {r.get('device_model_ms')} | {r['device_fps']} "
+                    f"| frames={r.get('frames')} compile_s={r.get('compile_s')} |"
+                )
+            elif "ms_per_frame" in r:
                 cfg = f"{r.get('mode', '?')} {r.get('precision', '')} {r.get('resolution', '')}".strip()
                 if r.get("batch"):
                     cfg += f" batch={r['batch']}"
