@@ -213,6 +213,35 @@ def _child_main(mode: str) -> None:
     print(_RESULT_TAG + json.dumps(out), flush=True)
 
 
+_INFLIGHT_PGIDS: list[int] = []  # session-leader pgids of in-flight children
+
+
+def _reap_inflight_and_die(signum, frame) -> None:
+    """SIGTERM/SIGINT/SIGHUP handler (parent modes only): kill the in-flight
+    child's process group before dying. Children run as session leaders so a
+    budget SIGKILL can reach the whole attempt — which also means an OUTER
+    kill of the parent (e.g. a driver/operator `timeout N python bench.py`
+    with N below the 1500 s self-cap) would otherwise ORPHAN the child,
+    leaving it holding the TPU and starving every later probe (observed
+    round 5: an orphaned `--child turbo` blocked relay probes until killed
+    by pid)."""
+    for pgid in list(_INFLIGHT_PGIDS):
+        try:
+            os.killpg(pgid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+    signal.signal(signum, signal.SIG_DFL)
+    os.kill(os.getpid(), signum)
+
+
+def _install_reaper() -> None:
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            signal.signal(sig, _reap_inflight_and_die)
+        except (ValueError, OSError):  # non-main thread / exotic platform
+            pass
+
+
 def _run_child(mode: str, budget_s: float) -> dict:
     """Run one attempt in its own process group with a hard kill budget."""
     if budget_s <= 0:
@@ -222,6 +251,7 @@ def _run_child(mode: str, budget_s: float) -> dict:
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         start_new_session=True, cwd=os.path.dirname(os.path.abspath(__file__)),
     )
+    _INFLIGHT_PGIDS.append(proc.pid)
     killed = False
     try:
         out, _ = proc.communicate(timeout=budget_s)
@@ -232,6 +262,11 @@ def _run_child(mode: str, budget_s: float) -> dict:
         except (ProcessLookupError, PermissionError):
             proc.kill()
         out, _ = proc.communicate()
+    finally:
+        try:
+            _INFLIGHT_PGIDS.remove(proc.pid)
+        except ValueError:
+            pass
     result: dict = {}
     for line in (out or "").splitlines():
         if line.startswith(_RESULT_TAG):
@@ -405,6 +440,7 @@ def _yield_chip_sweep() -> None:
 
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--warm":
+        _install_reaper()
         _yield_chip_sweep()
         warm()
         return
@@ -412,6 +448,7 @@ def main() -> None:
         _child_main(sys.argv[2])
         return
 
+    _install_reaper()
     _yield_chip_sweep()
     total_s = float(os.environ.get("HDRTV_BENCH_TIMEOUT_S", "1500") or 1500)
     probe_s = float(os.environ.get("HDRTV_BENCH_PROBE_BUDGET_S", "150") or 150)

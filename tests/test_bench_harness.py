@@ -118,3 +118,65 @@ def test_child_turbo_clears_inherited_disable_pallas(monkeypatch, capsys):
     bench._child_main("lax")
     assert seen["dp"] == "1"
     capsys.readouterr()
+
+
+def test_sigterm_reaps_inflight_child():
+    """An outer SIGTERM of the parent (e.g. `timeout N python bench.py` with
+    N below the self-cap) must not orphan the in-flight session-leader child
+    — an orphaned child keeps the TPU busy and starves later probes
+    (round-5 incident)."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(
+        {
+            "HDRTV_BENCH_PLATFORM": "cpu",
+            "HDRTV_BENCH_HEIGHT": "64",
+            "HDRTV_BENCH_WIDTH": "128",
+            # enormous frame count: the turbo child stays in flight for
+            # minutes on CPU, so the parent is reliably mid-communicate()
+            "HDRTV_BENCH_FRAMES": "2000000",
+            "HDRTV_BENCH_TIMEOUT_S": "600",
+        }
+    )
+    proc = subprocess.Popen(
+        [sys.executable, BENCH],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=os.path.dirname(BENCH), start_new_session=True,
+    )
+    children: list[int] = []
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and not children:
+            try:
+                with open(f"/proc/{proc.pid}/task/{proc.pid}/children") as f:
+                    children = [int(p) for p in f.read().split()]
+            except OSError:
+                break
+            time.sleep(0.5)
+        assert children, "no in-flight child appeared"
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=30)
+        # give the SIGKILL a moment to land, then assert every child is gone
+        deadline = time.time() + 10
+        alive = children
+        while time.time() < deadline and alive:
+            alive = []
+            for pid in children:
+                try:
+                    os.kill(pid, 0)
+                    with open(f"/proc/{pid}/stat") as f:
+                        if f.read().rsplit(")", 1)[-1].split()[0] != "Z":
+                            alive.append(pid)
+                except OSError:
+                    pass
+            time.sleep(0.5)
+        assert not alive, f"orphaned children survived SIGTERM: {alive}"
+    finally:
+        for pid in children + [proc.pid]:
+            try:
+                os.killpg(pid, signal.SIGKILL)
+            except OSError:
+                pass
