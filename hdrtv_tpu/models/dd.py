@@ -86,6 +86,41 @@ def _tile16(v: jax.Array) -> jax.Array:
     return jnp.tile(v, (1, 16)).reshape(n, 1, 1, 16 * c)
 
 
+def dd_quads_view(frame2d_u8):
+    """(H, 3W) byte rows → (H/4, 4, W/4, 12) quad-row planes — a FREE view
+    (pure reshape) of a decoded frame buffer, the dd analog of the shipped
+    row-pair boundary (``ensemble_s2d_rgb48_pairs``). Plane t = 2a2+a1 holds
+    row sub-position (a2, a1); byte 3·(2b2+b1)+c holds column sub-position
+    (b2, b1) channel c."""
+    h, w3 = frame2d_u8.shape
+    return frame2d_u8.reshape(h // 4, 4, w3 // 12, 12)
+
+
+# dd channel k = (a2·2+b2)·12 + (a1·2+b1)·3 + c ← quad-plane flat index
+# t·12 + u·3 + c with t = 2a2+a1, u = 2b2+b1 (host-computed permutation).
+_QUAD_PERM = np.empty(48, np.int64)
+for _a2 in range(2):
+    for _a1 in range(2):
+        for _b2 in range(2):
+            for _b1 in range(2):
+                for _c in range(3):
+                    _QUAD_PERM[(_a2 * 2 + _b2) * 12 + (_a1 * 2 + _b1) * 3 + _c] = (
+                        (2 * _a2 + _a1) * 12 + (2 * _b2 + _b1) * 3 + _c
+                    )
+del _a2, _a1, _b2, _b1, _c
+
+
+def dd_from_quads(xq: jax.Array) -> jax.Array:
+    """(Hd, 4, Wd, 12) quad-row planes → (1, Hd, Wd, 48) dd tensor.
+
+    One transpose + a fixed lane permutation — the contract a future dd
+    head kernel consumes in-register (the shipped pairs head kernel does
+    the 2-plane version of the same regroup)."""
+    hd, _, wd, _ = xq.shape
+    v = xq.reshape(hd, 4, wd, 4, 3).transpose(0, 2, 1, 3, 4).reshape(hd, wd, 48)
+    return v[..., _QUAD_PERM][None]
+
+
 # ---------------------------------------------------------------------------
 # Weight transforms (host numpy, applied once at load)
 # ---------------------------------------------------------------------------

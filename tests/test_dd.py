@@ -89,3 +89,27 @@ class TestDDEnsemble:
         ref = np.asarray(ensemble_agcm_le(pj, img, cond, ModelConfig()))
         out = np.asarray(ensemble_dd(dp, img, cond, ModelConfig()))
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=0)
+
+
+class TestDDBoundary:
+    def test_quads_view_matches_s2d2(self):
+        """The (H/4,4,W/4,12) quad-row view + lane permutation IS the dd
+        tensor of the frame — the free-host-view boundary claim, executed."""
+        from hdrtv_tpu.models.dd import dd_from_quads, dd_quads_view, s2d2
+
+        rng = np.random.RandomState(4)
+        h, w = 16, 24
+        frame2d = (rng.rand(h, w * 3) * 255).astype(np.uint8)
+        ref = s2d2(
+            jnp.asarray(frame2d.reshape(h, w, 3)[None].astype(np.float32))
+        )
+        out = dd_from_quads(jnp.asarray(dd_quads_view(frame2d))).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_quads_view_is_free(self):
+        """The quad view must be a pure reshape of the byte rows (no copy)."""
+        from hdrtv_tpu.models.dd import dd_quads_view
+
+        frame2d = np.zeros((16, 72), np.uint8)
+        v = dd_quads_view(frame2d)
+        assert v.base is frame2d or v.base is frame2d.base
