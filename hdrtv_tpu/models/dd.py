@@ -121,6 +121,17 @@ def dd_from_quads(xq: jax.Array) -> jax.Array:
     return v[..., _QUAD_PERM][None]
 
 
+def quads_from_dd(x: jax.Array) -> jax.Array:
+    """(1, Hd, Wd, 48) dd tensor → (Hd, 4, Wd, 12) quad-row planes — the
+    inverse of :func:`dd_from_quads`; on u16 output it IS the flat (H, 3W)
+    RGB48 byte-row contract (a free host view), the geometry a future dd
+    tail kernel packs in-register."""
+    _, hd, wd, _ = x.shape
+    inv = np.argsort(_QUAD_PERM)
+    v = x[0][..., inv].reshape(hd, wd, 4, 4, 3).transpose(0, 2, 1, 3, 4)
+    return v.reshape(hd, 4, wd, 12)
+
+
 # ---------------------------------------------------------------------------
 # Weight transforms (host numpy, applied once at load)
 # ---------------------------------------------------------------------------

@@ -113,3 +113,39 @@ class TestDDBoundary:
         frame2d = np.zeros((16, 72), np.uint8)
         v = dd_quads_view(frame2d)
         assert v.base is frame2d or v.base is frame2d.base
+
+    def test_quads_roundtrip_and_rgb48_rows(self):
+        """quads_from_dd inverts dd_from_quads, and on u16 model output the
+        quad planes ARE the flat (H,3W) RGB48 rows (free host view)."""
+        from hdrtv_tpu.models.dd import dd_from_quads, dd_quads_view, quads_from_dd
+
+        rng = np.random.RandomState(5)
+        h, w = 16, 24
+        frame2d = (rng.rand(h, w * 3) * 65535).astype(np.uint16)
+        v = frame2d.reshape(h // 4, 4, (w * 3) // 12, 12)
+        x = dd_from_quads(jnp.asarray(v))
+        back = np.asarray(quads_from_dd(x))
+        np.testing.assert_array_equal(back, v)
+        np.testing.assert_array_equal(back.reshape(h, w * 3), frame2d)
+        del dd_quads_view
+
+
+class TestDDPolicy:
+    def test_ensemble_dd_bf16_close_to_s2d_bf16(self):
+        """dd mode is policy-clean: under BF16 it tracks the single-s2d bf16
+        path within bf16 noise (different-but-equivalent contraction order)."""
+        from hdrtv_tpu.models.dd import dd_transform_params, ensemble_dd
+        from hdrtv_tpu.models.hdrtvnet import ModelConfig
+        from hdrtv_tpu.models.import_torch import load_npz
+        from hdrtv_tpu.models.layers import BF16
+        from hdrtv_tpu.models.s2d import ensemble_s2d, s2d_transform_params
+
+        params = load_npz(WEIGHTS)
+        sp = {k: jnp.asarray(v) for k, v in s2d_transform_params(params).items()}
+        dp = {k: jnp.asarray(v) for k, v in dd_transform_params(params).items()}
+        rng = np.random.RandomState(6)
+        img = jnp.asarray(rng.rand(1, 32, 48, 3).astype(np.float32))
+        cond = jnp.asarray(rng.rand(1, 8, 12, 3).astype(np.float32))
+        ref = np.asarray(ensemble_s2d(sp, img, cond, ModelConfig(), policy=BF16)).astype(np.float32)
+        out = np.asarray(ensemble_dd(dp, img, cond, ModelConfig(), policy=BF16)).astype(np.float32)
+        np.testing.assert_allclose(out, ref, atol=3e-2, rtol=0)
